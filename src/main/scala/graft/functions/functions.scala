@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.{udaf, udf}
+import graft.core._
+
+/** Column-level API of the sketch engine.
+  *
+  * Naming follows the reference's exported surface (SURVEY.md §2.1): each
+  * `bloom_*` function is the Spark lift of the corresponding Filter method
+  * (Add->*_agg update, Union->merge/bloom_union, Has->bloom_might_contain,
+  * Cardinality->bloom_cardinality, Optimize->BloomConfig.optimize at plan
+  * time, Dump/Load->the BinaryType column values themselves).
+  *
+  * Probe-side note (scale): `bloomProbe(filter)` captures a driver-side
+  * deserialized filter in the UDF closure, so executors deserialize ONCE
+  * per task via closure/broadcast — the Spark analog of the reference's
+  * "share one filter among readers". The bytes-column variants
+  * (`bloom_might_contain`) deserialize per row and are meant for small
+  * aggregated results (one sketch row per group), not per-row probes of a
+  * big table.
+  */
+object functions {
+
+  private val intArrayEnc = ExpressionEncoder[Array[Int]]()
+
+  // ---------------- builders (aggregation functions) ----------------
+
+  /** Bloom filter over token arrays, sized like the reference's
+    * NewOptimized (/root/reference/optimize.go:40-43).
+    */
+  def bloom_agg_tokens(tokens: Column, capacity: Long, fpr: Double,
+                       maxBits: Long = 0L): Column = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr, maxBits)
+    udaf(new aggregators.BloomTokensAgg(nbits, k), intArrayEnc)(tokens)
+  }
+
+  /** Bloom filter over pre-hashed 64-bit keys. */
+  def bloom_agg_hash(hash: Column, capacity: Long, fpr: Double,
+                     maxBits: Long = 0L): Column = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr, maxBits)
+    udaf(new aggregators.BloomHashAgg(nbits, k), Encoders.scalaLong)(hash)
+  }
+
+  /** Union of pre-built Bloom dumps (checkpoint resume path). */
+  def bloom_union_agg(dumps: Column, nbits: Long, k: Int): Column =
+    udaf(new aggregators.BloomUnionAgg(nbits, k), Encoders.BINARY)(dumps)
+
+  def hll_agg_tokens(tokens: Column, p: Int = 14): Column =
+    udaf(new aggregators.HllTokensAgg(p), intArrayEnc)(tokens)
+
+  def hll_agg_hash(hash: Column, p: Int = 14): Column =
+    udaf(new aggregators.HllHashAgg(p), Encoders.scalaLong)(hash)
+
+  def hll_union_agg(sketches: Column, p: Int = 14): Column =
+    udaf(new aggregators.HllUnionAgg(p), Encoders.BINARY)(sketches)
+
+  def cms_agg_tokens(tokens: Column, depth: Int = 5, width: Int = 65536): Column =
+    udaf(new aggregators.CmsTokensAgg(depth, width), intArrayEnc)(tokens)
+
+  def cms_agg_hash(hash: Column, depth: Int = 5, width: Int = 65536): Column =
+    udaf(new aggregators.CmsHashAgg(depth, width), Encoders.scalaLong)(hash)
+
+  def cms_union_agg(sketches: Column, depth: Int = 5, width: Int = 65536): Column =
+    udaf(new aggregators.CmsUnionAgg(depth, width), Encoders.BINARY)(sketches)
+
+  def tdigest_agg(values: Column, compression: Double = 100.0): Column =
+    udaf(new aggregators.TDigestAgg(compression), Encoders.scalaDouble)(values)
+
+  def kll_agg(values: Column, k: Int = 200): Column =
+    udaf(new aggregators.KllAgg(k), Encoders.scalaDouble)(values)
+
+  def minhash_agg_tokens(tokens: Column, numPerms: Int = 128): Column =
+    udaf(new aggregators.MinHashTokensAgg(numPerms), intArrayEnc)(tokens)
+
+  // ---------------- hashing ----------------
+
+  /** Engine-wide 64-bit hash of an int token id (splitmix64). */
+  val token_hash: UserDefinedFunction = udf((t: Int) => Hashing.tokenHash(t))
+
+  /** 64-bit FNV-1a of a string (the reference example's string adapter,
+    * /root/reference/example_test.go:29-46).
+    */
+  val fnv_hash64: UserDefinedFunction = udf((s: String) =>
+    if (s == null) 0L else Hashing.fnv1a64(s))
+
+  // ---------------- Bloom scalars ----------------
+
+  /** Probe with a driver-held filter captured in the closure (scale path:
+    * deserialize once, ship via task closure, probe per row in-memory).
+    */
+  def bloomProbe(filter: BlockedBloomFilter): UserDefinedFunction = {
+    val f = filter
+    udf((h: Long) => f.has(h))
+  }
+
+  /** Per-row variant over a sketch-bytes column (small results only). */
+  val bloom_might_contain: UserDefinedFunction =
+    udf((dump: Array[Byte], h: Long) => BloomIO.load(dump).has(h))
+
+  /** Cardinality MLE of a dumped filter
+    * (/root/reference/bloomfilter.go:111-140 semantics; +Inf becomes null
+    * to stay SQL-friendly).
+    */
+  val bloom_cardinality: UserDefinedFunction =
+    udf((dump: Array[Byte]) => {
+      val c = BloomIO.load(dump).cardinality
+      if (c.isInfinite) None else Some(c)
+    })
+
+  val bloom_union: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val f = BloomIO.load(a)
+      BloomIO.dump(f.union(BloomIO.load(b)))
+    })
+
+  val bloom_intersect: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) => {
+      val f = BloomIO.load(a)
+      BloomIO.dump(f.intersect(BloomIO.load(b)))
+    })
+
+  val bloom_num_bits: UserDefinedFunction =
+    udf((dump: Array[Byte]) => BloomIO.load(dump).numBits)
+
+  val bloom_is_empty: UserDefinedFunction =
+    udf((dump: Array[Byte]) => BloomIO.load(dump).isEmpty)
+
+  /** Modeled FPR after nkeys inserts (/root/reference/optimize.go:133-141). */
+  val bloom_fprate: UserDefinedFunction =
+    udf((dump: Array[Byte], nkeys: Long) => {
+      val f = BloomIO.load(dump)
+      BloomConfig.fpRateAfter(nkeys, f.numBits, f.k)
+    })
+
+  // ---------------- sketch scalars ----------------
+
+  val hll_estimate: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => HyperLogLog.deserialize(bytes).estimate)
+
+  val hll_merge: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      HyperLogLog.deserialize(a).merge(HyperLogLog.deserialize(b)).serialize())
+
+  val cms_estimate: UserDefinedFunction =
+    udf((bytes: Array[Byte], h: Long) =>
+      CountMinSketch.deserialize(bytes).estimate(h))
+
+  val cms_total: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => CountMinSketch.deserialize(bytes).total)
+
+  val tdigest_quantile: UserDefinedFunction =
+    udf((bytes: Array[Byte], q: Double) => TDigest.deserialize(bytes).quantile(q))
+
+  val tdigest_cdf: UserDefinedFunction =
+    udf((bytes: Array[Byte], x: Double) => TDigest.deserialize(bytes).cdf(x))
+
+  val kll_quantile: UserDefinedFunction =
+    udf((bytes: Array[Byte], q: Double) => KllSketch.deserialize(bytes).quantile(q))
+
+  val kll_rank: UserDefinedFunction =
+    udf((bytes: Array[Byte], x: Double) => KllSketch.deserialize(bytes).rank(x))
+
+  // ---------------- MinHash / SimHash scalars ----------------
+
+  /** Per-document MinHash signature. */
+  def minhash_signature(numPerms: Int = 128): UserDefinedFunction =
+    udf((tokens: Array[Int]) =>
+      if (tokens == null) null
+      else MinHash.signatureOfTokens(tokens, numPerms))
+
+  val minhash_jaccard: UserDefinedFunction =
+    udf((a: Array[Long], b: Array[Long]) => MinHash.estimateJaccard(a, b))
+
+  /** LSH band keys for a signature: array of (band << 56) ^ bandHash —
+    * explode + groupBy on these to get candidate pairs.
+    */
+  def minhash_bands(numBands: Int, rowsPerBand: Int): UserDefinedFunction =
+    udf((sig: Array[Long]) =>
+      if (sig == null) null
+      else Array.tabulate(numBands)(b =>
+        (b.toLong << 56) ^ (MinHash.bandHash(sig, b, rowsPerBand) >>> 8)))
+
+  val simhash64: UserDefinedFunction =
+    udf((tokens: Array[Int]) =>
+      if (tokens == null) 0L else SimHash.fingerprintOfTokens(tokens))
+
+  val hamming64: UserDefinedFunction =
+    udf((a: Long, b: Long) => SimHash.hammingDistance(a, b))
+}
