@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{functions => F}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four tiers, cheapest first — at 100 TB each tier prunes the candidate
+  * space for the next, and every shuffle is keyed to stay balanced:
+  *  1. exact: hash-groupBy on content digest (one shuffle on the digest —
+  *     uniformly distributed by construction, no skew)
+  *  2. MinHash+LSH: per-doc signature (narrow), explode only the B band
+  *     keys (B rows/doc, not |tokens| rows/doc), self-join on band buckets,
+  *     verify candidates with exact similarity
+  *  3. SimHash: 64-bit fingerprint, near-dup = small Hamming distance;
+  *     bucketed by 16-bit chunks (pigeonhole: hamming<=3 over 4 chunks
+  *     guarantees an exact chunk match) so the self-join never goes n^2
+  *  4. exact n-gram Jaccard: the expensive verifier, run only on candidate
+  *     pairs (or small tables)
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content, with the kept
+    * (minimum) doc_id and the duplicate count. Content key = md5(text).
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Rows to drop under exact dedup (everything but the kept id per group). */
+  def exactDropIds(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("content_md5"))
+      .join(exactGroups(docs, textCol, idCol), Seq("content_md5"))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol))
+
+  /** Distinct word-token set per doc (the unit for Jaccard measures). */
+  private def tokenSets(tokenDocs: DataFrame): DataFrame =
+    tokenDocs.select(col("doc_id"),
+        array_distinct(col("tokens")).as("tokset"))
+      .withColumn("set_size", size(col("tokset")))
+
+  /** Exact pairwise Jaccard over token sets, emitting pairs with
+    * similarity >= threshold. O(pairs sharing a token) — intended for
+    * small tables or LSH-candidate verification; the shuffle key is the
+    * token, so frequent tokens are the skew risk: tokens appearing in
+    * more than `maxDf` docs are dropped from pairing (they contribute
+    * little discrimination and quadratic blowup).
+    */
+  def jaccardPairs(tokenDocs: DataFrame, threshold: Double,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    val sets = tokenSets(tokenDocs)
+    val posting = sets
+      .select(col("doc_id"), col("set_size"), explode(col("tokset")).as("t"))
+    val filtered =
+      if (maxDf == Int.MaxValue) posting
+      else {
+        val dfreq = posting.groupBy("t")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        posting.join(dfreq.select("t"), Seq("t"))
+      }
+    val a = filtered.select(col("t"), col("doc_id").as("a"),
+      col("set_size").as("sa"))
+    val b = filtered.select(col("t"), col("doc_id").as("b"),
+      col("set_size").as("sb"))
+    a.join(b, Seq("t"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common") / (col("sa") + col("sb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * numPerms = numBands * rowsPerBand. Candidate recall at similarity j
+    * is 1-(1-j^rowsPerBand)^numBands; with the defaults (32 bands of 4
+    * rows) recall at j=0.6 is ~0.99. Each doc contributes numBands rows
+    * to the bucket join — constant fan-out, unlike the posting-list join.
+    */
+  def minhashLshPairs(tokenDocs: DataFrame, threshold: Double,
+                      numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val numPerms = numBands * rowsPerBand
+    val sigs = tokenDocs.select(col("doc_id"), col("tokens"))
+      .withColumn("sig", F.minhash_signature(numPerms)(col("tokens")))
+      .select(col("doc_id"), col("sig"),
+        explode(F.minhash_bands(numBands, rowsPerBand)(col("sig"))).as("band"))
+    val cands = sigs.as("x").join(sigs.as("y"), Seq("band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // verify candidates exactly
+    val sets = tokenSets(tokenDocs)
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("tokset").as("ta"),
+        col("set_size").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("tokset").as("tb"),
+        col("set_size").as("sb")), Seq("b"))
+      .withColumn("common", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard",
+        col("common") / (col("sa") + col("sb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: fingerprints within `maxHamming`.
+    * Bucketing: split the 64-bit fingerprint into (maxHamming+1) chunks;
+    * two fingerprints within maxHamming share at least one exact chunk
+    * (pigeonhole), so the join is on (chunk index, chunk value) — linear
+    * fan-out, never a full cross join.
+    */
+  def simhashPairs(tokenDocs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bits = 64 / nChunks
+    val fps = tokenDocs.select(col("doc_id"),
+      F.simhash64(col("tokens")).as("fp"))
+    val chunked = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftright(col("fp"), c * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("cv"))
+      }: _*)).as("chunk"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+    cands
+      .withColumn("hamming", F.hamming64(col("fa"), col("fb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

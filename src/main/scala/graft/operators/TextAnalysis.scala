@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import graft.core.Hashing
+
+/** Text-analysis operators for training-data pipelines: quality metrics,
+  * token statistics, language ID, and content fingerprints.
+  *
+  * Quality metrics are pure column expressions (whole-stage codegen, no
+  * UDF) so the scan->project pipeline stays vectorized at scale. The
+  * heuristics (language ID, rolling-hash fingerprint) are deterministic
+  * scalar functions — identical on any executor.
+  */
+object TextAnalysis {
+
+  /** Per-document quality metrics, all codegen'd column expressions.
+    * Word = maximal run of non-space characters (texts are single-space
+    * separated; SQL-replicable: see SparkEntry oracle).
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(filter(words, w => length(w) > 0))
+    val nChars = length(col("text"))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round(nChars.cast("double") / nWords, 4).as("chars_per_word"),
+      size(array_distinct(filter(words, w => length(w) > 0)))
+        .as("n_distinct_words"),
+      round(size(filter(words, w => length(w) > 0)).cast("double") /
+        greatest(size(array_distinct(filter(words, w => length(w) > 0))),
+          lit(1)), 4).as("repetition_ratio"))
+  }
+
+  /** Stopword lists per language for the lang-ID heuristic (top function
+    * words; standard public lists, trimmed).
+    */
+  val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that",
+      "for", "on", "with", "as", "was", "at", "by"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "nicht", "ein", "eine", "auf", "für", "im", "zu"),
+    "fr" -> Set("le", "la", "les", "de", "et", "un", "une", "est", "en",
+      "que", "pour", "dans", "qui", "sur", "pas"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "es",
+      "en", "que", "por", "para", "con", "no"))
+
+  /** Heuristic language ID: score = stopword hits per language over the
+    * lowercased word stream; falls back to character-class evidence for
+    * CJK; "und" (undetermined) when nothing matches.
+    */
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < text.length && i < 2000) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            block == Character.UnicodeBlock.HIRAGANA ||
+            block == Character.UnicodeBlock.KATAKANA) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk.toDouble / total > 0.2) return "zh"
+    val words = text.toLowerCase.split("\\s+")
+    val scores = stopwords.view.mapValues(sw => words.count(sw.contains))
+      .toMap
+    val (best, hits) = scores.maxBy { case (lang, n) => (n, lang) }
+    if (hits == 0) "und" else best
+  }
+
+  val lang_id: UserDefinedFunction = udf((text: String) => detectLang(text))
+
+  /** Karp-Rabin rolling-hash fingerprint of the content: the minimum of
+    * the rolling hashes over a sliding byte window — robust to
+    * concatenation order, cheap to compute in one pass.
+    */
+  def rollingFingerprint(text: String, window: Int = 16): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.length <= window) return Hashing.fnv1a64(bytes)
+    val B = 0x100000001B3L
+    // B^window for the remove-term
+    var bPow = 1L
+    var i = 0
+    while (i < window) { bPow *= B; i += 1 }
+    var h = 0L
+    var minH = Long.MaxValue
+    i = 0
+    while (i < bytes.length) {
+      h = h * B + (bytes(i) & 0xFFL)
+      if (i >= window) h -= bPow * (bytes(i - window) & 0xFFL)
+      if (i >= window - 1) {
+        val mixed = Hashing.splitmix64(h)
+        if (mixed < minH) minH = mixed
+      }
+      i += 1
+    }
+    minH
+  }
+
+  val rolling_fingerprint: UserDefinedFunction =
+    udf((text: String) => rollingFingerprint(text))
+
+  /** Token statistics per source over the token table: docs, total and
+    * distinct tokens, token-length quantile inputs. Pure aggregation.
+    */
+  def tokenStats(tokenDocs: DataFrame): DataFrame =
+    tokenDocs
+      .select(col("source"), col("n_tok"), explode(col("tokens")).as("t"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("t")).as("distinct_tokens"))
+      .join(
+        tokenDocs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_n_tok")),
+        Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"), col("sum_n_tok"))
+}
