@@ -1,0 +1,306 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.glue
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** Catalyst-native sketch aggregates.
+  *
+  * These are the hot-path versions of the Aggregator-based UDAFs: a
+  * TypedImperativeAggregate reads the input ArrayData IN PLACE inside
+  * `update` — no per-row encoder projection, no Array[Int] copy, no boxed
+  * round trip (profiling showed the ScalaAggregator encoder path costing
+  * ~6x the sketch kernel itself). Buffers are the sketch objects; Spark
+  * serializes them only at the partial->final shuffle boundary, exactly
+  * the reference's worker-filter -> tree-Union pattern
+  * (/root/reference/example_test.go:179-208).
+  *
+  * Serialization formats are the engine's stable wire formats (Bloom: the
+  * reference dump format, /root/reference/io.go:94-105), so shuffled
+  * partials, checkpoint rows, and final outputs are the same bytes.
+  */
+object catalyst {
+
+  private def col(e: Expression): Column = glue.columnOf(e)
+  def expr(c: Column): Expression = glue.expressionOf(c)
+
+  abstract class TokenArrayAggregate[B] extends TypedImperativeAggregate[B]
+      with UnaryLike[Expression] {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    final override def update(buffer: B, input: InternalRow): B = {
+      val v = child.eval(input)
+      if (v != null) updateArray(buffer, v.asInstanceOf[ArrayData])
+      buffer
+    }
+    protected def updateArray(buffer: B, arr: ArrayData): Unit
+  }
+
+  /** Blocked-Bloom build over array<int> token columns. */
+  case class BloomTokensAggregate(
+      child: Expression, nbits: Long, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TokenArrayAggregate[BlockedBloomFilter] {
+    override def prettyName: String = "bloom_agg_tokens"
+    def createAggregationBuffer(): BlockedBloomFilter =
+      BlockedBloomFilter(nbits, k)
+    protected def updateArray(b: BlockedBloomFilter, arr: ArrayData): Unit = {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) b.add(Hashing.tokenHash(arr.getInt(i)))
+        i += 1
+      }
+    }
+    def merge(b: BlockedBloomFilter, o: BlockedBloomFilter): BlockedBloomFilter =
+      b.union(o)
+    def eval(b: BlockedBloomFilter): Any = BloomIO.dump(b)
+    def serialize(b: BlockedBloomFilter): Array[Byte] = BloomIO.dump(b)
+    def deserialize(bytes: Array[Byte]): BlockedBloomFilter =
+      BloomIO.load(bytes)
+    def withNewMutableAggBufferOffset(o: Int): BloomTokensAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): BloomTokensAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): BloomTokensAggregate =
+      copy(child = c)
+  }
+
+  /** Blocked-Bloom build over pre-hashed int64 key columns. */
+  case class BloomHashAggregate(
+      child: Expression, nbits: Long, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[BlockedBloomFilter]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "bloom_agg_hash"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): BlockedBloomFilter =
+      BlockedBloomFilter(nbits, k)
+    override def update(b: BlockedBloomFilter, input: InternalRow): BlockedBloomFilter = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[Long])
+      b
+    }
+    def merge(b: BlockedBloomFilter, o: BlockedBloomFilter): BlockedBloomFilter =
+      b.union(o)
+    def eval(b: BlockedBloomFilter): Any = BloomIO.dump(b)
+    def serialize(b: BlockedBloomFilter): Array[Byte] = BloomIO.dump(b)
+    def deserialize(bytes: Array[Byte]): BlockedBloomFilter =
+      BloomIO.load(bytes)
+    def withNewMutableAggBufferOffset(o: Int): BloomHashAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): BloomHashAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): BloomHashAggregate =
+      copy(child = c)
+  }
+
+  /** Bloom union re-aggregation over dump-bytes columns (load-is-union,
+    * /root/reference/io.go:151-178).
+    */
+  case class BloomUnionAggregate(
+      child: Expression, nbits: Long, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[BlockedBloomFilter]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "bloom_union_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): BlockedBloomFilter =
+      BlockedBloomFilter(nbits, k)
+    override def update(b: BlockedBloomFilter, input: InternalRow): BlockedBloomFilter = {
+      val v = child.eval(input)
+      if (v != null) BloomIO.load(v.asInstanceOf[Array[Byte]], Some(b))
+      b
+    }
+    def merge(b: BlockedBloomFilter, o: BlockedBloomFilter): BlockedBloomFilter =
+      b.union(o)
+    def eval(b: BlockedBloomFilter): Any = BloomIO.dump(b)
+    def serialize(b: BlockedBloomFilter): Array[Byte] = BloomIO.dump(b)
+    def deserialize(bytes: Array[Byte]): BlockedBloomFilter =
+      BloomIO.load(bytes)
+    def withNewMutableAggBufferOffset(o: Int): BloomUnionAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): BloomUnionAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): BloomUnionAggregate =
+      copy(child = c)
+  }
+
+  /** HLL build over array<int> token columns. */
+  case class HllTokensAggregate(
+      child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TokenArrayAggregate[HyperLogLog] {
+    override def prettyName: String = "hll_agg_tokens"
+    def createAggregationBuffer(): HyperLogLog = HyperLogLog(p)
+    protected def updateArray(b: HyperLogLog, arr: ArrayData): Unit = {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) b.add(Hashing.tokenHash(arr.getInt(i)))
+        i += 1
+      }
+    }
+    def merge(b: HyperLogLog, o: HyperLogLog): HyperLogLog = b.merge(o)
+    def eval(b: HyperLogLog): Any = b.serialize()
+    def serialize(b: HyperLogLog): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): HyperLogLog =
+      HyperLogLog.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): HllTokensAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): HllTokensAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): HllTokensAggregate =
+      copy(child = c)
+  }
+
+  /** HLL build over pre-hashed int64 key columns. */
+  case class HllHashAggregate(
+      child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[HyperLogLog]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "hll_agg_hash"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): HyperLogLog = HyperLogLog(p)
+    override def update(b: HyperLogLog, input: InternalRow): HyperLogLog = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[Long])
+      b
+    }
+    def merge(b: HyperLogLog, o: HyperLogLog): HyperLogLog = b.merge(o)
+    def eval(b: HyperLogLog): Any = b.serialize()
+    def serialize(b: HyperLogLog): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): HyperLogLog =
+      HyperLogLog.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): HllHashAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): HllHashAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): HllHashAggregate =
+      copy(child = c)
+  }
+
+  /** Count-min build over array<int> token columns. */
+  case class CmsTokensAggregate(
+      child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TokenArrayAggregate[CountMinSketch] {
+    override def prettyName: String = "cms_agg_tokens"
+    def createAggregationBuffer(): CountMinSketch = CountMinSketch(depth, width)
+    protected def updateArray(b: CountMinSketch, arr: ArrayData): Unit = {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) b.add(Hashing.tokenHash(arr.getInt(i)))
+        i += 1
+      }
+    }
+    def merge(b: CountMinSketch, o: CountMinSketch): CountMinSketch = b.merge(o)
+    def eval(b: CountMinSketch): Any = b.serialize()
+    def serialize(b: CountMinSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): CountMinSketch =
+      CountMinSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): CmsTokensAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): CmsTokensAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): CmsTokensAggregate =
+      copy(child = c)
+  }
+
+  /** Count-min build over pre-hashed int64 key columns. */
+  case class CmsHashAggregate(
+      child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[CountMinSketch]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "cms_agg_hash"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): CountMinSketch = CountMinSketch(depth, width)
+    override def update(b: CountMinSketch, input: InternalRow): CountMinSketch = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[Long])
+      b
+    }
+    def merge(b: CountMinSketch, o: CountMinSketch): CountMinSketch = b.merge(o)
+    def eval(b: CountMinSketch): Any = b.serialize()
+    def serialize(b: CountMinSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): CountMinSketch =
+      CountMinSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): CmsHashAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): CmsHashAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): CmsHashAggregate =
+      copy(child = c)
+  }
+
+  /** t-digest build over double columns. */
+  case class TDigestAggregate(
+      child: Expression, compression: Double,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+    override def prettyName: String = "tdigest_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): TDigest = TDigest(compression)
+    override def update(b: TDigest, input: InternalRow): TDigest = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[Double])
+      b
+    }
+    def merge(b: TDigest, o: TDigest): TDigest = b.merge(o)
+    def eval(b: TDigest): Any = b.serialize()
+    def serialize(b: TDigest): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): TDigestAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): TDigestAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): TDigestAggregate =
+      copy(child = c)
+  }
+
+  /** KLL build over double columns. */
+  case class KllAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KllSketch] with UnaryLike[Expression] {
+    override def prettyName: String = "kll_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): KllSketch = KllSketch(k)
+    override def update(b: KllSketch, input: InternalRow): KllSketch = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[Double])
+      b
+    }
+    def merge(b: KllSketch, o: KllSketch): KllSketch = b.merge(o)
+    def eval(b: KllSketch): Any = b.serialize()
+    def serialize(b: KllSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): KllSketch =
+      KllSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): KllAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): KllAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): KllAggregate =
+      copy(child = c)
+  }
+
+  // ---- Column wrappers ----
+
+  def aggCol(a: TypedImperativeAggregate[_]): Column =
+    col(a.toAggregateExpression())
+}

@@ -27,6 +27,11 @@ object functions {
   private val intArrayEnc = ExpressionEncoder[Array[Int]]()
 
   // ---------------- builders (aggregation functions) ----------------
+  //
+  // All builders plan as native TypedImperativeAggregates (graft.functions
+  // .catalyst) — input read in place from ArrayData, no per-row encoder
+  // copy; the Aggregator-based versions in `aggregators` remain as the
+  // public-API typed facade (usable with Dataset.groupByKey/agg).
 
   /** Bloom filter over token arrays, sized like the reference's
     * NewOptimized (/root/reference/optimize.go:40-43).
@@ -34,43 +39,50 @@ object functions {
   def bloom_agg_tokens(tokens: Column, capacity: Long, fpr: Double,
                        maxBits: Long = 0L): Column = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr, maxBits)
-    udaf(new aggregators.BloomTokensAgg(nbits, k), intArrayEnc)(tokens)
+    catalyst.aggCol(catalyst.BloomTokensAggregate(
+      catalyst.expr(tokens), nbits, k))
   }
 
   /** Bloom filter over pre-hashed 64-bit keys. */
   def bloom_agg_hash(hash: Column, capacity: Long, fpr: Double,
                      maxBits: Long = 0L): Column = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr, maxBits)
-    udaf(new aggregators.BloomHashAgg(nbits, k), Encoders.scalaLong)(hash)
+    catalyst.aggCol(catalyst.BloomHashAggregate(
+      catalyst.expr(hash), nbits, k))
   }
 
   /** Union of pre-built Bloom dumps (checkpoint resume path). */
   def bloom_union_agg(dumps: Column, nbits: Long, k: Int): Column =
-    udaf(new aggregators.BloomUnionAgg(nbits, k), Encoders.BINARY)(dumps)
+    catalyst.aggCol(catalyst.BloomUnionAggregate(
+      catalyst.expr(dumps), nbits, k))
 
   def hll_agg_tokens(tokens: Column, p: Int = 14): Column =
-    udaf(new aggregators.HllTokensAgg(p), intArrayEnc)(tokens)
+    catalyst.aggCol(catalyst.HllTokensAggregate(catalyst.expr(tokens), p))
 
   def hll_agg_hash(hash: Column, p: Int = 14): Column =
-    udaf(new aggregators.HllHashAgg(p), Encoders.scalaLong)(hash)
+    catalyst.aggCol(catalyst.HllHashAggregate(catalyst.expr(hash), p))
 
   def hll_union_agg(sketches: Column, p: Int = 14): Column =
     udaf(new aggregators.HllUnionAgg(p), Encoders.BINARY)(sketches)
 
   def cms_agg_tokens(tokens: Column, depth: Int = 5, width: Int = 65536): Column =
-    udaf(new aggregators.CmsTokensAgg(depth, width), intArrayEnc)(tokens)
+    catalyst.aggCol(catalyst.CmsTokensAggregate(
+      catalyst.expr(tokens), depth, width))
 
   def cms_agg_hash(hash: Column, depth: Int = 5, width: Int = 65536): Column =
-    udaf(new aggregators.CmsHashAgg(depth, width), Encoders.scalaLong)(hash)
+    catalyst.aggCol(catalyst.CmsHashAggregate(
+      catalyst.expr(hash), depth, width))
 
   def cms_union_agg(sketches: Column, depth: Int = 5, width: Int = 65536): Column =
     udaf(new aggregators.CmsUnionAgg(depth, width), Encoders.BINARY)(sketches)
 
   def tdigest_agg(values: Column, compression: Double = 100.0): Column =
-    udaf(new aggregators.TDigestAgg(compression), Encoders.scalaDouble)(values)
+    catalyst.aggCol(catalyst.TDigestAggregate(
+      catalyst.expr(values.cast("double")), compression))
 
   def kll_agg(values: Column, k: Int = 200): Column =
-    udaf(new aggregators.KllAgg(k), Encoders.scalaDouble)(values)
+    catalyst.aggCol(catalyst.KllAggregate(
+      catalyst.expr(values.cast("double")), k))
 
   def minhash_agg_tokens(tokens: Column, numPerms: Int = 128): Column =
     udaf(new aggregators.MinHashTokensAgg(numPerms), intArrayEnc)(tokens)
