@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.BloomConfig
+import graft.functions.{functions => F}
+
+/** Resumable sketch checkpoints with per-partition lineage and metrics.
+  *
+  * Storage model: Parquet snapshot directories stand in for Iceberg
+  * snapshots (no Iceberg runtime jar in this environment — SURVEY.md
+  * §1.2). A checkpoint table holds ONE ROW PER (group, partition-range)
+  * partial sketch, with lineage columns:
+  *
+  *   group_key     : the aggregation key (e.g. source)
+  *   part_id       : input partition id the partial was built from
+  *   snapshot_id   : caller-supplied id of the input snapshot
+  *   row_count     : rows folded into this partial
+  *   token_count   : tokens folded into this partial
+  *   build_ms      : wall-clock build time of the partition (metrics)
+  *   sketch        : the partial, in the engine's wire format
+  *
+  * Resume semantics are the reference's load-is-union
+  * (/root/reference/io.go:151-178): a final sketch is the union-agg of
+  * any subset of partials covering the input exactly once, so
+  *  - a killed job resumes by unioning already-written partials with
+  *    partials built from the missing partition ranges only;
+  *  - an incremental update unions the previous snapshot's partials
+  *    with partials of the new data;
+  * both yield byte-identical results to a fresh full build (associativity
+  * oracle /root/reference/bloomfilter_test.go:266-296, tested in
+  * CheckpointSpec).
+  *
+  * At 100 TB the checkpoint table is tiny relative to input (one ~100 KB
+  * row per partition-range x group), and the resume path reads ONLY the
+  * checkpoint table plus unprocessed input ranges — no rescan of
+  * processed data.
+  */
+object SketchCheckpoint {
+
+  /** Build per-(group, partition) Bloom partials with lineage and write
+    * them as a snapshot directory under `ckptDir`.
+    */
+  def writeBloomPartials(tokenDocs: DataFrame, groupCol: String,
+                         capacity: Long, fpr: Double,
+                         ckptDir: String, snapshotId: String): Unit = {
+    val spark = tokenDocs.sparkSession
+    val buildStart = System.currentTimeMillis()
+    tokenDocs
+      .withColumn("part_id", spark_partition_id())
+      .groupBy(col(groupCol).as("group_key"), col("part_id"))
+      .agg(
+        F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("sketch"),
+        count(lit(1)).as("row_count"),
+        sum(col("n_tok")).as("token_count"))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .withColumn("build_ms",
+        lit(System.currentTimeMillis() - buildStart))
+      .write.mode("overwrite")
+      .parquet(s"$ckptDir/snapshot=$snapshotId")
+  }
+
+  /** Read one or more snapshots of partials and union them into final
+    * per-group sketches. Partials from different snapshots combine as
+    * long as they share (nbits, k) — the checkBinop precondition
+    * (/root/reference/bloomfilter.go:212-219) enforced by the union agg.
+    */
+  def resumeBloom(spark: SparkSession, ckptDir: String,
+                  capacity: Long, fpr: Double,
+                  snapshotIds: Seq[String] = Nil): DataFrame = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr)
+    val partials =
+      if (snapshotIds.isEmpty) spark.read.parquet(ckptDir)
+      else spark.read.parquet(
+        snapshotIds.map(id => s"$ckptDir/snapshot=$id"): _*)
+    partials.groupBy(col("group_key"))
+      .agg(
+        F.bloom_union_agg(col("sketch"), nbits, k).as("sketch"),
+        sum(col("row_count")).as("row_count"),
+        sum(col("token_count")).as("token_count"),
+        count(lit(1)).as("n_partials"))
+  }
+
+  /** Lineage/metrics view of a checkpoint directory. */
+  def lineage(spark: SparkSession, ckptDir: String): DataFrame =
+    spark.read.parquet(ckptDir)
+      .groupBy(col("group_key"))
+      .agg(
+        count(lit(1)).as("n_partials"),
+        sum(col("row_count")).as("row_count"),
+        sum(col("token_count")).as("token_count"),
+        max(col("build_ms")).as("max_build_ms"))
+
+  /** Two-phase skew-safe aggregation helper: salt the group key, build
+    * per-(key, salt) partials, then union per key. Legal because every
+    * sketch merge here is associative+commutative (the reference's Union
+    * property). Use when one group (e.g. a 50%-of-rows source) would
+    * otherwise hot-spot a single reducer.
+    */
+  def saltedBloomAgg(tokenDocs: DataFrame, groupCol: String,
+                     capacity: Long, fpr: Double,
+                     saltBuckets: Int = 16): DataFrame = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr)
+    tokenDocs
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+      .groupBy(col(groupCol), col("salt"))
+      .agg(F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("partial"))
+      .groupBy(col(groupCol))
+      .agg(F.bloom_union_agg(col("partial"), nbits, k).as("sketch"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.sources.TokenDocGen
+
+/** Unit tests for the pipeline operators (dedup tiers, text analysis,
+  * ANN, multimodal plumbing) on constructed inputs with known answers —
+  * complementing the DuckDB oracle replay that checks them on the driver
+  * testdata.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("exact dedup finds planted duplicates and keeps min id") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon"), (3L, "alpha beta gamma"), (4L, "unique text"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 3)
+    val dupGroup = groups.find(_.getAs[Long]("dup_cnt") == 3).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+    val drops = Dedup.exactDropIds(docs).as[Long].collect().sorted
+    assert(drops.sameElements(Array(1L, 3L)))
+  }
+
+  test("jaccard pairs: planted near-dup found, unrelated not") {
+    // doc 1 and 2 share 9 of 10 tokens (J = 9/11 ~ 0.818)
+    val docs = Seq(
+      (1L, (1 to 10).toArray),
+      (2L, (2 to 11).toArray),
+      (3L, (100 to 120).toArray))
+      .toDF("doc_id", "tokens")
+    val pairs = Dedup.jaccardPairs(docs, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("a") == 1L)
+    assert(pairs.head.getAs[Long]("b") == 2L)
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 9.0 / 11) < 1e-4)
+  }
+
+  test("maxDf guard drops ubiquitous tokens from pairing") {
+    // token 999 appears in every doc; without the guard all pairs share it
+    val docs = (1L to 20L).map(i =>
+      (i, Array(999, 1000 + i.toInt))).toDF("doc_id", "tokens")
+    val pairs = Dedup.jaccardPairs(docs, 0.1, maxDf = 5).collect()
+    assert(pairs.isEmpty, "guard must drop the df=20 token")
+  }
+
+  test("minhash LSH recall: finds all high-jaccard pairs of jaccardPairs") {
+    val docs = TokenDocGen.generateDf(spark, 300, 3L, 4)
+      .select(col("doc_id"), col("tokens"))
+    val exact = Dedup.jaccardPairs(docs, 0.6)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.6, numBands = 32, rowsPerBand = 4)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(lsh == exact,
+      s"LSH candidates at recall ~1 must equal exact pairs: " +
+        s"missing=${exact -- lsh}, extra=${lsh -- exact}")
+  }
+
+  test("simhash pairs: identical docs distance 0, found via chunking") {
+    val docs = Seq(
+      (1L, Array.tabulate(50)(i => i * 3)),
+      (2L, Array.tabulate(50)(i => i * 3)), // identical token multiset
+      (3L, Array.tabulate(50)(i => 7000 + i * 11)))
+      .toDF("doc_id", "tokens")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 1L &&
+      r.getAs[Long]("b") == 2L && r.getAs[Int]("hamming") == 0))
+  }
+
+  test("language ID picks the stopword-matching language") {
+    assert(TextAnalysis.detectLang("the cat sat on the mat") == "en")
+    assert(TextAnalysis.detectLang("der hund und die katze ist im haus") == "de")
+    assert(TextAnalysis.detectLang("le chat est dans la maison et pas dehors") == "fr")
+    assert(TextAnalysis.detectLang("el perro y la casa es para los dos") == "es")
+    assert(TextAnalysis.detectLang("中文文本处理测试") == "zh")
+    assert(TextAnalysis.detectLang("xyzzy plugh qwerty") == "und")
+    assert(TextAnalysis.detectLang("") == "und")
+  }
+
+  test("rolling fingerprint: equal content equal fp; robust to big inputs") {
+    val a = TextAnalysis.rollingFingerprint("some shared long content here")
+    val b = TextAnalysis.rollingFingerprint("some shared long content here")
+    val c = TextAnalysis.rollingFingerprint("completely different words")
+    assert(a == b)
+    assert(a != c)
+    assert(TextAnalysis.rollingFingerprint("short") ==
+      graft.core.Hashing.fnv1a64("short"))
+  }
+
+  test("ANN brute force: planted nearest neighbor is rank 1") {
+    val base = Array.tabulate(16)(_.toFloat)
+    def scaled(s: Float) = base.map(_ * s)
+    def noisy() = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i % 2 == 0) 5f else -5f)
+    }
+    val emb = Seq(
+      (0L, base), (1L, scaled(2.0f)), // cosine(0,1) = 1.0
+      (2L, noisy()), (3L, Array.fill(16)(1f).zipWithIndex
+        .map { case (v, i) => if (i == 0) 100f else v }))
+      .toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(emb.filter($"vec_id" === 0), emb, 2)
+      .orderBy($"rnk").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("ANN LSH: self-similar vectors collide; results subset of brute force") {
+    val emb = TokenDocGen.generateDf(spark, 0, 1L, 1).sparkSession
+      .range(200).select(col("id").as("vec_id"),
+        array((0 until 16).map(d =>
+          (pmod(col("id") * (d + 3), lit(97)) / lit(97.0)).cast("float")): _*)
+          .as("embedding"))
+    val brute = Ann.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(emb.filter($"vec_id" < 5), emb, 5,
+      nbits = 16, numBands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    // LSH's top results must be genuinely similar: every LSH hit should be
+    // within the brute-force top-50 for that query
+    assert(lsh.subsetOf(brute), s"LSH returned non-neighbors: ${lsh -- brute}")
+  }
+
+  test("multimodal decode: metadata deterministic, nulls dropped") {
+    val media = Seq(
+      (1L, "hello world".getBytes("UTF-8"), "fake/image"),
+      (2L, null.asInstanceOf[Array[Byte]], "fake/audio"),
+      (3L, "abc".getBytes("UTF-8"), "fake/video"))
+      .toDF("doc_id", "media", "media_type")
+    val out = Multimodal.decode(media).collect()
+    assert(out.length == 2) // null media dropped like an undecodable file
+    val r1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Int]("n_bytes") == 11)
+    assert(r1.getAs[Int]("frames") == 12)
+    assert(r1.getAs[Int]("width") >= 64 && r1.getAs[Int]("width") < 64 + 1024)
+    // frame sampling plumbing
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decode(Multimodal.asMediaTable(
+        Seq((2L, "x" * 100, "en", "s", 100L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))), 5)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 5 == 0))
+  }
+}
