@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core._
+import graft.sources.TokenDoc
+
+/** Sketch maintenance over Structured Streaming.
+  *
+  * The reference has no streaming (SURVEY.md §2.7), but its merge algebra
+  * makes streaming free: a sketch is associative, commutative state, so
+  * per-group maintenance is `mapGroupsWithState` where the state is the
+  * serialized sketch and every micro-batch folds its rows in — the
+  * incremental form of load-is-union (/root/reference/io.go:151-178).
+  * Because Bloom build order is irrelevant to the final bits, a stream
+  * that has seen rows R equals the batch build over R byte-for-byte
+  * (parity asserted in StreamingSpec).
+  */
+object StreamingSketches {
+
+  /** Rolling per-group sketch state (wire-format bytes — restart-safe in
+    * the state store).
+    */
+  case class SketchState(bloom: Array[Byte], hll: Array[Byte],
+                         rows: Long, tokens: Long)
+
+  /** Per-batch emitted update. */
+  case class SketchUpdate(source: String, rows: Long, tokens: Long,
+                          bloomDistinctEst: Double, hllDistinctEst: Double,
+                          bloom: Array[Byte], hll: Array[Byte])
+
+  /** Maintain per-source Bloom + HLL over a (possibly streaming) Dataset
+    * of TokenDoc; emits one update per group per micro-batch. Use with
+    * `OutputMode.Update` and a query over `.writeStream`.
+    */
+  def perSourceSketches(docs: Dataset[TokenDoc], capacity: Long,
+                        fpr: Double, p: Int = 14): Dataset[SketchUpdate] = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr)
+    implicit val stateEnc = Encoders.product[SketchState]
+    implicit val outEnc = Encoders.product[SketchUpdate]
+    implicit val strEnc = Encoders.STRING
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[SketchState, SketchUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[TokenDoc],
+         state: GroupState[SketchState]) =>
+          val bloom =
+            if (state.exists) BloomIO.load(state.get.bloom)
+            else BlockedBloomFilter(nbits, k)
+          val hll =
+            if (state.exists) HyperLogLog.deserialize(state.get.hll)
+            else HyperLogLog(p)
+          var nRows = if (state.exists) state.get.rows else 0L
+          var nTok = if (state.exists) state.get.tokens else 0L
+          rows.foreach { d =>
+            var i = 0
+            while (i < d.tokens.length) {
+              val h = Hashing.tokenHash(d.tokens(i))
+              bloom.add(h); hll.add(h)
+              i += 1
+            }
+            nRows += 1
+            nTok += d.tokens.length
+          }
+          val bloomBytes = BloomIO.dump(bloom)
+          val hllBytes = hll.serialize()
+          state.update(SketchState(bloomBytes, hllBytes, nRows, nTok))
+          SketchUpdate(source, nRows, nTok,
+            bloom.cardinality, hll.estimate, bloomBytes, hllBytes)
+      }
+  }
+
+  /** Streaming quantiles of a numeric field per group via t-digest state.
+    * Emits (group, n, p50, p99) per micro-batch.
+    */
+  case class QuantileUpdate(key: String, n: Double, p50: Double, p99: Double,
+                            digest: Array[Byte])
+
+  def perKeyQuantiles[T](ds: Dataset[T], keyFn: T => String,
+                         valueFn: T => Double,
+                         compression: Double = 100.0): Dataset[QuantileUpdate] = {
+    implicit val stateEnc = Encoders.BINARY
+    implicit val outEnc = Encoders.product[QuantileUpdate]
+    implicit val strEnc = Encoders.STRING
+    ds.groupByKey(keyFn)
+      .mapGroupsWithState[Array[Byte], QuantileUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[T], state: GroupState[Array[Byte]]) =>
+          val td =
+            if (state.exists) TDigest.deserialize(state.get)
+            else TDigest(compression)
+          rows.foreach(r => td.add(valueFn(r)))
+          val bytes = td.serialize()
+          state.update(bytes)
+          QuantileUpdate(key, td.total, td.quantile(0.5), td.quantile(0.99),
+            bytes)
+      }
+  }
+}

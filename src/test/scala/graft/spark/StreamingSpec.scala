@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{functions => F}
+import graft.sources.{TokenDoc, TokenDocGen}
+import graft.streaming.StreamingSketches
+
+/** Streaming sketch maintenance: the stream's final state must equal the
+  * batch build over the same rows — for Bloom, byte-for-byte (build order
+  * is irrelevant to the final bits; concurrent==sequential oracle
+  * /root/reference/sync_test.go:27-61 lifted to micro-batches).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming per-source sketches: final state equals batch build") {
+    import spark.implicits._
+    val docs = TokenDocGen.generate(spark, 1200, 19L, 4).collect()
+    val (b1, b2, b3) = (docs.take(400), docs.slice(400, 800), docs.drop(800))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TokenDoc]
+    val updates = StreamingSketches.perSourceSketches(
+      stream.toDS(), capacity = 60000, fpr = 0.001)
+    val q = updates.writeStream
+      .format("memory").queryName("sketch_updates")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // last update per source == state after all rows
+    val finals = spark.sql(
+      """SELECT source, rows, tokens, bloom, hll FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY rows DESC) AS rn FROM sketch_updates) WHERE rn = 1
+        |""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Array[Byte]]("bloom"),
+          r.getAs[Array[Byte]]("hll"))).toMap
+
+    val batch = TokenDocGen.generateDf(spark, 1200, 19L, 4)
+      .groupBy(col("source")).agg(
+        F.bloom_agg_tokens(col("tokens"), 60000, 0.001).as("bloom"),
+        F.hll_agg_tokens(col("tokens"), 14).as("hll"),
+        count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("rows")), r.getAs[Array[Byte]]("bloom"),
+          r.getAs[Array[Byte]]("hll"))).toMap
+
+    assert(finals.keySet == batch.keySet)
+    finals.foreach { case (src, (rows, _, bloom, hll)) =>
+      val (bRows, bBloom, bHll) = batch(src)
+      assert(rows == bRows, s"row count for $src")
+      assert(java.util.Arrays.equals(bloom, bBloom),
+        s"streaming bloom != batch bloom for $src")
+      assert(java.util.Arrays.equals(hll, bHll),
+        s"streaming hll != batch hll for $src")
+    }
+  }
+
+  test("streaming quantiles stay within bound as batches arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val updates = StreamingSketches.perKeyQuantiles[(String, Double)](
+      stream.toDS(), _._1, _._2)
+    val q = updates.writeStream
+      .format("memory").queryName("quantile_updates")
+      .outputMode(OutputMode.Update())
+      .start()
+    val data = (0 until 30000).map(i =>
+      ("k", graft.core.Hashing.toUnitDouble(graft.core.Hashing.at(23, i))))
+    try {
+      data.grouped(10000).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val last = spark.sql(
+      "SELECT * FROM quantile_updates ORDER BY n DESC LIMIT 1").head()
+    assert(last.getAs[Double]("n") == 30000.0)
+    assert(math.abs(last.getAs[Double]("p50") - 0.5) < 0.02)
+    assert(math.abs(last.getAs[Double]("p99") - 0.99) < 0.005)
+  }
+}
