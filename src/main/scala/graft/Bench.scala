@@ -142,8 +142,8 @@ object Bench {
     val nProbe = 20000000L
     val (_, probeSec) = time {
       spark.range(0, nProbe, 1, cpus)
-        .select(F.bloomProbe(filter)(F.token_hash(
-          (col("id") % 100000).cast("int"))).as("hit"))
+        .select(F.bloomProbe(filter)(F.token_hash64(
+          col("id") % 100000)).as("hit"))
         .filter(col("hit")).count()
     }
     results += "b2_bloom_probe_20m" -> probeSec

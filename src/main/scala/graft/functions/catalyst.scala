@@ -303,4 +303,6 @@ object catalyst {
 
   def aggCol(a: TypedImperativeAggregate[_]): Column =
     col(a.toAggregateExpression())
+
+  def aggColExpr(e: Expression): Column = col(e)
 }

@@ -100,13 +100,18 @@ object functions {
 
   // ---------------- Bloom scalars ----------------
 
-  /** Probe with a driver-held filter captured in the closure (scale path:
-    * deserialize once, ship via task closure, probe per row in-memory).
+  /** Probe with a plan-time-bound filter (scale path: the filter ships
+    * once per task with the serialized plan; probes run inside
+    * whole-stage codegen — see expressions.BloomProbe).
     */
-  def bloomProbe(filter: BlockedBloomFilter): UserDefinedFunction = {
-    val f = filter
-    udf((h: Long) => f.has(h))
-  }
+  def bloomProbe(filter: BlockedBloomFilter): Column => Column =
+    expressions.bloom_probe(filter)
+
+  /** Codegen token hash (int -> splitmix64). */
+  def token_hash64(c: Column): Column = expressions.token_hash64(c)
+
+  /** Codegen FNV-1a 64 string hash. */
+  def fnv_hash64_native(c: Column): Column = expressions.fnv1a64(c)
 
   /** Per-row variant over a sketch-bytes column (small results only). */
   val bloom_might_contain: UserDefinedFunction =
