@@ -173,7 +173,11 @@ object Bench {
     // LSH dedup on realistic (generated) docs — the sf documents table has
     // a ~31-word vocabulary, making nearly every pair a true near-dup
     // (quadratic output); generated Zipf docs exercise the LSH pruning
-    val dedupDocs = TokenDocGen.generateDf(spark, 50000, 7L, cpus).cache()
+    // plant 500 exact-copy near-dups so the pair count verifies recall
+    val base5 = TokenDocGen.generateDf(spark, 50000, 7L, cpus)
+    val planted = TokenDocGen.generateDf(spark, 500, 7L, cpus)
+      .withColumn("doc_id", concat(col("doc_id"), lit("-copy")))
+    val dedupDocs = base5.union(planted).cache()
     dedupDocs.count()
     val (nDupPairs, dedupSec) = time {
       Dedup.minhashLshPairs(dedupDocs, 0.8, numBands = 16, rowsPerBand = 8)

@@ -212,8 +212,25 @@ object SparkEntry {
         .agg(F.bloom_agg_tokens(col("tokens"), cap, fpr).as("partial"))
         .agg(F.bloom_union_agg(col("partial"), nbits, k)).head()
         .getAs[Array[Byte]](0)
+      // checkpoint write + resume (load-is-union, /root/reference/io.go:151-178)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q07").toString
+      graft.plans.SketchCheckpoint.writeBloomPartials(
+        docs, "source", cap, fpr, ckpt, "s1")
+      val resumed = graft.plans.SketchCheckpoint
+        .resumeBloom(s, ckpt, cap, fpr)
+        .agg(F.bloom_union_agg(col("sketch"), nbits, k)).head()
+        .getAs[Array[Byte]](0)
+      // distributed minhash agg == local signature over the distinct tokens
+      val aggSig = docs.repartition(16)
+        .agg(F.minhash_agg_tokens(col("tokens"), 64)).head()
+        .getSeq[Long](0).toArray
+      val localSig = MinHash.signatureOfTokens(
+        docs.select(explode(col("tokens"))).distinct()
+          .collect().map(_.getInt(0)), 64)
       val res = Seq(
         ("bloom_1_vs_32_partitions", java.util.Arrays.equals(one, many)),
+        ("ckpt_resume_eq_fresh", java.util.Arrays.equals(one, resumed)),
+        ("minhash_agg_eq_local", aggSig.sameElements(localSig)),
         ("salted_two_phase_eq_direct", java.util.Arrays.equals(one, salted)))
       docs.unpersist()
       res.toDF("check", "ok").orderBy("check")
@@ -415,6 +432,8 @@ object SparkEntry {
     "q07_partition_parity" ->
       """SELECT * FROM (VALUES
         |  ('bloom_1_vs_32_partitions', true),
+        |  ('ckpt_resume_eq_fresh', true),
+        |  ('minhash_agg_eq_local', true),
         |  ('salted_two_phase_eq_direct', true)
         |) AS t("check", ok) ORDER BY "check"""".stripMargin,
 

@@ -1,0 +1,87 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{BlockedBloomFilter, Hashing}
+import graft.functions.{functions => F}
+import graft.sources.TokenDocs
+
+/** Physical-plan shape assertions — the properties that survive a 100x
+  * scale-up must be visible in the plan, not assumed:
+  *  - column pruning reaches the parquet scan (no full-row reads),
+  *  - filter pushdown reaches the scan,
+  *  - sketch builds are two-phase ObjectHashAggregate with ONE exchange,
+  *  - probes stay inside whole-stage codegen (no UDF dispatch).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan prunes to the columns the query needs") {
+    // a per-source sketch build never needs doc_id/lang/n_chars
+    val plan = planOf(
+      TokenDocs.fromDocumentsPath(spark, "/root/testdata/sf0.001")
+        .groupBy(col("source"))
+        .agg(F.hll_agg_tokens(col("tokens")).as("s")))
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"scan must read only text+source:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"unused columns must be pruned:\n$plan")
+  }
+
+  test("sketch build is partial->exchange->final ObjectHashAggregate") {
+    val df = TokenDocs.fromDocumentsPath(spark, "/root/testdata/sf0.001")
+      .groupBy(col("source"))
+      .agg(F.bloom_agg_tokens(col("tokens"), 10000, 0.01).as("s"))
+    val plan = planOf(df)
+    assert("ObjectHashAggregate".r.findAllIn(plan).length == 2,
+      s"expected exactly partial+final ObjectHashAggregate:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]"),
+      s"filter must be pushed to the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection must be pruned:\n$plan")
+  }
+
+  test("probe pipeline is a single WholeStageCodegen span, no UDFs") {
+    val f = BlockedBloomFilter.optimized(1000, 0.01)
+    (0 until 1000).foreach(i => f.add(Hashing.tokenHash(i)))
+    val df = spark.range(0, 1000, 1, 2)
+      .select(F.bloomProbe(f)(F.token_hash64(col("id"))).as("hit"))
+      .filter(col("hit"))
+    val plan = planOf(df)
+    // the "*(n)" prefix in the plan string marks WholeStageCodegen spans
+    assert(plan.contains("*(1) Project [bloom_probe") ||
+      plan.contains("WholeStageCodegen"), s"must codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"probe path must not dispatch UDFs:\n$plan")
+  }
+
+  test("ANN brute force broadcasts the query side") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = planOf(graft.operators.Ann.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+  }
+}
