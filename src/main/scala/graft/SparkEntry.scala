@@ -80,7 +80,7 @@ object SparkEntry {
       val orders = tbl(s, dir, "orders")
       val nOrders = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
       val bytes = orders
-        .agg(F.bloom_agg_hash(F.token_hash(col("o_custkey").cast("int")),
+        .agg(F.bloom_agg_hash(F.token_hash64(col("o_custkey")),
           math.max(nOrders, 1000), 1e-6).as("sk"))
         .head().getAs[Array[Byte]]("sk")
       val filter = BloomIO.load(bytes)
@@ -93,7 +93,7 @@ object SparkEntry {
       val probes = cust.select(col("c_custkey").as("probe_key"))
         .union(cust.select((col("c_custkey") + 1000000L).as("probe_key")))
       probes
-        .filter(!F.bloomProbe(filter)(F.token_hash(col("probe_key").cast("int"))))
+        .filter(!F.bloomProbe(filter)(F.token_hash64(col("probe_key"))))
         .orderBy(col("probe_key"))
     }),
 
@@ -125,7 +125,7 @@ object SparkEntry {
     "q04_event_type_counts_cms" -> ((s, dir) => {
       val events = tbl(s, dir, "events")
       val bytes = events
-        .agg(F.cms_agg_hash(F.fnv_hash64(col("event_type")), 5, 65536).as("sk"))
+        .agg(F.cms_agg_hash(F.fnv_hash64_native(col("event_type")), 5, 65536).as("sk"))
         .head().getAs[Array[Byte]]("sk")
       val cms = CountMinSketch.deserialize(bytes)
       val est = udf((t: String) => cms.estimate(Hashing.fnv1a64(t)))
@@ -245,7 +245,7 @@ object SparkEntry {
       val (nbits, k) = BloomConfig.optimize(cap, 1e-6)
       def build(df: DataFrame) =
         BloomIO.load(df.agg(F.bloom_agg_hash(
-          F.token_hash(col("o_custkey").cast("int")), cap, 1e-6))
+          F.token_hash64(col("o_custkey")), cap, 1e-6))
           .head().getAs[Array[Byte]](0))
       val odd = build(orders.filter(col("o_custkey") % 2 === 1))
       val even = build(orders.filter(col("o_custkey") % 2 === 0))
@@ -368,7 +368,7 @@ object SparkEntry {
       val p = 14
       val bound = 3 * 1.04 / math.sqrt((1 << p).toDouble) + 0.001
       events.groupBy(col("event_type")).agg(
-          F.hll_agg_hash(F.token_hash(col("user_id").cast("int")), p).as("hll"),
+          F.hll_agg_hash(F.token_hash64(col("user_id")), p).as("hll"),
           countDistinct(col("user_id")).as("distinct_users"))
         .select(col("event_type"), col("distinct_users"),
           (abs(F.hll_estimate(col("hll")) / col("distinct_users") - 1)

@@ -127,11 +127,16 @@ class SparkAggSpec extends AnyFunSuite {
       s"HLL est $est vs exact $exact (bound $bound)")
   }
 
-  test("hll partition invariance (register-exact bytes)") {
+  test("hll and cms partition invariance (byte-exact)") {
     def build(n: Int) = docs.repartition(n)
-      .agg(F.hll_agg_tokens(col("tokens"), 12).as("sk"))
-      .head().getAs[Array[Byte]]("sk")
-    assert(java.util.Arrays.equals(build(1), build(32)))
+      .agg(F.hll_agg_tokens(col("tokens"), 12).as("hll"),
+        F.cms_agg_tokens(col("tokens"), 4, 1024).as("cms"))
+      .head()
+    val one = build(1); val many = build(32)
+    assert(java.util.Arrays.equals(one.getAs[Array[Byte]]("hll"),
+      many.getAs[Array[Byte]]("hll")))
+    assert(java.util.Arrays.equals(one.getAs[Array[Byte]]("cms"),
+      many.getAs[Array[Byte]]("cms")))
   }
 
   test("cms estimates: never undercount, within eps*N") {
