@@ -181,6 +181,32 @@ class SparkAggSpec extends AnyFunSuite {
     }
   }
 
+  test("sort-based aggregation fallback preserves bit parity") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation when
+    // the in-memory map exceeds a threshold; force that path and require
+    // byte-identical sketches — the fallback exercises the buffer
+    // serialize/deserialize spill route that normal runs skip
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key, "128")
+    try {
+      spark.conf.set(key, "1")
+      val fallback = docs.repartition(8).groupBy(col("source"))
+        .agg(F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk"))
+        .toMap
+      spark.conf.set(key, prev)
+      val normal = docs.repartition(8).groupBy(col("source"))
+        .agg(F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk"))
+        .toMap
+      assert(fallback.keySet == normal.keySet)
+      fallback.keySet.foreach { k =>
+        assert(java.util.Arrays.equals(fallback(k), normal(k)),
+          s"sort-based fallback diverged for $k")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("minhash_agg equals local signature of the token union") {
     val sig = docs
       .agg(F.minhash_agg_tokens(col("tokens"), 64).as("sig"))
