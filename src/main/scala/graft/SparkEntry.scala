@@ -361,6 +361,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ------------- sharded Bloom (>single-JVM scale path) -------------
+
+    "q21_bloom_sharded" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TokenDocs.fromDocumentsPath(s, dir)
+      val dumps = toks.agg(graft.functions.sharded.bloom_agg_sharded(
+        col("tokens"), 64000, 0.001, 8).as("shards"))
+        .head().getSeq[Array[Byte]](0)
+      val f = graft.functions.sharded.shardedFilterOf(dumps)
+      val tokens = toks.select(explode(col("tokens"))).distinct()
+        .as[Int].collect()
+      val noFalseNeg = tokens.forall(f.hasToken)
+      val probes = (TokenDocs.VocabSize until TokenDocs.VocabSize + 50000)
+      val fpr = probes.count(f.hasToken).toDouble / probes.size
+      Seq((dumps.length.toLong, noFalseNeg, fpr < 2 * 0.001))
+        .toDF("n_shards", "no_false_negatives", "fpr_ok")
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -517,7 +535,11 @@ object SparkEntry {
     "q20_events_user_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
         |  true AS hll_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_bloom_sharded" ->
+      """SELECT CAST(8 AS BIGINT) AS n_shards,
+        |  true AS no_false_negatives, true AS fpr_ok""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact-Jaccard pair queries (q10 emits the

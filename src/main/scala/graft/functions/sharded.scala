@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{col, explode, posexplode}
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** Sharded Bloom filters — the beyond-single-JVM scale path.
+  *
+  * The reference caps one filter at MaxBits = 256 GiB
+  * (/root/reference/bloomfilter.go:49-50); a single JVM buffer caps far
+  * lower. For 10^12-key capacity the engine shards the key space by the
+  * TOP bits of the hash (the BOTTOM half selects the block inside a
+  * shard, /root/reference/bloomfilter.go:95-97, so top-bit sharding stays
+  * independent of block selection): shard = h >>> (64 - shardBits).
+  * Each shard is an ordinary reference-format filter, so shards dump,
+  * load, union, and checkpoint exactly like whole filters — one
+  * (group, shard) row per checkpoint — and a probe touches exactly one
+  * shard.
+  *
+  * The aggregate's buffer is the full shard array; eval emits
+  * array<binary> (one dump per shard). At very large shard counts,
+  * prefer building per-shard rows via groupBy(shard) instead (constant
+  * memory per task); this aggregate form is for shard counts whose
+  * total buffer fits a task (e.g. 64 shards x 256 MiB).
+  */
+object sharded {
+
+  @inline def shardOf(h: Long, numShards: Int): Int =
+    // top bits; numShards must be a power of two
+    (h >>> (64 - Integer.numberOfTrailingZeros(numShards))).toInt
+
+  case class BloomShardedAggregate(
+      child: Expression, numShards: Int, nbitsPerShard: Long, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[BlockedBloomFilter]]
+      with UnaryLike[Expression] {
+    require(Integer.bitCount(numShards) == 1, "numShards must be a power of 2")
+    override def prettyName: String = "bloom_agg_sharded"
+    override def dataType: DataType = ArrayType(BinaryType, false)
+    override def nullable: Boolean = false
+
+    def createAggregationBuffer(): Array[BlockedBloomFilter] =
+      Array.fill(numShards)(BlockedBloomFilter(nbitsPerShard, k))
+
+    override def update(b: Array[BlockedBloomFilter],
+                        input: InternalRow): Array[BlockedBloomFilter] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            val h = Hashing.tokenHash(arr.getInt(i))
+            b(shardOf(h, numShards)).add(h)
+          }
+          i += 1
+        }
+      }
+      b
+    }
+
+    def merge(a: Array[BlockedBloomFilter],
+              b: Array[BlockedBloomFilter]): Array[BlockedBloomFilter] = {
+      var i = 0
+      while (i < a.length) { a(i).union(b(i)); i += 1 }
+      a
+    }
+
+    def eval(b: Array[BlockedBloomFilter]): Any =
+      new GenericArrayData(b.map(f => BloomIO.dump(f): Any))
+
+    def serialize(b: Array[BlockedBloomFilter]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(b.length)
+      b.foreach(f => BloomIO.dumpTo(dos, f))
+      out.toByteArray
+    }
+
+    def deserialize(bytes: Array[Byte]): Array[BlockedBloomFilter] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      Array.fill(n)(BloomIO.loadFrom(in))
+    }
+
+    def withNewMutableAggBufferOffset(o: Int): BloomShardedAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): BloomShardedAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): BloomShardedAggregate =
+      copy(child = c)
+  }
+
+  /** Build a sharded filter over token arrays: one output row, column
+    * `shards` = array<binary>. Total capacity = capacity; each shard is
+    * sized for capacity/numShards keys at the given fpr.
+    */
+  def bloom_agg_sharded(tokens: Column, capacity: Long, fpr: Double,
+                        numShards: Int): Column = {
+    val (nbits, k) = BloomConfig.optimize(
+      math.max(1, capacity / numShards), fpr)
+    catalyst.aggCol(BloomShardedAggregate(
+      catalyst.expr(tokens), numShards, nbits, k))
+  }
+
+  /** Explode a sharded build into one row per shard — the checkpoint/
+    * storage form (shard_id, sketch), each shard independently unionable
+    * via bloom_union_agg.
+    */
+  def toShardRows(built: DataFrame, shardsCol: String = "shards"): DataFrame =
+    built.select(posexplode(col(shardsCol)).as(Seq("shard_id", "sketch")))
+
+  /** Driver-side probe handle over collected shard dumps. */
+  final class ShardedFilter(shards: Array[BlockedBloomFilter])
+      extends Serializable {
+    require(Integer.bitCount(shards.length) == 1)
+    def has(h: Long): Boolean = shards(shardOf(h, shards.length)).has(h)
+    def hasToken(token: Int): Boolean = has(Hashing.tokenHash(token))
+    def numShards: Int = shards.length
+    def totalBits: Long = shards.map(_.numBits).sum
+    def cardinality: Double = shards.map(_.cardinality).sum
+  }
+
+  def shardedFilterOf(dumps: Seq[Array[Byte]]): ShardedFilter =
+    new ShardedFilter(dumps.map(d => BloomIO.load(d)).toArray)
+
+  /** Codegen probe column against a sharded filter. */
+  def shardedProbe(f: ShardedFilter)(hash: Column): Column = {
+    val probe = f
+    org.apache.spark.sql.functions.udf((h: Long) => probe.has(h)).apply(hash)
+  }
+}

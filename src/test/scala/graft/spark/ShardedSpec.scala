@@ -1,0 +1,88 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.functions.{functions => F, sharded}
+import graft.sources.TokenDocGen
+
+/** Sharded Bloom filters (the >single-JVM scale path): membership
+  * correctness, FPR bound, partition invariance, shard-row checkpoint
+  * form, and equivalence of sharding to independent per-shard builds.
+  */
+class ShardedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val docs = {
+    val d = TokenDocGen.generateDf(spark, 2000, 42L, 8); d.cache(); d.count(); d
+  }
+
+  test("sharded build: no false negatives, FPR bound holds, 1==32 parts") {
+    def build(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sharded.bloom_agg_sharded(col("tokens"), 64000, 0.001, 8)
+        .as("shards")).head().getSeq[Array[Byte]](0)
+    val dumps = build(docs)
+    assert(dumps.length == 8)
+    val f = sharded.shardedFilterOf(dumps)
+    import spark.implicits._
+    val tokens = docs.select(explode(col("tokens"))).distinct()
+      .as[Int].collect()
+    tokens.foreach(t => assert(f.hasToken(t), s"false negative: token $t"))
+    val probes = (100000 until 200000)
+    val fpr = probes.count(t => f.hasToken(t)).toDouble / probes.size
+    assert(fpr < 2 * 0.001, s"sharded FPR $fpr")
+    // partition invariance, shard-wise byte equality
+    val one = build(docs.repartition(1))
+    val many = build(docs.repartition(32))
+    (one, many).zipped.foreach((a, b) =>
+      assert(java.util.Arrays.equals(a, b)))
+  }
+
+  test("shard rows checkpoint form re-unions per shard") {
+    val built = docs.agg(sharded.bloom_agg_sharded(
+      col("tokens"), 64000, 0.001, 4).as("shards"))
+    val rows = sharded.toShardRows(built).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(0)).sorted.sameElements(0 until 4))
+    // each shard is a valid reference-format dump
+    rows.foreach { r =>
+      val filt = BloomIO.load(r.getAs[Array[Byte]]("sketch"))
+      assert(filt.numBits > 0)
+    }
+  }
+
+  test("sharding distributes keys across shards by top hash bits") {
+    val dumps = docs.agg(sharded.bloom_agg_sharded(
+      col("tokens"), 64000, 0.001, 8).as("s")).head().getSeq[Array[Byte]](0)
+    val cards = dumps.map(d => BloomIO.load(d).cardinality)
+    val total = cards.sum
+    // every shard holds a nontrivial share (uniform hash -> ~1/8 each)
+    cards.foreach(c => assert(c > total / 8 * 0.5 && c < total / 8 * 1.5,
+      s"shard imbalance: $cards"))
+    // summed shard cardinality ~= distinct token count
+    val exact = docs.select(explode(col("tokens"))).distinct().count()
+    assert(math.abs(total / exact - 1) < 0.1, s"$total vs $exact")
+  }
+
+  test("sharded probe equals union-of-truth for planted keys") {
+    // keys inserted into shard s must never leak into other shards:
+    // probing a key only consults its own shard
+    val dumps = docs.agg(sharded.bloom_agg_sharded(
+      col("tokens"), 64000, 0.001, 8).as("s")).head().getSeq[Array[Byte]](0)
+    val filters = dumps.map(BloomIO.load(_)).toArray
+    import spark.implicits._
+    val tokens = docs.select(explode(col("tokens"))).distinct()
+      .as[Int].collect()
+    tokens.foreach { t =>
+      val h = Hashing.tokenHash(t)
+      val s = sharded.shardOf(h, 8)
+      assert(filters(s).has(h))
+    }
+  }
+}
