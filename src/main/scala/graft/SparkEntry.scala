@@ -379,6 +379,13 @@ object SparkEntry {
         .toDF("n_shards", "no_false_negatives", "fpr_ok")
     }),
 
+    // ------------- embedding-cosine near-dup pairs -------------
+
+    "q22_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), 0.45)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -539,7 +546,16 @@ object SparkEntry {
 
     "q21_bloom_sharded" ->
       """SELECT CAST(8 AS BIGINT) AS n_shards,
-        |  true AS no_false_negatives, true AS fpr_ok""".stripMargin
+        |  true AS no_false_negatives, true AS fpr_ok""".stripMargin,
+
+    "q22_dedup_embedding" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY a, b""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact-Jaccard pair queries (q10 emits the

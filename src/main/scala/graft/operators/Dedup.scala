@@ -108,6 +108,35 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    * cosine >= threshold, a < b. Exact all-pairs form — suitable when one
+    * side broadcasts; the scale path buckets by random-hyperplane LSH
+    * first (Ann.lshTopK's signature machinery) and verifies candidates
+    * with this exact cosine.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding"): DataFrame = {
+    val cosine = udf((a: Seq[Float], b: Seq[Float]) => {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    })
+    val l = embeddings.select(col(idCol).as("a"), col(embCol).as("ea"))
+    val r = embeddings.select(col(idCol).as("b"), col(embCol).as("eb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** SimHash near-dup pairs: fingerprints within `maxHamming`.
     * Bucketing: split the 64-bit fingerprint into (maxHamming+1) chunks;
     * two fingerprints within maxHamming share at least one exact chunk
