@@ -62,12 +62,14 @@ object Dedup {
           .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         posting.join(dfreq.select("t"), Seq("t"))
       }
-    val a = filtered.select(col("t"), col("doc_id").as("a"),
-      col("set_size").as("sa"))
-    val b = filtered.select(col("t"), col("doc_id").as("b"),
-      col("set_size").as("sb"))
-    a.join(b, Seq("t"))
-      .filter(col("a") < col("b"))
+    // self-join the SAME plan aliased two ways: the shuffle on t is
+    // canonically identical on both sides, so ReusedExchange computes the
+    // scan+tokenize+explode subtree once (verified in PlanSpec)
+    val p = filtered
+    p.as("x").join(p.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.set_size").as("sa"), col("y.set_size").as("sb"))
       .groupBy(col("a"), col("b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
@@ -88,19 +90,27 @@ object Dedup {
     val numPerms = numBands * rowsPerBand
     val sigs = tokenDocs.select(col("doc_id"), col("tokens"))
       .withColumn("sig", F.minhash_signature(numPerms)(col("tokens")))
-      .select(col("doc_id"), col("sig"),
+      // drop the 128-long signature before the band shuffle — only
+      // (doc_id, band) rides the exchange
+      .select(col("doc_id"),
         explode(F.minhash_bands(numBands, rowsPerBand)(col("sig"))).as("band"))
-    val cands = sigs.as("x").join(sigs.as("y"), Seq("band"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+    // self-join on band buckets with identical subplans on both sides so
+    // the band shuffle (scan + minhash + explode) is computed once and
+    // reused (ReusedExchange)
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // verify candidates exactly
+    // verify candidates exactly; both verification joins shuffle the same
+    // tokenSets subplan on doc_id -> one computation, one reuse
     val sets = tokenSets(tokenDocs)
     cands
-      .join(sets.select(col("doc_id").as("a"), col("tokset").as("ta"),
-        col("set_size").as("sa")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("tokset").as("tb"),
-        col("set_size").as("sb")), Seq("b"))
+      .join(sets.as("sa0"), col("a") === col("sa0.doc_id"))
+      .join(sets.as("sb0"), col("b") === col("sb0.doc_id"))
+      .select(col("a"), col("b"),
+        col("sa0.tokset").as("ta"), col("sa0.set_size").as("sa"),
+        col("sb0.tokset").as("tb"), col("sb0.set_size").as("sb"))
       .withColumn("common", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
         col("common") / (col("sa") + col("sb") - col("common")))
