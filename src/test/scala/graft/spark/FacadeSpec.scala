@@ -1,0 +1,61 @@
+package graft.spark
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{aggregators, functions => F}
+import graft.sources.{TokenDoc, TokenDocGen}
+
+/** Coverage for the two secondary surfaces: the typed Aggregator facade
+  * (Dataset API users) and the spark.sql.extensions injection path.
+  */
+class FacadeSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects SQL functions at session build time") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      TokenDocGen.generateDf(spark, 200, 5L, 2)
+        .createOrReplaceTempView("t")
+      val n = spark.sql(
+        """SELECT length(graft_bloom_agg_tokens(tokens, 10000, 0.01)) AS l,
+          |       length(graft_hll_agg_tokens(tokens, 12)) AS h
+          |FROM t""".stripMargin).head()
+      assert(n.getInt(0) > 64)
+      assert(n.getInt(1) == 4 + (1 << 12))
+    } finally spark.stop()
+  }
+
+  test("typed Aggregator facade works through Dataset.groupByKey") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val ds = TokenDocGen.generate(spark, 500, 9L, 4)
+    val typedResult = ds.groupByKey(_.source)
+      .mapValues(_.tokens)
+      .agg(new aggregators.BloomTokensAgg(65536, 5).toColumn.name("bloom"))
+      .collect().toMap
+    // equals the native-aggregate DataFrame path bit-for-bit
+    val nativeResult = ds.toDF().groupBy(col("source"))
+      .agg(graft.functions.catalyst.aggCol(
+        graft.functions.catalyst.BloomTokensAggregate(
+          graft.functions.catalyst.expr(col("tokens")), 65536, 5))
+        .as("bloom"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom"))
+      .toMap
+    assert(typedResult.keySet == nativeResult.keySet)
+    typedResult.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, nativeResult(k)),
+        s"typed facade diverged from native aggregate for $k")
+    }
+  }
+}
