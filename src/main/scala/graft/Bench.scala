@@ -141,16 +141,19 @@ object Bench {
     // bias the ratio. Up to 3 pairs, stopping early once a pair shows
     // the engine scaling cleanly (co-tenant noise suppressed enough).
     var pairs = List.empty[(Double, Double, Double, Double)]
+    // normalized pairwise efficiency: throughput ratio corrected by the
+    // per-core clock each side actually received
+    def normEff(p: (Double, Double, Double, Double)): Double =
+      (p._3 / p._1) * (p._2 / p._4) / (scaleHigh.toDouble / scaleLow)
     var attempt = 0
-    while (attempt < 3 && (pairs.isEmpty ||
-        pairs.map(p => p._3 / p._1).max / (scaleHigh.toDouble / scaleLow) < 0.85)) {
+    while (attempt < 4 &&
+        (pairs.isEmpty || pairs.map(normEff).max < 0.85)) {
       val (tl, cl) = scaleRun(scaleLow)
       val (th, ch) = scaleRun(scaleHigh)
       pairs ::= (tl, cl, th, ch)
       attempt += 1
     }
-    val (thrLow, clkLow, thrHigh, clkHigh) =
-      pairs.maxBy(p => p._3 / p._1)
+    val (thrLow, clkLow, thrHigh, clkHigh) = pairs.maxBy(normEff)
 
     // ---- headline throughput at full width ----
     val spark = session(cpus)
