@@ -154,6 +154,12 @@ object Bench {
       attempt += 1
     }
     val (thrLow, clkLow, thrHigh, clkHigh) = pairs.maxBy(normEff)
+    // best pair answers "does the ENGINE scale when co-tenant noise is
+    // quiet"; the median and the full list are reported alongside so the
+    // headline is auditable as a max-of-N statistic (all pairs share the
+    // same job/input; they differ only in VM co-tenant conditions)
+    val allEffs = pairs.map(normEff).sorted
+    val medianEff = allEffs(allEffs.size / 2)
 
     // ---- headline throughput at full width ----
     val spark = session(cpus)
@@ -261,6 +267,6 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"hll_speedup_vs_builtin":$hllSpeedupVsBuiltin%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_vs_builtin":$hllSpeedupVsBuiltin%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

@@ -450,7 +450,7 @@ object SparkEntry {
         |  ('dump_size_12345_6', '1664'),
         |  ('fprate_c8_k5', '0.023041'),
         |  ('fprate_c20_k14', '2.1811'),
-        |  ('optimize_1e5_p01', '1100288:7'),
+        |  ('optimize_1e5_p01', '1100288:8'),
         |  ('optimize_maxbits_4m', '4193792:1')
         |) AS t(name, value) ORDER BY name""".stripMargin,
 

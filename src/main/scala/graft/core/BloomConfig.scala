@@ -9,8 +9,9 @@ package graft.core
   *  - Optimize: vanilla c = ceil(-log2(p)/ln2), corrected through Putze et
   *    al. Table I (blocked filters need more bits for the same FPR), x3
   *    fallback for c >= 35, round nbits up to x512, clamp to maxBits with
-  *    round-down, then pick k = c*ln2 choosing floor vs ceil by comparing
-  *    the modeled FPR of each (/root/reference/optimize.go:57-120)
+  *    round-down, then pick k = c*ln2 rounded exactly the way the
+  *    reference rounds it — including its swapped floor/ceil variables,
+  *    see optimize() (/root/reference/optimize.go:57-120)
   *  - Table I values (/root/reference/optimize.go:122-131)
   *  - FPRate model: Putze et al. Equation (3), a Poisson mixture over
   *    per-block fill summed outward from the mean until terms vanish
@@ -64,7 +65,14 @@ object BloomConfig {
 
     val fprCeil = fpRate(c, ceilK)
     val fprFloor = fpRate(c, floorK)
-    val chosen = if (fprFloor < fprCeil) floorK else ceilK
+    // Replicate the reference's ACTUAL selection, not its intent: the
+    // reference swaps the rounding variables (optimize.go:106 binds
+    // `ceilK, floorK := math.Floor(k), math.Ceil(k)`), so it returns
+    // ceil(k) when fpRate(floor) < fpRate(ceil) and floor(k) otherwise.
+    // (nbits, k) parity with reference-sized filters is what makes
+    // Union/Load interop possible (k mismatch is rejected), so we match
+    // the observable behavior bit-for-bit rather than the comment.
+    val chosen = if (fprFloor < fprCeil) ceilK else floorK
     (nbits, chosen.toInt)
   }
 

@@ -138,6 +138,9 @@ object HyperLogLog {
       "not an HLL sketch")
     require(bytes(2) == 0, "unsupported HLL version")
     val p = bytes(3).toInt
+    // validate BEFORE the length check: Int shifts are mod 32, so a
+    // hostile p >= 32 could pass the length check with garbage m
+    require(p >= 4 && p <= 18, s"HLL precision $p out of range [4,18]")
     require(bytes.length == 4 + (1 << p), "truncated HLL sketch")
     val regs = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
     new HyperLogLog(p, regs)

@@ -299,6 +299,52 @@ object catalyst {
       copy(child = c)
   }
 
+  /** Wall-clock build-time metric: milliseconds from the first row folded
+    * into any contributing partial buffer to final evaluation. The buffer
+    * carries the earliest first-row timestamp across merges, so the
+    * emitted value is the true wall-clock span of the group's build —
+    * measured on the executors, not at plan-construction time.
+    */
+  case class BuildMillisAggregate(
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+    override def prettyName: String = "build_millis_agg"
+    override def children: Seq[Expression] = Nil
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = this
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): Array[Long] = Array(Long.MaxValue)
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      if (b(0) == Long.MaxValue) b(0) = System.currentTimeMillis()
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      a(0) = math.min(a(0), b(0)); a
+    }
+    def eval(b: Array[Long]): Any =
+      if (b(0) == Long.MaxValue) 0L else System.currentTimeMillis() - b(0)
+    def serialize(b: Array[Long]): Array[Byte] = {
+      val out = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { out(i) = (b(0) >>> (8 * (7 - i))).toByte; i += 1 }
+      out
+    }
+    def deserialize(bytes: Array[Byte]): Array[Long] = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (bytes(i) & 0xFFL); i += 1 }
+      Array(v)
+    }
+    def withNewMutableAggBufferOffset(o: Int): BuildMillisAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): BuildMillisAggregate =
+      copy(inputAggBufferOffset = o)
+  }
+
+  /** Column form of [[BuildMillisAggregate]]. */
+  def buildMillis(): Column = aggCol(BuildMillisAggregate())
+
   // ---- Column wrappers ----
 
   def aggCol(a: TypedImperativeAggregate[_]): Column =

@@ -32,8 +32,11 @@ import graft.core._
 object sharded {
 
   @inline def shardOf(h: Long, numShards: Int): Int =
-    // top bits; numShards must be a power of two
-    (h >>> (64 - Integer.numberOfTrailingZeros(numShards))).toInt
+    // top bits; numShards must be a power of two. numShards == 1 needs a
+    // special case: JVM long shifts are mod 64, so h >>> (64 - 0) would be
+    // h >>> 0, not 0.
+    if (numShards == 1) 0
+    else (h >>> (64 - Integer.numberOfTrailingZeros(numShards))).toInt
 
   case class BloomShardedAggregate(
       child: Expression, numShards: Int, nbitsPerShard: Long, k: Int,

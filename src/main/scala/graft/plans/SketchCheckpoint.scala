@@ -44,18 +44,16 @@ object SketchCheckpoint {
   def writeBloomPartials(tokenDocs: DataFrame, groupCol: String,
                          capacity: Long, fpr: Double,
                          ckptDir: String, snapshotId: String): Unit = {
-    val spark = tokenDocs.sparkSession
-    val buildStart = System.currentTimeMillis()
     tokenDocs
       .withColumn("part_id", spark_partition_id())
       .groupBy(col(groupCol).as("group_key"), col("part_id"))
       .agg(
         F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("sketch"),
         count(lit(1)).as("row_count"),
-        sum(col("n_tok")).as("token_count"))
+        sum(col("n_tok")).as("token_count"),
+        // executor-measured wall clock: first row folded -> final eval
+        graft.functions.catalyst.buildMillis().as("build_ms"))
       .withColumn("snapshot_id", lit(snapshotId))
-      .withColumn("build_ms",
-        lit(System.currentTimeMillis() - buildStart))
       .write.mode("overwrite")
       .parquet(s"$ckptDir/snapshot=$snapshotId")
   }
