@@ -242,7 +242,6 @@ object SparkEntry {
       import s.implicits._
       val orders = tbl(s, dir, "orders")
       val cap = 200000L
-      val (nbits, k) = BloomConfig.optimize(cap, 1e-6)
       def build(df: DataFrame) =
         BloomIO.load(df.agg(F.bloom_agg_hash(
           F.token_hash64(col("o_custkey")), cap, 1e-6))
@@ -251,15 +250,20 @@ object SparkEntry {
       val even = build(orders.filter(col("o_custkey") % 2 === 0))
       val union = odd.copy().union(even)
       val inter = odd.copy().intersect(even)
-      val keys = orders.select(col("o_custkey")).distinct()
-        .as[Long].collect()
-      val nOdd = keys.count(_ % 2 == 1).toLong
-      val nEven = keys.count(_ % 2 == 0).toLong
-      val unionAll = keys.forall(c => union.has(Hashing.tokenHash(c.toInt)))
-      // intersect of disjoint sets: only false positives remain; at fpr
-      // 1e-6 the probe set yields zero
-      val interHits = keys.count(c => inter.has(Hashing.tokenHash(c.toInt)))
-      Seq((nOdd, nEven, unionAll, interHits == 0))
+      // verification probes run DISTRIBUTED through the codegen probe
+      // expression (no driver-side key collect — the round-1 form would
+      // not survive 100x); intersect of disjoint sets keeps only false
+      // positives, zero expected at fpr 1e-6
+      val r = orders.select(col("o_custkey")).distinct()
+        .agg(
+          sum(when(col("o_custkey") % 2 === 1, 1L).otherwise(0L)).as("n_odd"),
+          sum(when(col("o_custkey") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+          every(F.bloomProbe(union)(F.token_hash64(col("o_custkey"))))
+            .as("union_all_present"),
+          sum(when(F.bloomProbe(inter)(F.token_hash64(col("o_custkey"))),
+            1L).otherwise(0L)).as("inter_hits"))
+        .head()
+      Seq((r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3) == 0L))
         .toDF("n_odd", "n_even", "union_all_present", "intersect_empty")
     }),
 
@@ -293,14 +297,27 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
-    // ------------- dedup: SimHash (no SQL oracle) -------------
+    // ------------- dedup: SimHash (engine-verified completeness) -------------
 
     "q12_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
       val toks = TokenDocs.fromDocumentsPath(s, dir)
         .withColumn("doc_id", regexp_extract(col("doc_id"), "(\\d+)$", 1)
           .cast("long"))
-      Dedup.simhashPairs(toks, maxHamming = 7)
-        .orderBy(col("a"), col("b"))
+      // two-level pigeonhole buckets vs grid-blocked exact all-pairs:
+      // the bucketed pair set must EQUAL the exact one (the pigeonhole
+      // guarantee is exact recall; precision comes from the Hamming
+      // verify) — this is the oracle the SQL engine cannot express
+      val bucketed = Dedup.simhashPairs(toks, maxHamming = 7).cache()
+      val exact = Dedup.simhashPairsExact(toks, maxHamming = 7)
+      val nB = bucketed.count()
+      val nE = exact.count()
+      val nBoth = bucketed.as("x").join(exact.as("y"),
+        col("x.a") === col("y.a") && col("x.b") === col("y.b") &&
+          col("x.hamming") === col("y.hamming")).count()
+      bucketed.unpersist()
+      Seq((nB == nE && nE == nBoth, nE > 0))
+        .toDF("bucketed_eq_exact", "exact_nonempty")
     }),
 
     // ------------- text quality metrics -------------
@@ -321,9 +338,23 @@ object SparkEntry {
     // ------------- fingerprints -------------
 
     "q15_fingerprint" -> ((s, dir) => {
+      // md5 is the data-dependent column DuckDB recomputes; the two
+      // booleans check REAL mathematical properties of the rolling
+      // fingerprint (min over a superset of windows <= min over the
+      // subset) that a window off-by-one would break. Guarded for texts
+      // that fit inside one window (where fp is a plain fnv, not a
+      // window min).
+      val fp = TextAnalysis.rolling_fingerprint(col("text"))
+      val fpDoubled = TextAnalysis.rolling_fingerprint(
+        concat(col("text"), lit(" "), col("text")))
+      val fpPrefixed = TextAnalysis.rolling_fingerprint(
+        concat(lit(" "), col("text")))
       tbl(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("content_md5"),
-          TextAnalysis.rolling_fingerprint(col("text")).as("rolling_fp"))
+          (length(col("text")) <= 16 || fpDoubled <= fp)
+            .as("fp_concat_window_prop"),
+          (length(col("text")) <= 16 || fpPrefixed <= fp)
+            .as("fp_prefix_window_prop"))
         .orderBy(col("doc_id"))
     }),
 
@@ -336,12 +367,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // ------------- ANN: LSH-bucketed (no SQL oracle) -------------
+    // ------------- ANN: LSH-bucketed, parity-parameterized -------------
+    //
+    // 64 bands of 2 bits: candidate-miss probability for the worst exact
+    // top-5 neighbor observed on this data (cosine 0.25 -> p_bit 0.58)
+    // is (1 - 0.58^2)^64 ~ 3e-12, so the LSH result EQUALS the exact
+    // ranking and shares q16's DuckDB oracle — the strongest oracle an
+    // approximate operator can carry.
 
     "q17_ann_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      Ann.lshTopK(queries, emb, 5, nbits = 32, numBands = 8)
+      Ann.lshTopK(queries, emb, 5, nbits = 128, numBands = 64)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -365,24 +402,60 @@ object SparkEntry {
 
     "q21_bloom_sharded" -> ((s, dir) => {
       import s.implicits._
+      import graft.functions.sharded
       val toks = TokenDocs.fromDocumentsPath(s, dir)
-      val dumps = toks.agg(graft.functions.sharded.bloom_agg_sharded(
+      val dumps = toks.agg(sharded.bloom_agg_sharded(
         col("tokens"), 64000, 0.001, 8).as("shards"))
         .head().getSeq[Array[Byte]](0)
-      val f = graft.functions.sharded.shardedFilterOf(dumps)
-      val tokens = toks.select(explode(col("tokens"))).distinct()
-        .as[Int].collect()
-      val noFalseNeg = tokens.forall(f.hasToken)
-      val probes = (TokenDocs.VocabSize until TokenDocs.VocabSize + 50000)
-      val fpr = probes.count(f.hasToken).toDouble / probes.size
-      Seq((dumps.length.toLong, noFalseNeg, fpr < 2 * 0.001))
-        .toDF("n_shards", "no_false_negatives", "fpr_ok")
+      val f = sharded.shardedFilterOf(dumps)
+      // distributed verification (no token collect): membership of every
+      // distinct input token, FPR over a disjoint probe range
+      val noFalseNeg = toks.select(explode(col("tokens")).as("t")).distinct()
+        .agg(every(sharded.shardedProbe(f)(F.token_hash64(col("t")))))
+        .head().getBoolean(0)
+      val nProbes = 50000L
+      val fpHits = s.range(TokenDocs.VocabSize, TokenDocs.VocabSize + nProbes)
+        .agg(sum(when(sharded.shardedProbe(f)(
+          F.token_hash64(col("id").cast("int"))), 1L).otherwise(0L)))
+        .head().getLong(0)
+      val fpr = fpHits.toDouble / nProbes
+      // row form (groupBy(shard), constant task memory — the 256+-shard
+      // path) must dump byte-identical shards to the aggregate form;
+      // shards the row form omits are exactly the empty ones
+      val shards256 = 256
+      val (nbS, kS) = BloomConfig.optimize(64000L / shards256, 0.001)
+      val emptyDump = BloomIO.dump(BlockedBloomFilter(nbS, kS))
+      val agg256 = sharded.toShardRows(
+        toks.agg(sharded.bloom_agg_sharded(
+          col("tokens"), 64000, 0.001, shards256).as("shards")))
+      val rows256 = sharded.buildShardRows(toks, 64000, 0.001, shards256)
+        .withColumnRenamed("sketch", "row_sketch")
+      val row256Eq = agg256.join(rows256, Seq("shard_id"), "left_outer")
+        .select(when(col("row_sketch").isNull,
+            col("sketch") === lit(emptyDump))
+          .otherwise(col("sketch") === col("row_sketch")).as("eq"))
+        .agg(every(col("eq"))).head().getBoolean(0)
+      Seq((dumps.length.toLong, noFalseNeg, fpr < 2 * 0.001, row256Eq))
+        .toDF("n_shards", "no_false_negatives", "fpr_ok", "row256_eq_agg")
     }),
 
     // ------------- embedding-cosine near-dup pairs -------------
 
     "q22_dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), 0.45)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ------- embedding near-dup via hyperplane LSH (the scale path) -------
+    //
+    // 64 bands of 4 bits: candidate-miss probability at cosine 0.45
+    // (p_bit 0.649) is (1 - 0.649^4)^64 ~ 4e-6, so the LSH+verify result
+    // equals the exact pair set and shares q22's oracle — the parity
+    // proof that the pruned plan computes the same thing.
+
+    "q23_dedup_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairsLsh(tbl(s, dir, "embeddings"), 0.45,
+        numBands = 64, bitsPerBand = 4)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -500,7 +573,25 @@ object SparkEntry {
         |  THEN 'en' ELSE 'und' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q15_fingerprint" -> "", // rolling_fp is engine-only; no SQL oracle
+    "q12_dedup_simhash" ->
+      """SELECT true AS bucketed_eq_exact, true AS exact_nonempty""",
+
+    "q15_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  true AS fp_concat_window_prop, true AS fp_prefix_window_prop
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_ann_lsh" ->
+      """SELECT q.vec_id AS query_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id ASC) AS rnk,
+        |  c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 20
+        |QUALIFY rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q16_ann_brute" ->
       """SELECT q.vec_id AS query_id,
@@ -546,17 +637,25 @@ object SparkEntry {
 
     "q21_bloom_sharded" ->
       """SELECT CAST(8 AS BIGINT) AS n_shards,
-        |  true AS no_false_negatives, true AS fpr_ok""".stripMargin,
+        |  true AS no_false_negatives, true AS fpr_ok,
+        |  true AS row256_eq_agg""".stripMargin,
 
-    "q22_dedup_embedding" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) >= 0.45
-        |ORDER BY a, b""".stripMargin
+    "q22_dedup_embedding" -> embeddingPairsOracle,
+    "q23_dedup_embedding_lsh" -> embeddingPairsOracle
   ).filter(_._2.nonEmpty)
+
+  /** Shared oracle for the exact and LSH embedding near-dup queries (the
+    * LSH parameters are sized so its verified pair set equals the exact
+    * one on this data — see q23's comment).
+    */
+  private val embeddingPairsOracle: String =
+    """SELECT a.vec_id AS a, b.vec_id AS b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY a, b""".stripMargin
 
   /** Shared oracle for the exact-Jaccard pair queries (q10 emits the
     * exact computation; q11's LSH recall at the 0.9 threshold is

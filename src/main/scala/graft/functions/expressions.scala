@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import graft.core.{BlockedBloomFilter, Hashing}
@@ -65,6 +65,181 @@ object expressions {
       copy(child = c)
   }
 
+  /** Probe against a broadcast filter — the large-filter variant of
+    * [[BloomProbe]]. BloomProbe ships the filter inside every task's
+    * serialized plan (fine at MBs, ruinous at GBs); this expression ships
+    * only the broadcast handle and dereferences it ONCE per codegen
+    * instance into a local field, so per-row cost is identical to
+    * BloomProbe while the filter bytes move to executors exactly once
+    * via the torrent broadcast.
+    */
+  case class BloomProbeBroadcast(
+      bcast: org.apache.spark.broadcast.Broadcast[BlockedBloomFilter],
+      child: Expression) extends UnaryExpression {
+    override def prettyName: String = "bloom_probe_broadcast"
+    override def dataType: DataType = BooleanType
+    @transient private lazy val filter: BlockedBloomFilter = bcast.value
+    override protected def nullSafeEval(h: Any): Any =
+      filter.has(h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("graftBloomBcast", bcast,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val f = ctx.addMutableState(classOf[BlockedBloomFilter].getName,
+        "graftBloomDeref",
+        v => s"$v = (${classOf[BlockedBloomFilter].getName}) $bcRef.value();",
+        forceInline = true)
+      defineCodeGen(ctx, ev, c => s"$f.has($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomProbeBroadcast =
+      copy(child = c)
+  }
+
+  /** Deterministic tokenizer (string -> array<int>), the native form of
+    * TokenDocs.tokenize — inside codegen, no udf dispatch.
+    */
+  case class Tokenize(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_tokenize"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.tokenizeArray(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.tokenizeArray($c)")
+    override protected def withNewChildInternal(c: Expression): Tokenize =
+      copy(child = c)
+  }
+
+  /** MinHash signature of a token array (array<int> -> array<long>). */
+  case class MinhashSignature(child: Expression, numPerms: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "minhash_signature"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.minhashSignature(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.minhashSignature($c, $numPerms)")
+    override protected def withNewChildInternal(c: Expression): MinhashSignature =
+      copy(child = c)
+  }
+
+  /** LSH band keys of a MinHash signature (array<long> -> array<long>). */
+  case class MinhashBands(child: Expression, numBands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "minhash_bands"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.minhashBands(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        numBands, rowsPerBand)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.minhashBands($c, $numBands, $rowsPerBand)")
+    override protected def withNewChildInternal(c: Expression): MinhashBands =
+      copy(child = c)
+  }
+
+  /** SimHash fingerprint of a token array (array<int> -> long). */
+  case class Simhash64(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "simhash64"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.simhash64(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): Simhash64 =
+      copy(child = c)
+  }
+
+  /** Hamming distance of two 64-bit fingerprints. */
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "hamming64"
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Hamming64 = copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two float vectors (array<float> -> double). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "cosine_sim"
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      kernels.cosineF(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.kernels.cosineF($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  }
+
+  /** Two-level pigeonhole bucket keys for SimHash (long -> array<long>),
+    * (maxHamming+1)^2 keys per fingerprint — see kernels.simhashBucketKeys.
+    */
+  case class SimhashBuckets(child: Expression, maxHamming: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "simhash_buckets"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.simhashBucketKeys(v.asInstanceOf[Long], maxHamming)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.simhashBucketKeys($c, $maxHamming)")
+    override protected def withNewChildInternal(c: Expression): SimhashBuckets =
+      copy(child = c)
+  }
+
+  /** Banded hyperplane LSH keys (array<float> -> array<long>). */
+  case class LshBandKeys(child: Expression, numBands: Int, bitsPerBand: Int,
+                         dim: Int) extends UnaryExpression {
+    override def prettyName: String = "lsh_band_keys"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.lshBandKeys(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        numBands, bitsPerBand, dim)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.lshBandKeys($c, $numBands, $bitsPerBand, $dim)")
+    override protected def withNewChildInternal(c: Expression): LshBandKeys =
+      copy(child = c)
+  }
+
+  /** Random-hyperplane sign signature (array<float> -> long). Planes are
+    * derived from (nbits, dim) deterministically and cached per JVM, so
+    * the plan carries two ints, not the plane matrix.
+    */
+  case class LshSignature(child: Expression, nbits: Int, dim: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "lsh_signature"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.lshSignature(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nbits, dim)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.lshSignature($c, $nbits, $dim)")
+    override protected def withNewChildInternal(c: Expression): LshSignature =
+      copy(child = c)
+  }
+
   // Column wrappers
 
   // wrappers cast inputs explicitly (no ExpectsInputTypes coercion:
@@ -78,4 +253,39 @@ object expressions {
 
   def bloom_probe(filter: BlockedBloomFilter)(hash: Column): Column =
     catalyst.aggColExpr(BloomProbe(filter, catalyst.expr(hash.cast("bigint"))))
+
+  def bloom_probe_broadcast(
+      bcast: org.apache.spark.broadcast.Broadcast[BlockedBloomFilter])(
+      hash: Column): Column =
+    catalyst.aggColExpr(
+      BloomProbeBroadcast(bcast, catalyst.expr(hash.cast("bigint"))))
+
+  def tokenize(c: Column): Column =
+    catalyst.aggColExpr(Tokenize(catalyst.expr(c.cast("string"))))
+
+  def minhash_signature(c: Column, numPerms: Int): Column =
+    catalyst.aggColExpr(MinhashSignature(catalyst.expr(c), numPerms))
+
+  def minhash_bands(c: Column, numBands: Int, rowsPerBand: Int): Column =
+    catalyst.aggColExpr(MinhashBands(catalyst.expr(c), numBands, rowsPerBand))
+
+  def simhash64(c: Column): Column =
+    catalyst.aggColExpr(Simhash64(catalyst.expr(c)))
+
+  def hamming64(a: Column, b: Column): Column =
+    catalyst.aggColExpr(Hamming64(
+      catalyst.expr(a.cast("bigint")), catalyst.expr(b.cast("bigint"))))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    catalyst.aggColExpr(CosineSim(catalyst.expr(a), catalyst.expr(b)))
+
+  def lsh_signature(c: Column, nbits: Int, dim: Int): Column =
+    catalyst.aggColExpr(LshSignature(catalyst.expr(c), nbits, dim))
+
+  def simhash_buckets(c: Column, maxHamming: Int): Column =
+    catalyst.aggColExpr(SimhashBuckets(catalyst.expr(c.cast("bigint")), maxHamming))
+
+  def lsh_band_keys(c: Column, numBands: Int, bitsPerBand: Int,
+                    dim: Int): Column =
+    catalyst.aggColExpr(LshBandKeys(catalyst.expr(c), numBands, bitsPerBand, dim))
 }

@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.{Hashing, MinHash, SimHash}
+
+/** Row-level kernels behind the native expressions (expressions.scala).
+  *
+  * These are plain methods on a companion-less object, so Scala emits
+  * static forwarders and whole-stage-generated Java can call them as
+  * `graft.functions.kernels.m(...)` — the same pattern the round-1 probe
+  * expressions use with graft.core.Hashing. Each kernel reads Spark's
+  * ArrayData directly (toIntArray/toFloatArray are array copies, not
+  * per-element boxing) so the per-row ExpressionEncoder tax of the udf()
+  * path (~6x the kernel itself, BASELINE.md finding 1) never appears.
+  */
+object kernels {
+
+  /** MinHash permutation seeds, precomputed once per JVM (kernel inner
+    * loops index this instead of re-deriving splitmix chains per row).
+    */
+  private val maxCachedPerms = 512
+  private val permSeeds: Array[Long] =
+    Array.tabulate(maxCachedPerms)(MinHash.permSeed)
+
+  def tokenizeArray(text: UTF8String): ArrayData =
+    new GenericArrayData(graft.sources.TokenDocs.tokenize(text.toString))
+
+  def minhashSignature(tokens: ArrayData, numPerms: Int): ArrayData = {
+    require(numPerms <= maxCachedPerms, s"numPerms > $maxCachedPerms")
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = Hashing.tokenHash(tokens.getInt(j))
+      var i = 0
+      while (i < numPerms) {
+        val v = Hashing.splitmix64(h ^ permSeeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band keys of a MinHash signature: (band << 56) ^ (bandHash >>> 8)
+    * — identical values to the round-1 udf form.
+    */
+  def minhashBands(sig: ArrayData, numBands: Int,
+                   rowsPerBand: Int): ArrayData = {
+    val s = sig.toLongArray()
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      out(b) = (b.toLong << 56) ^ (MinHash.bandHash(s, b, rowsPerBand) >>> 8)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simhash64(tokens: ArrayData): Long =
+    SimHash.fingerprintOfTokens(tokens.toIntArray())
+
+  /** Cosine similarity of two float vectors (0.0 when either is zero). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  // ---- random-hyperplane (sign-random-projection) signatures ----
+
+  /** Fixed hyperplanes for (nbits, dim), deterministic from the
+    * engine-wide seed; cached per JVM so every task shares one array.
+    * Gaussian-ish components via sum of 4 uniforms (same family the
+    * round-1 Ann used, so signatures are reproducible).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def hyperplanes(nbits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nbits, dim), { key =>
+      val (bits, d0) = key
+      Array.tabulate(bits) { b =>
+        Array.tabulate(d0) { d =>
+          var s = 0.0
+          var j = 0
+          while (j < 4) {
+            s += Hashing.toUnitDouble(
+              Hashing.at(0xA22B55EE77L, (b * d0 + d) * 4 + j))
+            j += 1
+          }
+          (s - 2.0) * math.sqrt(3.0)
+        }
+      }
+    })
+
+  /** Banded hyperplane keys: numBands keys per vector, each packing
+    * (band index << 56) | that band's bitsPerBand sign bits. Two vectors
+    * are LSH candidates iff they share a key. Unlike [[lshSignature]]
+    * (single 64-bit signature), total bits = numBands * bitsPerBand is
+    * unbounded — low-threshold regimes need many narrow bands.
+    */
+  def lshBandKeys(emb: ArrayData, numBands: Int, bitsPerBand: Int,
+                  dim: Int): ArrayData = {
+    require(bitsPerBand <= 56, "bitsPerBand must fit under the band tag")
+    val planes = hyperplanes(numBands * bitsPerBand, dim)
+    val v = emb.toFloatArray()
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var bits = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val p = planes(b * bitsPerBand + j)
+        val n = math.min(p.length, v.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += p(i) * v(i); i += 1 }
+        if (dot >= 0) bits |= (1L << j)
+        j += 1
+      }
+      out(b) = (b.toLong << 56) | bits
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Two-level pigeonhole bucket keys for SimHash near-dup search,
+    * (maxHamming+1)^2 keys per fingerprint.
+    *
+    * Level 1 splits the 64 bits into h+1 chunks: within Hamming distance
+    * h, some chunk is error-free (pigeonhole). Level 2 splits each
+    * chunk's 64-wc complement bits into h+1 sub-chunks: the remaining
+    * <= h errors leave some sub-chunk of the clean chunk's complement
+    * error-free too. So every pair within h shares at least one
+    * (chunk, sub-chunk) key — the single-level scheme's 2^(64/(h+1))
+    * bucket-value space (256 at h=7, VERDICT r01 "what's wrong" #2)
+    * becomes 2^(wc+ws) (~32k at h=7) without losing the exact-recall
+    * guarantee. Keys are hash-combined, which can only MERGE buckets
+    * (extra candidates, caught by the exact Hamming verify), never
+    * split them — no false negatives.
+    */
+  def simhashBucketKeys(fp: Long, maxHamming: Int): ArrayData = {
+    val b = maxHamming + 1
+    require(b >= 1 && b <= 32, "maxHamming out of range [0,31]")
+    val w1 = 64 / b
+    val out = new Array[Long](b * b)
+    var ci = 0
+    while (ci < b) {
+      val start = ci * w1
+      val wc = if (ci == b - 1) 64 - start else w1
+      val chunkVal =
+        if (wc == 64) fp
+        else (fp >>> start) & ((1L << wc) - 1)
+      // complement bits packed into the low 64-wc bits
+      val comp =
+        if (wc == 64) 0L
+        else (if (start == 0) 0L else fp & ((1L << start) - 1)) |
+          (if (start + wc == 64) 0L else (fp >>> (start + wc)) << start)
+      val compWidth = 64 - wc
+      val w2 = math.max(1, compWidth / b)
+      val base = Hashing.splitmix64((ci.toLong << 32) ^ chunkVal)
+      var si = 0
+      while (si < b) {
+        val s2 = si * w2
+        val subVal =
+          if (compWidth == 0) 0L
+          else if (s2 >= compWidth) 0L
+          else {
+            val ws = if (si == b - 1 || s2 + w2 > compWidth) compWidth - s2
+                     else w2
+            (comp >>> s2) & (if (ws >= 64) -1L else (1L << ws) - 1)
+          }
+        out(ci * b + si) =
+          Hashing.splitmix64(base ^ Hashing.splitmix64((si.toLong << 48) ^ subVal))
+        si += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** nbits-bit sign signature of an embedding against the fixed planes. */
+  def lshSignature(emb: ArrayData, nbits: Int, dim: Int): Long = {
+    val planes = hyperplanes(nbits, dim)
+    val v = emb.toFloatArray()
+    var sig = 0L
+    var b = 0
+    while (b < nbits) {
+      val p = planes(b)
+      val n = math.min(p.length, v.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += p(i) * v(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -121,6 +121,45 @@ object sharded {
   def toShardRows(built: DataFrame, shardsCol: String = "shards"): DataFrame =
     built.select(posexplode(col(shardsCol)).as(Seq("shard_id", "sketch")))
 
+  /** Shard id column for a 64-bit hash column (top bits, matching
+    * [[shardOf]] exactly so row-form and aggregate-form shards hold
+    * identical key sets).
+    */
+  def shardCol(hash: Column, numShards: Int): Column = {
+    require(Integer.bitCount(numShards) == 1, "numShards must be a power of 2")
+    if (numShards == 1) org.apache.spark.sql.functions.lit(0)
+    else org.apache.spark.sql.functions
+      .shiftrightunsigned(hash, 64 - Integer.numberOfTrailingZeros(numShards))
+      .cast("int")
+  }
+
+  /** Row-form sharded build: one (shard_id, sketch) row per shard via
+    * groupBy(shard) — constant task memory regardless of shard count,
+    * the form for shard counts whose total buffer would not fit a task
+    * (256+ shards of large filters). Produces byte-identical per-shard
+    * dumps to [[bloom_agg_sharded]] at equal parameters (same hash, same
+    * shard selector, same per-shard sizing); ShardedSpec + q21 assert
+    * the parity.
+    *
+    * Cost shape: explodes tokens (|tokens| rows/doc) and shuffles the
+    * 8-byte hashes on shard_id — numShards-way balanced by construction
+    * (top hash bits are uniform). The aggregate form avoids the explode
+    * but holds all shards per task; pick by shardBytes * numShards vs
+    * task memory.
+    */
+  def buildShardRows(tokenDocs: DataFrame, capacity: Long, fpr: Double,
+                     numShards: Int,
+                     tokensCol: String = "tokens"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    tokenDocs
+      .select(explode(col(tokensCol)).as("t"))
+      .select(graft.functions.functions.token_hash64(col("t")).as("h"))
+      .withColumn("shard_id", shardCol(col("h"), numShards))
+      .groupBy(col("shard_id"))
+      .agg(graft.functions.functions.bloom_agg_hash(col("h"),
+        math.max(1, capacity / numShards), fpr).as("sketch"))
+  }
+
   /** Driver-side probe handle over collected shard dumps. */
   final class ShardedFilter(shards: Array[BlockedBloomFilter])
       extends Serializable {

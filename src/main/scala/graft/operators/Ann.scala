@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Hashing
+import graft.functions.{functions => F}
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (array<float>).
@@ -18,21 +18,12 @@ import graft.core.Hashing
   *    join on band buckets, rank candidates by exact cosine. At scale the
   *    bucket join replaces the corpus-size-by-query-size product with
   *    bucket-local products.
+  *
+  * All per-row math (cosine, signatures) runs as native codegen
+  * expressions (graft.functions.expressions) — no ScalaUDF dispatch on
+  * the hot path (PlanSpec-asserted).
   */
 object Ann {
-
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      dot += a(i).toDouble * b(i).toDouble
-      na += a(i).toDouble * a(i).toDouble
-      nb += b(i).toDouble * b(i).toDouble
-      i += 1
-    }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-  })
 
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries  (id, embedding) — must be small enough to broadcast
@@ -46,7 +37,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(embCol).as("c_emb"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineUdf(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", F.cosine_sim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -55,72 +46,79 @@ object Ann {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Fixed random hyperplanes: nbits x dim, deterministic from the
-    * engine-wide seed. Gaussian-ish components via sum of uniforms.
+  /** Embedding dimensionality of a table (one-row driver lookup; pass
+    * `dim` explicitly in pipelines that already know it).
     */
-  private def hyperplanes(nbits: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nbits) { b =>
-      Array.tabulate(dim) { d =>
-        // approximate N(0,1): sum of 4 uniforms, centered/scaled
-        var s = 0.0
-        var j = 0
-        while (j < 4) {
-          s += Hashing.toUnitDouble(Hashing.at(0xA22B55EE77L, (b * dim + d) * 4 + j))
-          j += 1
-        }
-        (s - 2.0) * math.sqrt(3.0)
-      }
-    }
+  def dimOf(df: DataFrame, embCol: String = "embedding"): Int =
+    df.select(col(embCol)).head().getSeq[Float](0).length
 
   /** Sign-random-projection signature + banded candidate join + exact
     * re-rank. Recall rises with numBands; neighbors colliding in no band
     * are missed (that's the approximation).
+    *
+    * `maxBucket` (0 = off) drops band buckets holding more vectors than
+    * the cap before the self-product — the skew valve for pathological
+    * data (e.g. many identical embeddings hashing to one bucket). Drops
+    * are observable via [[lshBucketStats]]; never silent in a pipeline
+    * that checks it.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nbits: Int = 32, numBands: Int = 8,
               idCol: String = "vec_id",
-              embCol: String = "embedding"): DataFrame = {
+              embCol: String = "embedding",
+              dim: Int = -1,
+              maxBucket: Int = 0): DataFrame = {
     require(nbits % numBands == 0, "nbits must divide into bands")
     val bitsPerBand = nbits / numBands
-    val dim = corpus.select(col(embCol)).head().getSeq[Float](0).length
-    val planes = hyperplanes(nbits, dim)
-    val sigUdf = udf((emb: Seq[Float]) => {
-      var sig = 0L
-      var b = 0
-      while (b < planes.length) {
-        var dot = 0.0
-        val p = planes(b)
-        var i = 0
-        val n = math.min(p.length, emb.length)
-        while (i < n) { dot += p(i) * emb(i); i += 1 }
-        if (dot >= 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
-    })
+    val d = if (dim > 0) dim else dimOf(corpus, embCol)
     def banded(df: DataFrame, role: String) =
       df.select(col(idCol).as(s"${role}_id"), col(embCol).as(s"${role}_emb"),
-          sigUdf(col(embCol)).as("sig"))
-        .select(col(s"${role}_id"), col(s"${role}_emb"),
-          explode(array((0 until numBands).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * bitsPerBand)
-                .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bv"))
-          }: _*)).as("bucket"))
+          explode(F.lsh_band_keys(col(embCol), numBands, bitsPerBand, d))
+            .as("bucket"))
+    val cb0 = banded(corpus, "neighbor")
+    val cb =
+      if (maxBucket <= 0) cb0
+      else {
+        val ok = cb0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+          .select(col("bucket"))
+        cb0.join(ok, Seq("bucket"))
+      }
     val qb = banded(queries, "query")
-    val cb = banded(corpus, "neighbor")
     val cands = qb.join(cb, qb("bucket") === cb("bucket") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("query_emb").as("q_emb"),
         col("neighbor_id"), col("neighbor_emb").as("c_emb"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.withColumn("cosine",
-      cosineUdf(col("q_emb"), col("c_emb")))
+      F.cosine_sim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Band-bucket size distribution for a corpus at the given LSH
+    * parameters: (bucket, bsz, dropped). Run this alongside a capped
+    * lshTopK to account for what the cap discards — the no-silent-cap
+    * rule.
+    */
+  def lshBucketStats(corpus: DataFrame, nbits: Int, numBands: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding",
+                     dim: Int = -1,
+                     maxBucket: Int = 0): DataFrame = {
+    require(nbits % numBands == 0, "nbits must divide into bands")
+    val bitsPerBand = nbits / numBands
+    val d = if (dim > 0) dim else dimOf(corpus, embCol)
+    corpus
+      .select(explode(F.lsh_band_keys(col(embCol), numBands, bitsPerBand, d))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .withColumn("dropped",
+        if (maxBucket <= 0) lit(false) else col("bsz") > maxBucket)
   }
 }

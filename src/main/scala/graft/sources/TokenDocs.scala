@@ -21,9 +21,12 @@ object TokenDocs {
     * map each word to an int32 id by FNV-1a mod vocab. Pure function of
     * the text — reproducible on any executor at any parallelism.
     */
+  private val splitPattern = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
   def tokenize(text: String, vocab: Int = VocabSize): Array[Int] = {
     if (text == null) return Array.empty
-    val words = text.toLowerCase.split("[^\\p{L}\\p{N}]+")
+    // precompiled pattern: String.split would recompile the regex per row
+    val words = splitPattern.split(text.toLowerCase)
     val out = new Array[Int](words.length)
     var n = 0
     var i = 0
@@ -37,14 +40,14 @@ object TokenDocs {
     java.util.Arrays.copyOf(out, n)
   }
 
-  private val tokenizeUdf = udf((text: String) => tokenize(text))
-
   /** Derive the token table from the driver's `documents` parquet
-    * (doc_id: long, text, lang, source, n_chars).
+    * (doc_id: long, text, lang, source, n_chars). The tokenizer runs as
+    * a native codegen expression — this projection sits inside every
+    * sf-dir query, so it must not pay the udf encoder tax.
     */
   def fromDocuments(documents: DataFrame): DataFrame =
     documents
-      .withColumn("tokens", tokenizeUdf(col("text")))
+      .withColumn("tokens", graft.functions.functions.tokenize(col("text")))
       .select(
         format_string("doc_%012d", col("doc_id")).as("doc_id"),
         col("tokens"),

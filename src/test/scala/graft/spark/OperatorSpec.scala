@@ -47,12 +47,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 9.0 / 11) < 1e-4)
   }
 
-  test("maxDf guard drops ubiquitous tokens from pairing") {
-    // token 999 appears in every doc; without the guard all pairs share it
+  test("prefix filter stays EXACT under a planted hot token") {
+    // token 999 appears in every doc (df = 20); every pair shares it, so
+    // J(pair) = 1/3. The df-ordered prefix filter must still find ALL
+    // qualifying pairs (no silent dropping, unlike a df cap)...
     val docs = (1L to 20L).map(i =>
       (i, Array(999, 1000 + i.toInt))).toDF("doc_id", "tokens")
-    val pairs = Dedup.jaccardPairs(docs, 0.1, maxDf = 5).collect()
-    assert(pairs.isEmpty, "guard must drop the df=20 token")
+    val pairs = Dedup.jaccardPairs(docs, 0.3).collect()
+    assert(pairs.length == 190, "all C(20,2) pairs at J=1/3 >= 0.3")
+    assert(pairs.forall(r =>
+      math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 1e-4))
+  }
+
+  test("prefix filter prunes the hot token out of the index at high t") {
+    // at threshold 0.9 each 2-token doc indexes only its rarest token
+    // (prefix length 1), so the df=20 hot token never reaches the
+    // posting self-join — bounded fan-out — and the exact answer
+    // (no pair reaches J=1/3 >= 0.9) still comes out
+    val docs = (1L to 20L).map(i =>
+      (i, Array(999, 1000 + i.toInt))).toDF("doc_id", "tokens")
+    assert(Dedup.jaccardPairs(docs, 0.9).collect().isEmpty)
   }
 
   test("minhash LSH recall: finds all high-jaccard pairs of jaccardPairs") {
@@ -76,6 +90,52 @@ class OperatorSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     assert(pairs.exists(r => r.getAs[Long]("a") == 1L &&
       r.getAs[Long]("b") == 2L && r.getAs[Int]("hamming") == 0))
+  }
+
+  test("simhash bucketed pairs equal grid-exact pairs (recall guarantee)") {
+    val docs = TokenDocGen.generateDf(spark, 400, 11L, 4)
+      .select(col("doc_id"), col("tokens"))
+    for (h <- Seq(3, 7)) {
+      val bucketed = Dedup.simhashPairs(docs, maxHamming = h)
+        .as[(String, String, Int)].collect().toSet
+      val exact = Dedup.simhashPairsExact(docs, maxHamming = h)
+        .as[(String, String, Int)].collect().toSet
+      assert(bucketed == exact,
+        s"h=$h: missing=${exact -- bucketed}, extra=${bucketed -- exact}")
+    }
+  }
+
+  test("grid self-join sees every unordered pair exactly once") {
+    // maxHamming=64 accepts every pair, so the count must be C(n,2) —
+    // duplicates or misses in gridPairs would show immediately
+    val docs = TokenDocGen.generateDf(spark, 60, 5L, 4)
+      .select(col("doc_id"), col("tokens"))
+    for (blocks <- Seq(1, 4, 8)) {
+      val n = Dedup.simhashPairsExact(docs, maxHamming = 64,
+        numBlocks = blocks).count()
+      assert(n == 60L * 59 / 2, s"numBlocks=$blocks: $n")
+    }
+  }
+
+  test("embedding LSH near-dup equals grid-exact on planted near-dups") {
+    // 30 random-ish base vectors plus 5 planted high-cosine variants
+    val base = spark.range(30).select(col("id").as("vec_id"),
+      array((0 until 16).map(d =>
+        (pmod(col("id") * (d + 3) + d, lit(101)) / lit(101.0) - 0.5)
+          .cast("float")): _*).as("embedding"))
+    val planted = spark.range(5).select((col("id") + 100).as("vec_id"),
+      array((0 until 16).map(d =>
+        ((pmod(col("id") * (d + 3) + d, lit(101)) / lit(101.0) - 0.5) +
+          lit(0.01 * (d % 3))).cast("float")): _*).as("embedding"))
+    val emb = base.union(planted)
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, 0.8,
+      numBands = 32, bitsPerBand = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.size >= 5, s"planted near-dups must qualify: $exact")
+    assert(lsh == exact,
+      s"missing=${exact -- lsh}, extra=${lsh -- exact}")
   }
 
   test("language ID picks the stopword-matching language") {

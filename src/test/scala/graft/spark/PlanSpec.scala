@@ -75,6 +75,53 @@ class PlanSpec extends AnyFunSuite {
       s"probe path must not dispatch UDFs:\n$plan")
   }
 
+  test("dedup/ANN hot paths carry no ScalaUDF (native expressions only)") {
+    val toks = TokenDocs.fromDocumentsPath(spark, "/root/testdata/sf0.001")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plans = Seq(
+      "minhash" -> planOf(graft.operators.Dedup.minhashLshPairs(toks, 0.9)),
+      "jaccard" -> planOf(graft.operators.Dedup.jaccardPairs(toks, 0.9)),
+      "simhash" -> planOf(graft.operators.Dedup.simhashPairs(toks, 7)),
+      "ann_brute" -> planOf(graft.operators.Ann.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, 3)),
+      "ann_lsh" -> planOf(graft.operators.Ann.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, 3, nbits = 128, numBands = 64)),
+      "emb_exact" -> planOf(graft.operators.Dedup
+        .embeddingNearDupPairs(emb, 0.45)),
+      "emb_lsh" -> planOf(graft.operators.Dedup
+        .embeddingNearDupPairsLsh(emb, 0.45)),
+      "tokenize" -> planOf(toks))
+    for ((name, plan) <- plans)
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name plan must not dispatch UDFs:\n$plan")
+  }
+
+  test("embedding near-dup has no broadcast nested-loop between unbounded sides") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((name, df) <- Seq(
+        "exact-grid" -> graft.operators.Dedup.embeddingNearDupPairs(emb, 0.45),
+        "lsh" -> graft.operators.Dedup.embeddingNearDupPairsLsh(emb, 0.45))) {
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must join on keys, not cross-broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n$plan")
+    }
+  }
+
+  test("broadcast bloom probe stays inside codegen, no UDFs") {
+    val f = BlockedBloomFilter.optimized(1000, 0.01)
+    (0 until 1000).foreach(i => f.add(Hashing.tokenHash(i)))
+    val bc = spark.sparkContext.broadcast(f)
+    val df = spark.range(0, 1000, 1, 2)
+      .select(F.bloomProbeBroadcast(bc)(F.token_hash64(col("id"))).as("hit"))
+      .filter(col("hit"))
+    val plan = planOf(df)
+    assert(plan.contains("bloom_probe_broadcast"), plan)
+    assert(!plan.contains("ScalaUDF"), s"no UDF dispatch:\n$plan")
+    assert(df.count() == 1000) // every inserted key present
+  }
+
   test("ANN brute force broadcasts the query side") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

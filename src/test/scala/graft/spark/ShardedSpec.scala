@@ -70,6 +70,34 @@ class ShardedSpec extends AnyFunSuite {
     assert(math.abs(total / exact - 1) < 0.1, s"$total vs $exact")
   }
 
+  test("numShards=1 degenerates to a single whole filter (shift mod 64 fix)") {
+    assert(sharded.shardOf(0x8000000000000000L, 1) == 0)
+    assert(sharded.shardOf(-1L, 1) == 0)
+    assert(sharded.shardOf(42L, 1) == 0)
+    val dumps = docs.agg(sharded.bloom_agg_sharded(
+      col("tokens"), 8000, 0.001, 1).as("s")).head().getSeq[Array[Byte]](0)
+    assert(dumps.length == 1)
+    val whole = docs.agg(graft.functions.functions.bloom_agg_tokens(
+      col("tokens"), 8000, 0.001)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(dumps.head, whole),
+      "1-shard build must be byte-identical to the plain build")
+  }
+
+  test("row-form build (groupBy shard) dumps byte-identical shards") {
+    val agg = docs.agg(sharded.bloom_agg_sharded(
+      col("tokens"), 64000, 0.001, 8).as("s")).head().getSeq[Array[Byte]](0)
+    val rows = sharded.buildShardRows(docs, 64000, 0.001, 8)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    (0 until 8).foreach { sId =>
+      rows.get(sId) match {
+        case Some(bytes) =>
+          assert(java.util.Arrays.equals(bytes, agg(sId)), s"shard $sId")
+        case None => // row form omits empty shards
+          assert(BloomIO.load(agg(sId)).isEmpty, s"shard $sId must be empty")
+      }
+    }
+  }
+
   test("sharded probe equals union-of-truth for planted keys") {
     // keys inserted into shard s must never leak into other shards:
     // probing a key only consults its own shard
