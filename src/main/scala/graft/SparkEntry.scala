@@ -459,6 +459,37 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ------- runtime Bloom semi-join pruning (Catalyst rule) -------
+    //
+    // The engine's InjectRuntimeFilter analog: an isolated session with
+    // GraftRuntimeFilter active runs the fact-dim join; the emitted
+    // aggregate comes FROM THE PRUNED PLAN, so the DuckDB oracle checks
+    // the rewrite end-to-end, and filter_injected pins that the rule
+    // actually fired (spellcheck pattern at plan level,
+    // /root/reference/examples/spellcheck/main.go:33-48).
+
+    "q24_runtime_filter_join" -> ((s, dir) => {
+      import s.implicits._
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        Seq(graft.plans.GraftRuntimeFilter(s2))
+      s2.conf.set("spark.graft.runtimeFilter.enabled", "true")
+      s2.conf.set("spark.graft.runtimeFilter.minProbeBytes", "0")
+      s2.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+        (1L << 40).toString)
+      val li = s2.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s2.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_join_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+      val injected = joined.queryExecution.optimizedPlan.toString
+        .contains("graft_bloom_might_contain")
+      val r = joined.head()
+      Seq((r.getLong(0), r.getDouble(1), injected))
+        .toDF("n_join_rows", "sum_qty", "filter_injected")
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -639,6 +670,13 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS n_shards,
         |  true AS no_false_negatives, true AS fpr_ok,
         |  true AS row256_eq_agg""".stripMargin,
+
+    "q24_runtime_filter_join" ->
+      """SELECT count(*) AS n_join_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  true AS filter_injected
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q22_dedup_embedding" -> embeddingPairsOracle,
     "q23_dedup_embedding_lsh" -> embeddingPairsOracle

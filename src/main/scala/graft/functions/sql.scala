@@ -153,13 +153,18 @@ object sql {
   }
 }
 
-/** spark.sql.extensions entry point. */
+/** spark.sql.extensions entry point: SQL functions plus the runtime
+  * Bloom semi-join pruning rule (conf-gated,
+  * spark.graft.runtimeFilter.enabled).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     sql.aggregateBuilders.foreach { case (name, (usage, builder)) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    e.injectOptimizerRule(graft.plans.GraftRuntimeFilter(_))
+  }
 }

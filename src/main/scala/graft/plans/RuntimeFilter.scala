@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import graft.core.BloomConfig
+import graft.functions.{catalyst => gcat, expressions => gexpr}
+
+/** Runtime Bloom semi-join pruning — the engine's analog of Spark's
+  * InjectRuntimeFilter, built on the graft blocked-Bloom aggregate.
+  *
+  * For an eligible equi-join it rewrites the large (probe) side to
+  *
+  *   Filter(graft_bloom_might_contain(
+  *            ScalarSubquery(Aggregate(bloom_agg_hash(xxhash64(buildKey)))),
+  *            xxhash64(probeKey)),
+  *          probeSide)
+  *
+  * so the probe side's scan is pre-filtered by a Bloom filter built from
+  * the (small) build side BEFORE the join shuffle — the distributed form
+  * of the reference's spellcheck pattern (build a dictionary filter,
+  * stream the corpus through Has;
+  * /root/reference/examples/spellcheck/main.go:33-48). False positives
+  * only let extra rows reach the join (which re-checks the real keys);
+  * false negatives are impossible, so the rewrite is semantics-preserving
+  * for the supported join types.
+  *
+  * Eligibility (all conf-gated, spark.graft.runtimeFilter.*):
+  *  - inner / left-semi / right-outer joins prune the LEFT side;
+  *    inner / left-outer prune the RIGHT side (only sides whose
+  *    unmatched rows cannot reach the output)
+  *  - build side stats.sizeInBytes <= maxBuildBytes, probe side
+  *    >= minProbeBytes (don't pay a subquery for a small scan)
+  *  - at most one graft runtime filter per probe subtree (idempotence
+  *    under fixed-point optimizer batches)
+  *
+  * The filter sizes from build-side rowCount stats when available, else
+  * `expectedBuildRows`. The subquery result (one dump) is deserialized
+  * once per task by BloomMightContainDump's byte-identity cache.
+  */
+case class GraftRuntimeFilter(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.runtimeFilter.enabled", "false").toBoolean
+  private def maxBuildBytes: Long =
+    conf.getConfString("spark.graft.runtimeFilter.maxBuildBytes",
+      (64L << 20).toString).toLong
+  private def minProbeBytes: Long =
+    conf.getConfString("spark.graft.runtimeFilter.minProbeBytes",
+      (256L << 20).toString).toLong
+  private def fpr: Double =
+    conf.getConfString("spark.graft.runtimeFilter.fpr", "0.01").toDouble
+  private def expectedBuildRows: Long =
+    conf.getConfString("spark.graft.runtimeFilter.expectedBuildRows",
+      "1000000").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ Join(left, right, joinType, Some(cond), hint) =>
+        val keys = equiKeys(cond, left, right)
+        if (keys.isEmpty) j
+        else {
+          val (lk, rk) = keys.head
+          var newLeft = left
+          var newRight = right
+          if (canPruneLeft(joinType) && eligible(probe = left, build = right))
+            newLeft = inject(left, lk, right, rk)
+          if (canPruneRight(joinType) && eligible(probe = right, build = left))
+            newRight = inject(right, rk, left, lk)
+          if ((newLeft eq left) && (newRight eq right)) j
+          else Join(newLeft, newRight, joinType, Some(cond), hint)
+        }
+    }
+  }
+
+  private def canPruneLeft(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | RightOuter => true
+    case _ => false
+  }
+  private def canPruneRight(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter => true
+    case _ => false
+  }
+
+  /** Attribute-level equi-join keys resolvable to (leftKey, rightKey). */
+  private def equiKeys(cond: Expression, left: LogicalPlan,
+                       right: LogicalPlan): Seq[(Expression, Expression)] =
+    splitConjunctivePredicates(cond).collect {
+      case EqualTo(a, b)
+          if a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet) &&
+            a.deterministic && b.deterministic => (a, b)
+      case EqualTo(a, b)
+          if b.references.subsetOf(left.outputSet) &&
+            a.references.subsetOf(right.outputSet) &&
+            a.deterministic && b.deterministic => (b, a)
+    }
+
+  private def splitConjunctivePredicates(c: Expression): Seq[Expression] =
+    c match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+
+  private def eligible(probe: LogicalPlan, build: LogicalPlan): Boolean =
+    !hasGraftFilter(probe) &&
+      build.stats.sizeInBytes <= maxBuildBytes &&
+      probe.stats.sizeInBytes >= minProbeBytes &&
+      !build.isStreaming && !probe.isStreaming
+
+  private def hasGraftFilter(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case Filter(cond, _) =>
+        cond.exists(_.isInstanceOf[gexpr.BloomMightContainDump])
+      case _ => false
+    }
+
+  private def inject(probe: LogicalPlan, probeKey: Expression,
+                     build: LogicalPlan, buildKey: Expression): LogicalPlan = {
+    val capacity = build.stats.rowCount
+      .map(_.longValue.max(1L)).getOrElse(expectedBuildRows)
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr)
+    val agg = AggregateExpression(
+      gcat.BloomHashAggregate(new XxHash64(Seq(buildKey)), nbits, k),
+      aggregate.Complete, isDistinct = false)
+    val buildPlan = Aggregate(Nil, Seq(Alias(agg, "graft_rt_bloom")()), build)
+    val probeExpr = gexpr.BloomMightContainDump(
+      ScalarSubquery(buildPlan), new XxHash64(Seq(probeKey)))
+    Filter(probeExpr, probe)
+  }
+}
