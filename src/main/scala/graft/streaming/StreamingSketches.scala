@@ -32,41 +32,65 @@ object StreamingSketches {
   /** Maintain per-source Bloom + HLL over a (possibly streaming) Dataset
     * of TokenDoc; emits one update per group per micro-batch. Use with
     * `OutputMode.Update` and a query over `.writeStream`.
+    *
+    * State hygiene: each group's state holds a full serialized filter,
+    * so keying by an unbounded-cardinality column grows the state store
+    * without limit under the default NoTimeout. `stateTtl` turns on
+    * processing-time expiry: a group idle longer than the TTL is
+    * dropped from the store (its sketch restarts empty if the key
+    * reappears — fine for monitoring panels; checkpoint the emitted
+    * dumps if the history matters). Keep NoTimeout ONLY for bounded key
+    * domains like `source`.
     */
   def perSourceSketches(docs: Dataset[TokenDoc], capacity: Long,
-                        fpr: Double, p: Int = 14): Dataset[SketchUpdate] = {
+                        fpr: Double, p: Int = 14,
+                        stateTtl: Option[java.time.Duration] = None):
+      Dataset[SketchUpdate] = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr)
     implicit val stateEnc = Encoders.product[SketchState]
     implicit val outEnc = Encoders.product[SketchUpdate]
     implicit val strEnc = Encoders.STRING
+    val timeout = stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout)
     docs.groupByKey(_.source)
-      .mapGroupsWithState[SketchState, SketchUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SketchState, SketchUpdate](timeout) {
         (source: String, rows: Iterator[TokenDoc],
          state: GroupState[SketchState]) =>
-          val bloom =
-            if (state.exists) BloomIO.load(state.get.bloom)
-            else BlockedBloomFilter(nbits, k)
-          val hll =
-            if (state.exists) HyperLogLog.deserialize(state.get.hll)
-            else HyperLogLog(p)
-          var nRows = if (state.exists) state.get.rows else 0L
-          var nTok = if (state.exists) state.get.tokens else 0L
-          rows.foreach { d =>
-            var i = 0
-            while (i < d.tokens.length) {
-              val h = Hashing.tokenHash(d.tokens(i))
-              bloom.add(h); hll.add(h)
-              i += 1
+          if (state.hasTimedOut) {
+            // idle past TTL: emit the final snapshot and drop the state
+            val last = state.get
+            state.remove()
+            SketchUpdate(source, last.rows, last.tokens,
+              BloomIO.load(last.bloom).cardinality,
+              HyperLogLog.deserialize(last.hll).estimate,
+              last.bloom, last.hll)
+          } else {
+            val bloom =
+              if (state.exists) BloomIO.load(state.get.bloom)
+              else BlockedBloomFilter(nbits, k)
+            val hll =
+              if (state.exists) HyperLogLog.deserialize(state.get.hll)
+              else HyperLogLog(p)
+            var nRows = if (state.exists) state.get.rows else 0L
+            var nTok = if (state.exists) state.get.tokens else 0L
+            rows.foreach { d =>
+              var i = 0
+              while (i < d.tokens.length) {
+                val h = Hashing.tokenHash(d.tokens(i))
+                bloom.add(h); hll.add(h)
+                i += 1
+              }
+              nRows += 1
+              nTok += d.tokens.length
             }
-            nRows += 1
-            nTok += d.tokens.length
+            val bloomBytes = BloomIO.dump(bloom)
+            val hllBytes = hll.serialize()
+            state.update(SketchState(bloomBytes, hllBytes, nRows, nTok))
+            stateTtl.foreach(ttl =>
+              state.setTimeoutDuration(ttl.toMillis))
+            SketchUpdate(source, nRows, nTok,
+              bloom.cardinality, hll.estimate, bloomBytes, hllBytes)
           }
-          val bloomBytes = BloomIO.dump(bloom)
-          val hllBytes = hll.serialize()
-          state.update(SketchState(bloomBytes, hllBytes, nRows, nTok))
-          SketchUpdate(source, nRows, nTok,
-            bloom.cardinality, hll.estimate, bloomBytes, hllBytes)
       }
   }
 

@@ -71,6 +71,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state TTL drops idle groups (high-cardinality key hygiene)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(key: String, i: Int) = TokenDoc(s"$key-$i", Array(1, 2, 3), 3, key)
+    val stream = MemoryStream[TokenDoc]
+    val updates = StreamingSketches.perSourceSketches(
+      stream.toDS(), capacity = 10000, fpr = 0.01,
+      stateTtl = Some(java.time.Duration.ofMillis(50)))
+    val q = updates.writeStream
+      .format("memory").queryName("ttl_updates")
+      .outputMode(OutputMode.Update())
+      .start()
+    // NOTE: processAllAvailable() is unusable with ProcessingTimeTimeout —
+    // the stateful operator reports shouldRunAnotherBatch=true on every
+    // batch, so the no-new-data condition never latches. Poll the sink.
+    def rowsOf(key: String): Seq[Long] = spark.sql(
+      s"SELECT rows FROM ttl_updates WHERE source = '$key'")
+      .collect().map(_.getLong(0)).toSeq
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond) {
+        assert(System.currentTimeMillis() <= deadline, s"timeout: $what")
+        q.exception.foreach(throw _)
+        Thread.sleep(50)
+      }
+    }
+    try {
+      stream.addData(Seq(doc("k1", 0), doc("k1", 1), doc("k2", 0)))
+      waitFor("batch1 processed")(
+        rowsOf("k1").contains(2L) && rowsOf("k2").contains(1L))
+      Thread.sleep(400) // exceed the TTL while the groups sit idle
+      stream.addData(Seq(doc("k1", 2))) // k1 reappears after expiry
+      waitFor("k1 reappears")(rowsOf("k1").exists(r => r == 1L || r == 3L))
+    } finally q.stop()
+    val k1Rows = rowsOf("k1")
+    // state was dropped at timeout: the reappearance restarts at 1;
+    // a surviving state would have produced rows=3
+    assert(!k1Rows.contains(3L),
+      s"k1 state must not survive the TTL: $k1Rows")
+    assert(k1Rows.contains(1L),
+      s"k1 must restart fresh after expiry: $k1Rows")
+  }
+
   test("streaming quantiles stay within bound as batches arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
