@@ -146,8 +146,9 @@ object Bench {
     def normEff(p: (Double, Double, Double, Double)): Double =
       (p._3 / p._1) * (p._2 / p._4) / (scaleHigh.toDouble / scaleLow)
     var attempt = 0
+    // at least 2 pairs so the reported median is not a single sample
     while (attempt < 4 &&
-        (pairs.isEmpty || pairs.map(normEff).max < 0.85)) {
+        (pairs.size < 2 || pairs.map(normEff).max < 0.85)) {
       val (tl, cl) = scaleRun(scaleLow)
       val (th, ch) = scaleRun(scaleHigh)
       pairs ::= (tl, cl, th, ch)
@@ -179,6 +180,25 @@ object Bench {
         .filter(col("hit")).count()
     }
     results += "b2_bloom_probe_20m" -> probeSec
+
+    // ---- large-filter probe: 256 MiB filter via broadcast variable ----
+    // the filter ships to executors once (torrent broadcast), NOT inside
+    // every task's serialized plan; per-row probe cost must stay at the
+    // b2 level (same codegen, one extra pointer hop)
+    val bigFilter = graft.core.BlockedBloomFilter(8L * (256L << 20), 7)
+    locally {
+      var i = 0
+      while (i < 2000000) { bigFilter.add(Hashing.tokenHash(i)); i += 1 }
+    }
+    val bigBc = spark.sparkContext.broadcast(bigFilter)
+    val (_, probeBigSec) = time {
+      spark.range(0, nProbe, 1, cpus)
+        .select(F.bloomProbeBroadcast(bigBc)(F.token_hash64(
+          col("id") % 2000000)).as("hit"))
+        .filter(col("hit")).count()
+    }
+    results += "b8_bloom_probe_20m_256mb_bcast" -> probeBigSec
+    bigBc.destroy()
 
     // ---- sf-dir workloads (driver testdata at bench scale) ----
     val toks = TokenDocs.fromDocumentsPath(spark, sfDir).cache()
