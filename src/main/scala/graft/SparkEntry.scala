@@ -143,23 +143,34 @@ object SparkEntry {
       val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
       val sk = events.agg(
         F.tdigest_agg(col("value"), 100.0).as("td"),
-        F.kll_agg(col("value"), 200).as("kll")).head()
+        F.kll_agg(col("value"), 200).as("kll"),
+        count(lit(1)).as("n")).head()
       val td = TDigest.deserialize(sk.getAs[Array[Byte]]("td"))
       val kll = KllSketch.deserialize(sk.getAs[Array[Byte]]("kll"))
+      val n = sk.getAs[Long]("n").toDouble
       // exact interpolated percentiles (same definition as DuckDB's
-      // quantile_cont); sketch estimates must land within 5% (or 2.0 abs)
+      // quantile_cont). Acceptance: t-digest by value tolerance (its
+      // strength is tail VALUE accuracy); KLL by RANK error — the bound
+      // the algorithm actually guarantees (<= 0.02 for k=200, same as
+      // SketchSpec): the exact rank of the KLL estimate must sit within
+      // 0.02 of the requested quantile. A value-tolerance check on KLL
+      // is wrong in thin tails, where tiny rank error = large value gap.
       val exact = events.agg(expr(
         "percentile(value, array(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))"))
         .head().getSeq[Double](0)
+      val kllEst = qs.map(kll.quantile)
+      val rankCols = kllEst.zipWithIndex.map { case (e, i) =>
+        (sum(when(col("value") <= e, 1L).otherwise(0L)) / n).as(s"r$i")
+      }
+      val ranksRow = events.agg(rankCols.head, rankCols.tail: _*).head()
       import s.implicits._
       qs.zipWithIndex.map { case (q, i) =>
-        (q, exact(i), td.quantile(q), kll.quantile(q))
-      }.toDF("q", "exact_raw", "td_raw", "kll_raw")
+        (q, exact(i), td.quantile(q), ranksRow.getDouble(i))
+      }.toDF("q", "exact_raw", "td_raw", "kll_rank")
         .select(col("q"), round(col("exact_raw"), 4).as("exact_value"),
           (abs(col("td_raw") - col("exact_raw")) <=
             greatest(abs(col("exact_raw")) * 0.05, lit(2.0))).as("td_ok"),
-          (abs(col("kll_raw") - col("exact_raw")) <=
-            greatest(abs(col("exact_raw")) * 0.05, lit(2.0))).as("kll_ok"))
+          (abs(col("kll_rank") - col("q")) <= 0.02).as("kll_ok"))
         .orderBy(col("q"))
     }),
 

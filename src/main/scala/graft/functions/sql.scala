@@ -109,19 +109,65 @@ object sql {
           catalyst.KllAggregate(es.head, k).toAggregateExpression()
         }))
 
+  /** name -> (usage, builder) for the native scalar expressions (codegen,
+    * no UDF dispatch — the SQL lift of graft.functions.expressions).
+    */
+  val scalarBuilders: Map[String, (String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Map(
+      "graft_tokenize" -> (
+        "(text) - deterministic token ids, array<int>",
+        (es: Seq[Expression]) =>
+          expressions.Tokenize(Cast(es.head, StringType))),
+      "graft_token_hash" -> (
+        "(token_id) - splitmix64 of an int token",
+        (es: Seq[Expression]) => expressions.TokenHash64(
+          Cast(es.head, org.apache.spark.sql.types.IntegerType))),
+      "graft_fnv64" -> (
+        "(str) - 64-bit FNV-1a",
+        (es: Seq[Expression]) =>
+          expressions.Fnv1a64(Cast(es.head, StringType))),
+      "graft_minhash_signature" -> (
+        "(tokens[, numPerms]) - MinHash signature, array<long>",
+        (es: Seq[Expression]) => expressions.MinhashSignature(es.head,
+          if (es.length > 1) lng(es(1), "numPerms").toInt else 128)),
+      "graft_minhash_bands" -> (
+        "(sig, numBands, rowsPerBand) - LSH band keys, array<long>",
+        (es: Seq[Expression]) => expressions.MinhashBands(es.head,
+          lng(es(1), "numBands").toInt, lng(es(2), "rowsPerBand").toInt)),
+      "graft_simhash" -> (
+        "(tokens) - 64-bit SimHash fingerprint",
+        (es: Seq[Expression]) => expressions.Simhash64(es.head)),
+      "graft_simhash_buckets" -> (
+        "(fp, maxHamming) - two-level pigeonhole bucket keys, array<long>",
+        (es: Seq[Expression]) => expressions.SimhashBuckets(
+          Cast(es.head, LongType), lng(es(1), "maxHamming").toInt)),
+      "graft_hamming64" -> (
+        "(a, b) - Hamming distance of two int64 fingerprints",
+        (es: Seq[Expression]) => expressions.Hamming64(
+          Cast(es.head, LongType), Cast(es(1), LongType))),
+      "graft_cosine_sim" -> (
+        "(a, b) - cosine similarity of two array<float>",
+        (es: Seq[Expression]) => expressions.CosineSim(es.head, es(1))),
+      "graft_lsh_band_keys" -> (
+        "(emb, numBands, bitsPerBand, dim) - hyperplane band keys",
+        (es: Seq[Expression]) => expressions.LshBandKeys(es.head,
+          lng(es(1), "numBands").toInt, lng(es(2), "bitsPerBand").toInt,
+          lng(es(3), "dim").toInt)))
+  }
+
   private def injectInto(registry:
       org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
-    aggregateBuilders.foreach { case (name, (usage, builder)) =>
-      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    (aggregateBuilders ++ scalarBuilders).foreach {
+      case (name, (usage, builder)) =>
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 
   /** Runtime registration of everything (aggregates + scalar helpers). */
   def registerAll(spark: SparkSession): Unit = {
     injectInto(spark.sessionState.functionRegistry)
     val u = spark.udf
-    u.register("graft_token_hash", (t: Int) => Hashing.tokenHash(t))
-    u.register("graft_fnv64", (s: String) =>
-      if (s == null) 0L else Hashing.fnv1a64(s))
     u.register("graft_bloom_might_contain",
       (dump: Array[Byte], h: Long) => BloomIO.load(dump).has(h))
     u.register("graft_bloom_cardinality", (dump: Array[Byte]) => {
@@ -143,13 +189,10 @@ object sql {
     u.register("graft_kll_quantile",
       (bytes: Array[Byte], q: Double) =>
         KllSketch.deserialize(bytes).quantile(q))
-    u.register("graft_simhash",
-      (tokens: Array[Int]) =>
-        if (tokens == null) 0L else SimHash.fingerprintOfTokens(tokens))
-    u.register("graft_hamming64",
-      (a: Long, b: Long) => SimHash.hammingDistance(a, b))
     u.register("graft_minhash_jaccard",
       (a: Array[Long], b: Array[Long]) => MinHash.estimateJaccard(a, b))
+    // simhash/hamming/tokenize/cosine/minhash are injected above as
+    // NATIVE expressions (scalarBuilders), not UDFs
   }
 }
 
@@ -159,11 +202,12 @@ object sql {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
-    sql.aggregateBuilders.foreach { case (name, (usage, builder)) =>
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name),
-        builder))
+    (sql.aggregateBuilders ++ sql.scalarBuilders).foreach {
+      case (name, (usage, builder)) =>
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          builder))
     }
     e.injectOptimizerRule(graft.plans.GraftRuntimeFilter(_))
   }

@@ -29,6 +29,23 @@ class FacadeSpec extends AnyFunSuite {
           |FROM t""".stripMargin).head()
       assert(n.getInt(0) > 64)
       assert(n.getInt(1) == 4 + (1 << 12))
+      // native scalar surface: values must match the Scala kernels
+      val s = spark.sql(
+        """SELECT graft_simhash(graft_tokenize('hello world hello')) AS fp,
+          |  graft_hamming64(5, 6) AS hd,
+          |  graft_token_hash(42) AS th,
+          |  size(graft_minhash_signature(graft_tokenize('a b c'), 32)) AS ms
+          |""".stripMargin).head()
+      assert(s.getLong(0) == graft.core.SimHash.fingerprintOfTokens(
+        graft.sources.TokenDocs.tokenize("hello world hello")))
+      assert(s.getInt(1) == 2)
+      assert(s.getLong(2) == graft.core.Hashing.tokenHash(42))
+      assert(s.getInt(3) == 32)
+      // the scalar surface is codegen expressions, not UDFs
+      val plan = spark.sql(
+        "SELECT graft_simhash(graft_tokenize('x')) FROM t")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), plan)
     } finally spark.stop()
   }
 
