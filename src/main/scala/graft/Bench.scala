@@ -167,6 +167,21 @@ object Bench {
     val (tokFull, secFull) = buildBench(spark, cpus, benchDocs, trials = 2)
     results += "b1_sketch_build" -> secFull
 
+    // ---- fused panel: same three sketches in ONE pass/hash per token ----
+    val fusedDocs = TokenDocGen.generateDf(spark, benchDocs, 42L, cpus)
+      .persist()
+    fusedDocs.count()
+    def fusedJob(): Unit =
+      fusedDocs.groupBy(col("source"))
+        .agg(F.sketch_panel_agg(col("tokens"), 50000, 0.001, 14, 3, 16384)
+          .as("panel"))
+        .select(sum(length(col("panel.bloom")) + length(col("panel.hll")) +
+          length(col("panel.cms")))).head()
+    fusedJob()
+    val fusedSec = (1 to 2).map { _ => System.gc(); time(fusedJob())._2 }.min
+    results += "b1_sketch_build_fused" -> fusedSec
+    fusedDocs.unpersist()
+
     // ---- probe throughput: membership of 20M keys vs built filter ----
     val filterBytes = TokenDocGen.generateDf(spark, 20000, 42L, cpus)
       .agg(F.bloom_agg_tokens(col("tokens"), 50000, 0.001))
@@ -287,6 +302,6 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_vs_builtin":$hllSpeedupVsBuiltin%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_vs_builtin":$hllSpeedupVsBuiltin%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

@@ -238,10 +238,26 @@ object SparkEntry {
       val localSig = MinHash.signatureOfTokens(
         docs.select(explode(col("tokens"))).distinct()
           .collect().map(_.getInt(0)), 64)
+      // fused panel == three standalone aggregates, byte-for-byte
+      val panelRow = docs.repartition(8)
+        .agg(F.sketch_panel_agg(col("tokens"), cap, fpr, 14, 5, 65536))
+        .head().getStruct(0)
+      val sepRow = docs.repartition(8).agg(
+        F.bloom_agg_tokens(col("tokens"), cap, fpr),
+        F.hll_agg_tokens(col("tokens"), 14),
+        F.cms_agg_tokens(col("tokens"), 5, 65536)).head()
+      val panelEq =
+        java.util.Arrays.equals(panelRow.getAs[Array[Byte]](0),
+          sepRow.getAs[Array[Byte]](0)) &&
+        java.util.Arrays.equals(panelRow.getAs[Array[Byte]](1),
+          sepRow.getAs[Array[Byte]](1)) &&
+        java.util.Arrays.equals(panelRow.getAs[Array[Byte]](2),
+          sepRow.getAs[Array[Byte]](2))
       val res = Seq(
         ("bloom_1_vs_32_partitions", java.util.Arrays.equals(one, many)),
         ("ckpt_resume_eq_fresh", java.util.Arrays.equals(one, resumed)),
         ("minhash_agg_eq_local", aggSig.sameElements(localSig)),
+        ("panel_eq_separate", panelEq),
         ("salted_two_phase_eq_direct", java.util.Arrays.equals(one, salted)))
       docs.unpersist()
       res.toDF("check", "ok").orderBy("check")
@@ -574,6 +590,7 @@ object SparkEntry {
         |  ('bloom_1_vs_32_partitions', true),
         |  ('ckpt_resume_eq_fresh', true),
         |  ('minhash_agg_eq_local', true),
+        |  ('panel_eq_separate', true),
         |  ('salted_two_phase_eq_direct', true)
         |) AS t("check", ok) ORDER BY "check"""".stripMargin,
 

@@ -299,6 +299,91 @@ object catalyst {
       copy(child = c)
   }
 
+  /** Mutable buffer of the fused panel aggregate. */
+  final class SketchPanel(val bloom: BlockedBloomFilter,
+                          val hll: HyperLogLog,
+                          val cms: CountMinSketch)
+
+  /** Fused sketch panel: Bloom + HLL + CMS built in ONE pass over the
+    * token arrays — one ArrayData traversal and one token hash per
+    * token instead of three (the per-token hash and array access are a
+    * real fraction of the build at full width; the three-aggregate form
+    * pays them 3x). Emits struct(bloom, hll, cms) with each field in
+    * the same wire format as the standalone aggregates, so the fused
+    * build is byte-identical to three separate builds (q07-checked).
+    */
+  case class SketchPanelAggregate(
+      child: Expression, nbits: Long, k: Int, p: Int,
+      depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[SketchPanel]
+      with UnaryLike[Expression] {
+    override def prettyName: String = "sketch_panel_agg"
+    override def dataType: DataType = StructType(Seq(
+      StructField("bloom", BinaryType, nullable = false),
+      StructField("hll", BinaryType, nullable = false),
+      StructField("cms", BinaryType, nullable = false)))
+    override def nullable: Boolean = false
+
+    def createAggregationBuffer(): SketchPanel =
+      new SketchPanel(BlockedBloomFilter(nbits, k), HyperLogLog(p),
+        CountMinSketch(depth, width))
+
+    override def update(b: SketchPanel, input: InternalRow): SketchPanel = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        val bloom = b.bloom; val hll = b.hll; val cms = b.cms
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i)) {
+            val h = Hashing.tokenHash(arr.getInt(i))
+            bloom.add(h); hll.add(h); cms.add(h)
+          }
+          i += 1
+        }
+      }
+      b
+    }
+
+    def merge(a: SketchPanel, b: SketchPanel): SketchPanel = {
+      a.bloom.union(b.bloom); a.hll.merge(b.hll); a.cms.merge(b.cms)
+      a
+    }
+
+    def eval(b: SketchPanel): Any =
+      org.apache.spark.sql.catalyst.InternalRow(
+        BloomIO.dump(b.bloom), b.hll.serialize(), b.cms.serialize())
+
+    def serialize(b: SketchPanel): Array[Byte] = {
+      val bloom = BloomIO.dump(b.bloom)
+      val hll = b.hll.serialize()
+      val cms = b.cms.serialize()
+      val out = java.nio.ByteBuffer.allocate(
+        12 + bloom.length + hll.length + cms.length)
+      out.putInt(bloom.length).putInt(hll.length).putInt(cms.length)
+      out.put(bloom).put(hll).put(cms)
+      out.array()
+    }
+
+    def deserialize(bytes: Array[Byte]): SketchPanel = {
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      val nb = in.getInt(); val nh = in.getInt(); val nc = in.getInt()
+      def take(n: Int) = { val a = new Array[Byte](n); in.get(a); a }
+      new SketchPanel(BloomIO.load(take(nb)),
+        HyperLogLog.deserialize(take(nh)),
+        CountMinSketch.deserialize(take(nc)))
+    }
+
+    def withNewMutableAggBufferOffset(o: Int): SketchPanelAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): SketchPanelAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): SketchPanelAggregate =
+      copy(child = c)
+  }
+
   /** Wall-clock build-time metric: milliseconds from the first row folded
     * into any contributing partial buffer to final evaluation. The buffer
     * carries the earliest first-row timestamp across merges, so the

@@ -56,6 +56,19 @@ object functions {
     catalyst.aggCol(catalyst.BloomUnionAggregate(
       catalyst.expr(dumps), nbits, k))
 
+  /** Fused Bloom+HLL+CMS panel in one pass (struct of the three wire
+    * formats, byte-identical to the standalone aggregates at equal
+    * parameters) — use when a job wants several sketches of the same
+    * column: one array traversal and one token hash instead of three.
+    */
+  def sketch_panel_agg(tokens: Column, capacity: Long, fpr: Double,
+                       p: Int = 14, depth: Int = 5,
+                       width: Int = 65536): Column = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr)
+    catalyst.aggCol(catalyst.SketchPanelAggregate(
+      catalyst.expr(tokens), nbits, k, p, depth, width))
+  }
+
   def hll_agg_tokens(tokens: Column, p: Int = 14): Column =
     catalyst.aggCol(catalyst.HllTokensAggregate(catalyst.expr(tokens), p))
 
