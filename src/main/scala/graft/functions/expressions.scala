@@ -216,6 +216,36 @@ object expressions {
       copy(child = c)
   }
 
+  /** Heuristic language ID (string -> string), native form of
+    * TextAnalysis.detectLang.
+    */
+  case class LangId(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_lang_id"
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.langId(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.langId($c)")
+    override protected def withNewChildInternal(c: Expression): LangId =
+      copy(child = c)
+  }
+
+  /** Karp-Rabin rolling-window fingerprint (string -> long), native form
+    * of TextAnalysis.rollingFingerprint.
+    */
+  case class RollingFingerprint(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_rolling_fp"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.rollingFp(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.rollingFp($c)")
+    override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+      copy(child = c)
+  }
+
   /** Hamming distance of two 64-bit fingerprints. */
   case class Hamming64(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -340,6 +370,12 @@ object expressions {
 
   def lsh_signature(c: Column, nbits: Int, dim: Int): Column =
     catalyst.aggColExpr(LshSignature(catalyst.expr(c), nbits, dim))
+
+  def lang_id(c: Column): Column =
+    catalyst.aggColExpr(LangId(catalyst.expr(c.cast("string"))))
+
+  def rolling_fingerprint(c: Column): Column =
+    catalyst.aggColExpr(RollingFingerprint(catalyst.expr(c.cast("string"))))
 
   def simhash_buckets(c: Column, maxHamming: Int): Column =
     catalyst.aggColExpr(SimhashBuckets(catalyst.expr(c.cast("bigint")), maxHamming))

@@ -62,6 +62,13 @@ object kernels {
   def simhash64(tokens: ArrayData): Long =
     SimHash.fingerprintOfTokens(tokens.toIntArray())
 
+  def langId(text: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.operators.TextAnalysis.detectLang(text.toString))
+
+  def rollingFp(text: UTF8String): Long =
+    graft.operators.TextAnalysis.rollingFingerprint(text.toString)
+
   /** Cosine similarity of two float vectors (0.0 when either is zero). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray()

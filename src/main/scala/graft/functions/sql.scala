@@ -150,6 +150,14 @@ object sql {
       "graft_cosine_sim" -> (
         "(a, b) - cosine similarity of two array<float>",
         (es: Seq[Expression]) => expressions.CosineSim(es.head, es(1))),
+      "graft_lang_id" -> (
+        "(text) - heuristic language id",
+        (es: Seq[Expression]) =>
+          expressions.LangId(Cast(es.head, StringType))),
+      "graft_rolling_fp" -> (
+        "(text) - Karp-Rabin rolling-window fingerprint",
+        (es: Seq[Expression]) =>
+          expressions.RollingFingerprint(Cast(es.head, StringType))),
       "graft_lsh_band_keys" -> (
         "(emb, numBands, bitsPerBand, dim) - hyperplane band keys",
         (es: Seq[Expression]) => expressions.LshBandKeys(es.head,

@@ -75,7 +75,9 @@ object TextAnalysis {
     if (hits == 0) "und" else best
   }
 
-  val lang_id: UserDefinedFunction = udf((text: String) => detectLang(text))
+  /** Column form — native codegen expression, no UDF dispatch. */
+  def lang_id(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.expressions.lang_id(text)
 
   /** Karp-Rabin rolling-hash fingerprint of the content: the minimum of
     * the rolling hashes over a sliding byte window — robust to
@@ -105,8 +107,10 @@ object TextAnalysis {
     minH
   }
 
-  val rolling_fingerprint: UserDefinedFunction =
-    udf((text: String) => rollingFingerprint(text))
+  /** Column form — native codegen expression, no UDF dispatch. */
+  def rolling_fingerprint(text: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    graft.functions.expressions.rolling_fingerprint(text)
 
   /** Token statistics per source over the token table: docs, total and
     * distinct tokens, token-length quantile inputs. Pure aggregation.

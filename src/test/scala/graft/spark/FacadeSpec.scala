@@ -12,6 +12,12 @@ import graft.sources.{TokenDoc, TokenDocGen}
 class FacadeSpec extends AnyFunSuite {
 
   test("GraftExtensions injects SQL functions at session build time") {
+    // getOrCreate ignores withExtensions when a session already exists
+    // (e.g. created by an earlier suite in this JVM) — build fresh
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")

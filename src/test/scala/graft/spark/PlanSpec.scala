@@ -90,7 +90,13 @@ class PlanSpec extends AnyFunSuite {
         .embeddingNearDupPairs(emb, 0.45)),
       "emb_lsh" -> planOf(graft.operators.Dedup
         .embeddingNearDupPairsLsh(emb, 0.45)),
-      "tokenize" -> planOf(toks))
+      "tokenize" -> planOf(toks),
+      "lang_id" -> planOf(spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(graft.operators.TextAnalysis.lang_id(col("text")))),
+      "rolling_fp" -> planOf(spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(graft.operators.TextAnalysis.rolling_fingerprint(col("text")))))
     for ((name, plan) <- plans)
       assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
         s"$name plan must not dispatch UDFs:\n$plan")
