@@ -486,6 +486,28 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ------- ANN: IVF (k-means inverted lists) -------
+    //
+    // Recall is data-dependent (these embeddings are near-uniform, the
+    // IVF worst case): measured 0.91-0.94 at nprobe=12/nlist=16 across
+    // sf; the query emits the recall-vs-exact gate at 0.8 so the oracle
+    // verifies the index actually finds neighbors, not just rows.
+
+    "q25_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Ann.bruteForceTopK(qs, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Ann.ivfTopK(qs, emb, 5, nlist = 16, nprobe = 12)
+        .select(col("query_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      val nHit = ivf.join(exact, Seq("query_id", "neighbor_id")).count()
+      val nQueries = qs.select(countDistinct(col("vec_id"))).head().getLong(0)
+      Seq((nQueries, nHit.toDouble / nExact >= 0.8))
+        .toDF("n_queries", "recall_ok")
+    }),
+
     // ------- runtime Bloom semi-join pruning (Catalyst rule) -------
     //
     // The engine's InjectRuntimeFilter analog: an isolated session with
@@ -698,6 +720,10 @@ object SparkEntry {
       """SELECT CAST(8 AS BIGINT) AS n_shards,
         |  true AS no_false_negatives, true AS fpr_ok,
         |  true AS row256_eq_agg""".stripMargin,
+
+    "q25_ann_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     "q24_runtime_filter_join" ->
       """SELECT count(*) AS n_join_rows,

@@ -329,6 +329,84 @@ object expressions {
       copy(child = c)
   }
 
+  /** Nearest-centroid assignment for IVF indexes (array<float> -> int).
+    * The centroid matrix rides the expression (nlist x dim doubles —
+    * small by construction); ties break to the lowest centroid id so
+    * assignment is deterministic.
+    */
+  case class IvfAssign(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def prettyName: String = "ivf_assign"
+    override def dataType: DataType = IntegerType
+
+    /** Called from generated code, hence public. */
+    def assign(v: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+      val x = v.toFloatArray()
+      var best = 0
+      var bestCos = Double.MinValue
+      var c = 0
+      while (c < centroids.length) {
+        val cos = IvfAssign.cosine(x, centroids(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+    override protected def nullSafeEval(v: Any): Any =
+      assign(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftIvf", this, getClass.getName)
+      defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): IvfAssign =
+      copy(child = c)
+  }
+
+  object IvfAssign {
+    private[expressions] def cosine(x: Array[Float],
+                                    c: Array[Double]): Double = {
+      val n = math.min(x.length, c.length)
+      var dot = 0.0; var nx = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x(i).toDouble
+        dot += xi * c(i); nx += xi * xi; nc += c(i) * c(i)
+        i += 1
+      }
+      if (nx == 0 || nc == 0) -2.0 else dot / math.sqrt(nx * nc)
+    }
+  }
+
+  /** Top-nprobe nearest centroid ids for IVF search
+    * (array<float> -> array<int>), most-similar first.
+    */
+  case class IvfProbes(child: Expression, centroids: Array[Array[Double]],
+                       nprobe: Int) extends UnaryExpression {
+    override def prettyName: String = "ivf_probes"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    /** Called from generated code, hence public. */
+    def probes(v: org.apache.spark.sql.catalyst.util.ArrayData):
+        org.apache.spark.sql.catalyst.util.ArrayData = {
+      val x = v.toFloatArray()
+      val scored = Array.tabulate(centroids.length)(c =>
+        (IvfAssign.cosine(x, centroids(c)), c))
+      val top = scored.sortBy { case (cos, c) => (-cos, c) }
+        .take(math.min(nprobe, centroids.length)).map(_._2)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(top)
+    }
+    override protected def nullSafeEval(v: Any): Any =
+      probes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftIvfP", this, getClass.getName)
+      defineCodeGen(ctx, ev, c => s"$ref.probes($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): IvfProbes =
+      copy(child = c)
+  }
+
   // Column wrappers
 
   // wrappers cast inputs explicitly (no ExpectsInputTypes coercion:
@@ -370,6 +448,13 @@ object expressions {
 
   def lsh_signature(c: Column, nbits: Int, dim: Int): Column =
     catalyst.aggColExpr(LshSignature(catalyst.expr(c), nbits, dim))
+
+  def ivf_assign(c: Column, centroids: Array[Array[Double]]): Column =
+    catalyst.aggColExpr(IvfAssign(catalyst.expr(c), centroids))
+
+  def ivf_probes(c: Column, centroids: Array[Array[Double]],
+                 nprobe: Int): Column =
+    catalyst.aggColExpr(IvfProbes(catalyst.expr(c), centroids, nprobe))
 
   def lang_id(c: Column): Column =
     catalyst.aggColExpr(LangId(catalyst.expr(c.cast("string"))))

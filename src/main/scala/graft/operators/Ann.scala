@@ -100,6 +100,79 @@ object Ann {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Deterministic k-means coarse quantizer for IVF: nlist centroids
+    * over the corpus embeddings. Init = the nlist rows with the
+    * smallest xxhash64(id) (deterministic at any parallelism);
+    * `iters` Lloyd rounds of assign (cosine, ties to lowest id) +
+    * element-wise mean. Each round is one distributed pass; the
+    * centroid matrix (nlist x dim doubles) lives on the driver — tiny
+    * by construction. At 100 TB, train on a sampled fraction
+    * (`corpus.sample`) — the quantizer only needs the density shape.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): Array[Array[Double]] = {
+    import graft.functions.{expressions => E}
+    val init = corpus
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nlist)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val means = corpus
+        .select(E.ivf_assign(col(embCol), cents).as("cl"),
+          posexplode(col(embCol)).as(Seq("pos", "x")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus rows are bucketed by
+    * nearest centroid; each query searches only its `nprobe` nearest
+    * centroid lists, re-ranked by exact cosine. The 100-TB shape: the
+    * corpus-side assignment is a single codegen projection (write it
+    * partitioned by `cl` once, then searches prune by partition), and
+    * per-query work is bounded by nprobe/nlist of the corpus. Recall
+    * depends on how clustered the data is — measure with
+    * [[bruteForceTopK]] on a sample (q25 does exactly that).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              idCol: String = "vec_id",
+              embCol: String = "embedding",
+              centroids: Array[Array[Double]] = null): DataFrame = {
+    import graft.functions.{expressions => E}
+    val cents =
+      if (centroids != null) centroids
+      else ivfCentroids(corpus, nlist, iters, idCol, embCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"),
+      E.ivf_assign(col(embCol), cents).as("cl"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(embCol).as("q_emb"),
+        explode(E.ivf_probes(col(embCol), cents, nprobe)).as("cl"))
+    val cands = q.join(c, Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", F.cosine_sim(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Band-bucket size distribution for a corpus at the given LSH
     * parameters: (bucket, bsz, dropped). Run this alongside a capped
     * lshTopK to account for what the cap discards — the no-silent-cap

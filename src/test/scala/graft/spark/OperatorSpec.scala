@@ -192,6 +192,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute), s"LSH returned non-neighbors: ${lsh -- brute}")
   }
 
+  test("IVF top-k matches brute force on clustered data") {
+    // 4 well-separated clusters (near-one-hot directions + small noise):
+    // the k-means quantizer must recover them and nprobe=2 searches must
+    // return exactly the brute-force neighbors
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until 10
+    } yield {
+      val base = Array.tabulate(8)(d =>
+        if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f)
+      val noisy = base.zipWithIndex.map { case (v, d) =>
+        v + 0.02f * graft.core.Hashing.toUnitDouble(
+          graft.core.Hashing.at(77, (c * 10 + m) * 8 + d)).toFloat
+      }
+      ((c * 10 + m).toLong, noisy)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Ann.bruteForceTopK(qs, emb, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(qs, emb, 3, nlist = 4, nprobe = 2, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == exact,
+      s"missing=${exact -- ivf}, extra=${ivf -- exact}")
+  }
+
   test("multimodal decode: metadata deterministic, nulls dropped") {
     val media = Seq(
       (1L, "hello world".getBytes("UTF-8"), "fake/image"),
