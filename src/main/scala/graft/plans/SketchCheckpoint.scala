@@ -89,6 +89,61 @@ object SketchCheckpoint {
         sum(col("token_count")).as("token_count"),
         max(col("build_ms")).as("max_build_ms"))
 
+  /** Panel checkpoint: one row per (group, partition) holding Bloom +
+    * HLL + CMS partials (all three wire formats) with the same lineage
+    * columns as the Bloom form. Resume unions each sketch column; the
+    * result is byte-identical to a fresh build for all three (Bloom OR,
+    * HLL register-max, CMS counter-add are order-insensitive).
+    * t-digest/KLL are intentionally NOT in the parity checkpoint: their
+    * merge is order-sensitive (centroid layout / randomized compaction),
+    * so a resumed digest is statistically equivalent but not
+    * byte-equal — checkpoint their EMITTED estimates instead.
+    */
+  def writePanelPartials(tokenDocs: DataFrame, groupCol: String,
+                         capacity: Long, fpr: Double,
+                         ckptDir: String, snapshotId: String,
+                         p: Int = 14, depth: Int = 5,
+                         width: Int = 65536): Unit = {
+    tokenDocs
+      .withColumn("part_id", spark_partition_id())
+      .groupBy(col(groupCol).as("group_key"), col("part_id"))
+      .agg(
+        F.sketch_panel_agg(col("tokens"), capacity, fpr, p, depth, width)
+          .as("panel"),
+        count(lit(1)).as("row_count"),
+        sum(col("n_tok")).as("token_count"),
+        graft.functions.catalyst.buildMillis().as("build_ms"))
+      .select(col("group_key"), col("part_id"),
+        col("panel.bloom").as("bloom"), col("panel.hll").as("hll"),
+        col("panel.cms").as("cms"),
+        col("row_count"), col("token_count"), col("build_ms"))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .write.mode("overwrite")
+      .parquet(s"$ckptDir/snapshot=$snapshotId")
+  }
+
+  /** Union panel partials back into per-group sketches (any snapshot
+    * subset covering the input exactly once).
+    */
+  def resumePanel(spark: SparkSession, ckptDir: String,
+                  capacity: Long, fpr: Double,
+                  p: Int = 14, depth: Int = 5, width: Int = 65536,
+                  snapshotIds: Seq[String] = Nil): DataFrame = {
+    val (nbits, k) = BloomConfig.optimize(capacity, fpr)
+    val partials =
+      if (snapshotIds.isEmpty) spark.read.parquet(ckptDir)
+      else spark.read.parquet(
+        snapshotIds.map(id => s"$ckptDir/snapshot=$id"): _*)
+    partials.groupBy(col("group_key"))
+      .agg(
+        F.bloom_union_agg(col("bloom"), nbits, k).as("bloom"),
+        F.hll_union_agg(col("hll"), p).as("hll"),
+        F.cms_union_agg(col("cms"), depth, width).as("cms"),
+        sum(col("row_count")).as("row_count"),
+        sum(col("token_count")).as("token_count"),
+        count(lit(1)).as("n_partials"))
+  }
+
   /** Two-phase skew-safe aggregation helper: salt the group key, build
     * per-(key, salt) partials, then union per key. Legal because every
     * sketch merge here is associative+commutative (the reference's Union

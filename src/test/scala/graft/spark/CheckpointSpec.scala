@@ -47,6 +47,30 @@ class CheckpointSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("panel checkpoint resume equals fresh build for bloom+hll+cms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckp").toString
+    val docs = TokenDocGen.generateDf(spark, 3000, 42L, 8).cache()
+    SketchCheckpoint.writePanelPartials(docs, "source", cap, fpr, dir, "s1")
+    val resumed = SketchCheckpoint.resumePanel(spark, dir, cap, fpr)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]]("bloom"), r.getAs[Array[Byte]]("hll"),
+          r.getAs[Array[Byte]]("cms"))).toMap
+    val fresh = docs.groupBy(col("source"))
+      .agg(F.sketch_panel_agg(col("tokens"), cap, fpr, 14, 5, 65536).as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val p = r.getStruct(1)
+        (p.getAs[Array[Byte]](0), p.getAs[Array[Byte]](1),
+          p.getAs[Array[Byte]](2))
+      }).toMap
+    docs.unpersist()
+    assert(resumed.keySet == fresh.keySet)
+    resumed.foreach { case (k, (b, h, c)) =>
+      assert(java.util.Arrays.equals(b, fresh(k)._1), s"bloom $k")
+      assert(java.util.Arrays.equals(h, fresh(k)._2), s"hll $k")
+      assert(java.util.Arrays.equals(c, fresh(k)._3), s"cms $k")
+    }
+  }
+
   test("incremental snapshot union equals full rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ck2").toString
     // snapshot 1: docs [0, 2000); snapshot 2: docs [2000, 3000) —
