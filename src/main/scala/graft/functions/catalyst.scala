@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.glue
 import org.apache.spark.sql.types._
 import graft.core._
@@ -297,6 +297,121 @@ object catalyst {
       copy(inputAggBufferOffset = o)
     protected def withNewChildInternal(c: Expression): KllAggregate =
       copy(child = c)
+  }
+
+  /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
+    * Insert is O(k) only when the candidate beats the current worst;
+    * typical rows fail the cheap worst-score test.
+    */
+  final class TopKBuffer(val k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+    private var worst = -1 // index of the entry to evict next
+
+    @inline private def better(s1: Double, i1: Long,
+                               s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    private def recomputeWorst(): Unit = {
+      var w = 0
+      var i = 1
+      while (i < size) {
+        if (better(scores(w), ids(w), scores(i), ids(i))) w = i
+        i += 1
+      }
+      worst = w
+    }
+
+    def insert(s: Double, id: Long): Unit = {
+      if (size < k) {
+        scores(size) = s; ids(size) = id; size += 1
+        if (size == k) recomputeWorst()
+      } else if (k > 0 && better(s, id, scores(worst), ids(worst))) {
+        scores(worst) = s; ids(worst) = id
+        recomputeWorst()
+      }
+    }
+
+    /** Indices of the kept entries in rank order. */
+    def ranked: Array[Int] =
+      (0 until size).sortBy(i => (-scores(i), ids(i))).toArray
+  }
+
+  /** Partial top-k by score: the scale-correct form of
+    * `row_number().over(Window.partitionBy(q).orderBy(score))` + filter.
+    * A window ranks AFTER shuffling every scored candidate row to its
+    * query's partition — at a billion-row corpus that shuffle is the
+    * job. This aggregate keeps a k-entry buffer per group per partition
+    * (map-side combine), so only k rows per (query, partition) reach the
+    * exchange. Emits array<struct<id, score>> best-first; ties break on
+    * the lower id, matching the window form exactly.
+    */
+  case class TopKByScoreAggregate(
+      score: Expression, id: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TopKBuffer] {
+    require(k > 0, "k must be positive")
+    override def prettyName: String = "topk_by_score"
+    override def children: Seq[Expression] = Seq(score, id)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression =
+      copy(score = c(0), id = c(1))
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+
+    def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+    override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      b
+    }
+
+    def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+      var i = 0
+      while (i < b.size) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+      a
+    }
+
+    def eval(b: TopKBuffer): Any = {
+      val order = b.ranked
+      new GenericArrayData(order.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(b.ids(i), b.scores(i)): Any
+      })
+    }
+
+    def serialize(b: TopKBuffer): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + 16 * b.size)
+      buf.putInt(b.k).putInt(b.size)
+      var i = 0
+      while (i < b.size) {
+        buf.putDouble(b.scores(i)).putLong(b.ids(i)); i += 1
+      }
+      buf.array()
+    }
+
+    def deserialize(bytes: Array[Byte]): TopKBuffer = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val out = new TopKBuffer(buf.getInt())
+      val n = buf.getInt()
+      var i = 0
+      while (i < n) {
+        val s = buf.getDouble(); val id = buf.getLong()
+        out.insert(s, id); i += 1
+      }
+      out
+    }
+
+    def withNewMutableAggBufferOffset(o: Int): TopKByScoreAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): TopKByScoreAggregate =
+      copy(inputAggBufferOffset = o)
   }
 
   /** Mutable buffer of the fused panel aggregate. */

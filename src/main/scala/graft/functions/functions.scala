@@ -258,4 +258,14 @@ object functions {
 
   /** Deterministic tokenizer (string -> array<int>), codegen'd. */
   def tokenize(text: Column): Column = expressions.tokenize(text)
+
+  /** Partial top-k by score per group (array<struct<id,score>>,
+    * best-first, ties to the lower id) — use instead of a
+    * row_number window when the candidate set is unbounded: only k
+    * rows per group per partition reach the shuffle.
+    */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    catalyst.aggCol(catalyst.TopKByScoreAggregate(
+      catalyst.expr(score.cast("double")), catalyst.expr(id.cast("bigint")),
+      k))
 }

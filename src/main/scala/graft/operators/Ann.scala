@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{functions => F}
 
@@ -25,6 +24,21 @@ import graft.functions.{functions => F}
   */
 object Ann {
 
+  /** Rank scored candidates (query_id, neighbor_id, cosine) to per-query
+    * top-k via the PARTIAL top-k aggregate — a row_number window would
+    * shuffle every scored candidate row to its query's partition (the
+    * whole corpus per query at 100 TB); the aggregate ships only k rows
+    * per (query, partition) to the exchange. Tie-break (cosine desc,
+    * neighbor_id asc) matches the window form exactly.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(F.topk_by_score(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("t.id").as("neighbor_id"),
+        round(col("t.score"), 4).as("cosine"))
+
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries  (id, embedding) — must be small enough to broadcast
     * @param corpus   (id, embedding)
@@ -38,12 +52,7 @@ object Ann {
       col(embCol).as("c_emb"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", F.cosine_sim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Embedding dimensionality of a table (one-row driver lookup; pass
@@ -92,12 +101,7 @@ object Ann {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.withColumn("cosine",
       F.cosine_sim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic k-means coarse quantizer for IVF: nlist centroids
@@ -165,12 +169,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", F.cosine_sim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("cosine"), 4).as("cosine"))
+    rankTopK(cands, k)
   }
 
   /** Band-bucket size distribution for a corpus at the given LSH

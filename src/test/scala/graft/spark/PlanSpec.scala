@@ -137,4 +137,24 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"),
       s"query side must broadcast:\n$plan")
   }
+
+  test("ANN ranking is partial top-k, not a full-candidate window") {
+    // a row_number window shuffles EVERY scored candidate to its
+    // query's partition; the top-k aggregate ships k rows per
+    // (query, partition) — the plan must show the aggregate and no
+    // Window node
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (df <- Seq(
+        graft.operators.Ann.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb, 3),
+        graft.operators.Ann.lshTopK(
+          emb.filter(col("vec_id") < 5), emb, 3, nbits = 32, numBands = 8))) {
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), s"no window ranking:\n$plan")
+      assert(plan.contains("topk_by_score"), plan)
+      assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+        s"partial+final top-k aggregate expected:\n$plan")
+    }
+  }
 }
