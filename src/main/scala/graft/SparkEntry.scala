@@ -418,6 +418,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------- multimodal chain: sample frames -> batch features -------
+    //
+    // frame counts and sampling arithmetic are SQL-recomputable from the
+    // decode metadata formula (frames = 1 + n_bytes % 30, stride 5);
+    // the feature tensors are engine-side, verified by shape + unit-norm
+    // booleans the fake encoder guarantees.
+
+    "q26_multimodal_frames" -> ((s, dir) => {
+      val frames = Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.asMediaTable(tbl(s, dir, "documents"))),
+        stride = 5)
+      val feats = Multimodal.frameFeatures(frames, dim = 16)
+      val norm2 = expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * x)")
+      feats
+        .join(frames.select(col("doc_id"), col("frame_idx"), col("frames")),
+          Seq("doc_id", "frame_idx"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("frames")).as("frames"),
+          count(lit(1)).as("n_sampled"),
+          every(size(col("embedding")) === 16).as("dim_ok"),
+          every(abs(sqrt(norm2) - 1.0) < 0.001).as("norm_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- token statistics -------------
 
     "q19_token_stats" -> ((s, dir) => {
@@ -694,6 +719,15 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  1 + length(text) % 30 AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1 + length(text) % 30 AS frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, frames,
+        |  CAST(floor((frames - 1) / 5) + 1 AS BIGINT) AS n_sampled,
+        |  true AS dim_ok, true AS norm_ok
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q19_token_stats" ->
       """WITH w AS (

@@ -91,4 +91,64 @@ object Multimodal {
       .select(col("doc_id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Resize planning: output dims fitting maxDim with aspect preserved —
+    * pure column arithmetic (the metadata half of a resize; the byte
+    * half is the decoder's job and stubbed with it).
+    */
+  def resizedDims(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")))
+    decoded
+      .withColumn("out_width",
+        greatest(lit(1), floor(col("width") * scale)).cast("int"))
+      .withColumn("out_height",
+        greatest(lit(1), floor(col("height") * scale)).cast("int"))
+  }
+
+  /** STUB feature extractor: deterministic embedding derived from
+    * (doc_id, frame_idx) — stands in for a real per-frame vision encoder
+    * (no models in the sandbox). Unit-normalized so cosine ANN over the
+    * output behaves like real embeddings.
+    */
+  def fakeEmbedding(docId: Long, frameIdx: Int, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var norm = 0.0
+    var d = 0
+    while (d < dim) {
+      val v = Hashing.toUnitDouble(
+        Hashing.at(docId * 31 + frameIdx, d)) - 0.5
+      out(d) = v.toFloat
+      norm += v * v
+      d += 1
+    }
+    val inv = if (norm == 0) 1.0f else (1.0 / math.sqrt(norm)).toFloat
+    d = 0
+    while (d < dim) { out(d) *= inv; d += 1 }
+    out
+  }
+
+  private val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** Per-frame feature extraction over sampled frames, batched per
+    * partition (the mapInPandas shape: a real encoder would run one
+    * batched forward pass per partition).
+    */
+  def frameFeatures(frames: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    frames.select(col("doc_id"), col("frame_idx"))
+      .mapPartitions { rows =>
+        // per-partition "model setup" would happen here
+        rows.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val fi = r.getAs[Int]("frame_idx")
+          Row(id, fi, fakeEmbedding(id, fi, dim).toSeq)
+        }
+      }(enc)
+  }
 }

@@ -235,8 +235,31 @@ class OperatorSpec extends AnyFunSuite {
       Multimodal.decode(Multimodal.asMediaTable(
         Seq((2L, "x" * 100, "en", "s", 100L))
           .toDF("doc_id", "text", "lang", "source", "n_chars"))), 5)
-      .collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.getAs[Int]("frame_idx") % 5 == 0))
+    val collected = frames.collect()
+    assert(collected.nonEmpty)
+    assert(collected.forall(_.getAs[Int]("frame_idx") % 5 == 0))
+    // feature extraction: deterministic, right shape, unit norm
+    val feats = Multimodal.frameFeatures(frames, dim = 8).collect()
+    assert(feats.length == collected.length)
+    feats.foreach { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(e.length == 8)
+      val norm = math.sqrt(e.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"norm $norm")
+      assert(e.sameElements(Multimodal.fakeEmbedding(
+        r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"), 8)))
+    }
+  }
+
+  test("resize planning preserves aspect and honors maxDim") {
+    val decoded = Seq((1L, "fake/image", 10, "x", 2048, 1024, 1),
+      (2L, "fake/image", 10, "x", 100, 50, 1))
+      .toDF("doc_id", "media_type", "n_bytes", "content_md5",
+        "width", "height", "frames")
+    val out = Multimodal.resizedDims(decoded, 512)
+      .select("doc_id", "out_width", "out_height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == (512, 256)) // downscaled, aspect kept
+    assert(out(2L) == (100, 50))  // never upscaled
   }
 }
