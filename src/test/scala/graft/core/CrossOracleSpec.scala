@@ -69,10 +69,17 @@ class CrossOracleSpec extends AnyFunSuite {
       val a = td.quantile(q)
       val b = kll.getQuantile(q)
       val trueQ = -math.log1p(-q)
+      // t-digest is tail-VALUE-accurate: check against the analytic
+      // quantile by value
       assert(math.abs(a - trueQ) < math.max(0.02, 0.03 * trueQ),
         s"t-digest off at q=$q: $a vs true $trueQ")
-      assert(math.abs(a - b) < math.max(0.03, 0.05 * trueQ),
-        s"disagreement at q=$q: $a vs $b")
+      // datasketches KLL guarantees RANK error only (randomized
+      // compaction; k=400 -> ~0.9%): in an exponential tail a sub-1%
+      // rank error is a large VALUE gap, so compare in rank space via
+      // the analytic cdf (+ sampling noise ~3*sqrt(q(1-q)/n))
+      val rankB = -math.expm1(-b) // cdf of the exponential at b
+      assert(math.abs(rankB - q) < 0.02,
+        s"datasketches KLL rank off at q=$q: got rank $rankB for $b")
     }
   }
 
