@@ -511,6 +511,19 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ------- full dedup pipeline: exact tier -> near-dup tier -------
+    //
+    // end-to-end "clean the corpus" operator; the oracle recomputes the
+    // whole pipeline in SQL (exact md5 dedup, then drop docs with a
+    // smaller-id Jaccard>=0.9 neighbor among survivors), so the kept-id
+    // list is hash-checked, not just counted.
+
+    "q27_dedup_pipeline" -> ((s, dir) => {
+      Dedup.dedupDocs(tbl(s, dir, "documents"), threshold = 0.9)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------- ANN: IVF (k-means inverted lists) -------
     //
     // Recall is data-dependent (these embeddings are near-uniform, the
@@ -758,6 +771,30 @@ object SparkEntry {
     "q25_ann_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q27_dedup_pipeline" ->
+      """WITH keep1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM keep1)
+        |  WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT p.b AS doc_id FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.a
+        |  JOIN sizes sb ON sb.doc_id = p.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9)
+        |SELECT k.doc_id, md5(k.text) AS content_md5 FROM keep1 k
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     "q24_runtime_filter_join" ->
       """SELECT count(*) AS n_join_rows,

@@ -225,6 +225,31 @@ object Dedup {
         col("l." + idCol) =!= col("r." + idCol))
   }
 
+  /** Ids to drop under near-duplicate dedup at a Jaccard threshold:
+    * every doc with a smaller-id neighbor at similarity >= threshold
+    * (the deterministic "keep the smallest id of each near-dup
+    * neighborhood" policy — SQL-replicable, unlike connected-component
+    * clustering, and what q27's oracle recomputes).
+    */
+  def nearDupDropIds(tokenDocs: DataFrame, threshold: Double,
+                     numBands: Int = 32, rowsPerBand: Int = 4): DataFrame =
+    minhashLshPairs(tokenDocs, threshold, numBands, rowsPerBand)
+      .select(col("b").as("doc_id")).distinct()
+
+  /** Full dedup pipeline over a driver-schema documents table (doc_id:
+    * long, text, source, ...): exact tier (md5) then near-dup tier
+    * (MinHash-LSH verified Jaccard at `threshold`); returns the kept
+    * documents. The near-dup tier only sees the exact tier's survivors.
+    */
+  def dedupDocs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
+    val toks = graft.sources.TokenDocs.fromDocuments(afterExact)
+      .withColumn("doc_id",
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long"))
+    afterExact.join(nearDupDropIds(toks, threshold),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with
     * cosine >= threshold, a < b — grid-blocked all-pairs (see
     * [[gridPairs]]). O(n^2) compute spread over block-pair tasks with
