@@ -10,7 +10,9 @@ import graft.plans.GraftRuntimeFilter
   */
 class RuntimeFilterSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  // def, not lazy val: the extensions test below stops the shared
+  // session, so later tests must be able to getOrCreate a fresh one
+  private def spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
@@ -89,6 +91,34 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(!joined.queryExecution.optimizedPlan.toString
         .contains("graft_bloom_might_contain"))
     }
+  }
+
+  test("extensions injection path applies the rule too") {
+    // fresh session (getOrCreate ignores withExtensions otherwise)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.runtimeFilter.enabled", "true")
+      .config("spark.graft.runtimeFilter.minProbeBytes", "0")
+      .config("spark.graft.runtimeFilter.maxBuildBytes", (1L << 40).toString)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val f = s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val d = s2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = f.join(d, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_bloom_might_contain"),
+        s"extension-injected rule must fire:\n$opt")
+      assert(joined.head().getLong(0) > 0)
+    } finally s2.stop()
   }
 
   test("non-equi join is left alone") {
