@@ -102,6 +102,26 @@ class PlanSpec extends AnyFunSuite {
         s"$name plan must not dispatch UDFs:\n$plan")
   }
 
+  test("dedup self-joins reuse their exchanges (band shuffle computed once)") {
+    // at sf0.001 everything broadcast-joins (no exchange at all) — force
+    // the shuffle-join shape a large table gets; under AQE, reuse shows
+    // only in the FINAL adaptive plan, so execute first and inspect the
+    // same queryExecution
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val toks = TokenDocs.fromDocumentsPath(spark, "/root/testdata/sf0.001")
+      for ((name, df) <- Seq(
+          "minhash" -> graft.operators.Dedup.minhashLshPairs(toks, 0.9),
+          "simhash" -> graft.operators.Dedup.simhashPairs(toks, 7))) {
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("isFinalPlan=true"), plan)
+        assert(plan.contains("ReusedExchange"),
+          s"$name self-join must reuse the bucket shuffle:\n$plan")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("embedding near-dup has no broadcast nested-loop between unbounded sides") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for ((name, df) <- Seq(
