@@ -73,6 +73,18 @@ class BloomConfigSpec extends AnyFunSuite {
     }
   }
 
+  // (nbits, nhashes) parity with the reference's ACTUAL outputs — the
+  // reference's k-selection swaps its floor/ceil variables
+  // (/root/reference/optimize.go:106-119), so it picks ceil(k) when the
+  // model favors floor; interop (union/load reject k mismatches)
+  // requires matching the behavior, not the comment. Values verified
+  // against the reference implementation (ADVICE r01).
+  test("k rounding matches the reference's swapped-variable selection") {
+    assert(BloomConfig.optimize(100000, 0.01) == ((1100288L, 8)))
+    assert(BloomConfig.optimize(50000, 0.001) == ((850432L, 12)))
+    assert(BloomConfig.optimize(200000, 1e-6) == ((9600000L, 34)))
+  }
+
   // Sizing parity fixture: /root/reference/example_test.go:112-129 —
   // 1e9 keys at fpr 1e-6 capped to 2 GiB degrades achieved fpr to ~1e-3.
   test("capacity-bounded sizing: 1e9 keys, 1e-6 fpr, 2GiB cap") {
