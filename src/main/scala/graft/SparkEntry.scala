@@ -24,8 +24,12 @@ import graft.sources.{TokenDocGen, TokenDocs}
   *    real computation, and the bound check runs inside the engine;
   *  - engine-only behaviors (reference golden values, partition parity):
   *    VALUES-literal oracles carrying reference-derived constants;
-  *  - non-SQL-expressible ops (SimHash, LSH-ANN, rolling fingerprints):
-  *    no oracle entry -> driver records rows-only check.
+  *  - ops SQL cannot recompute directly (SimHash, LSH/IVF ANN): the
+  *    query computes the check IN the engine — equality against an
+  *    independent exact path (grid all-pairs, brute-force ranking) —
+  *    and emits data-dependent columns SQL CAN recompute plus the
+  *    check booleans, so every query is oracle-checked (round 2
+  *    eliminated all rows-only entries).
   *
   * All double outputs are rounded to fixed decimals in BOTH engines so
   * IEEE last-ulp differences cannot flip the hash compare.
