@@ -182,7 +182,7 @@ object Bench {
     results += "b1_sketch_build_fused" -> fusedSec
     fusedDocs.unpersist()
 
-    // ---- probe throughput: membership of 20M keys vs built filter ----
+    // ---- probe throughput: membership of 200M keys vs built filter ----
     val filterBytes = TokenDocGen.generateDf(spark, 20000, 42L, cpus)
       .agg(F.bloom_agg_tokens(col("tokens"), 50000, 0.001))
       .head().getAs[Array[Byte]](0)
