@@ -515,6 +515,29 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ------- token-frequency heavy hitters (north-star query) -------
+    //
+    // exact top-20 words (SQL-recomputable) + the CMS point-estimate
+    // guarantee checked per candidate: true count <= estimate <=
+    // true count + ceil(eps*N) (one-sided overcount only).
+
+    "q28_heavy_hitters" -> ((s, dir) => {
+      val words = docWords(tbl(s, dir, "documents"))
+      val top = TextAnalysis.heavyHitters(words, "w", 20)
+      val nTotal = words.count()
+      val cmsBytes = words
+        .agg(F.cms_agg_hash(F.fnv_hash64_native(col("w")), 5, 65536))
+        .head().getAs[Array[Byte]](0)
+      val cms = CountMinSketch.deserialize(cmsBytes)
+      val bound = math.ceil(cms.eps * nTotal).toLong
+      val est = udf((w: String) => cms.estimate(Hashing.fnv1a64(w)))
+      top.withColumn("cms_est", est(col("w")))
+        .select(col("w"), col("cnt"),
+          (col("cms_est") >= col("cnt") &&
+            col("cms_est") <= col("cnt") + bound).as("cms_ok"))
+        .orderBy(col("cnt").desc, col("w"))
+    }),
+
     // ------- full dedup pipeline: exact tier -> near-dup tier -------
     //
     // end-to-end "clean the corpus" operator; the oracle recomputes the
@@ -775,6 +798,13 @@ object SparkEntry {
     "q25_ann_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q28_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, count(*) AS cnt, true AS cms_ok
+        |FROM tok WHERE w <> ''
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
 
     "q27_dedup_pipeline" ->
       """WITH keep1 AS (

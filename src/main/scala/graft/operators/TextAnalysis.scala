@@ -112,6 +112,19 @@ object TextAnalysis {
       org.apache.spark.sql.Column =
     graft.functions.expressions.rolling_fingerprint(text)
 
+  /** Exact top-k heavy hitters over a word/token column: (value, cnt)
+    * by (cnt desc, value asc). groupBy + global top-k (TakeOrdered — k
+    * rows per partition reach the driver-side merge, never the full
+    * count table). Pair with a CMS built over the same stream when the
+    * full count table must not materialize: the CMS estimate of each
+    * candidate is within eps*N above its true count (the q28 check).
+    */
+  def heavyHitters(values: DataFrame, valueCol: String, k: Int): DataFrame =
+    values.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(valueCol).asc)
+      .limit(k)
+
   /** Token statistics per source over the token table: docs, total and
     * distinct tokens, token-length quantile inputs. Pure aggregation.
     */
