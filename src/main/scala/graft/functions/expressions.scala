@@ -202,6 +202,39 @@ object expressions {
       copy(child = c)
   }
 
+  /** Rolling n-gram shingle hashes (array<int> -> array<long>). */
+  case class TokenShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle size must be >= 1")
+    override def prettyName: String = "token_shingles"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.tokenShingles(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.tokenShingles($c, $n)")
+    override protected def withNewChildInternal(c: Expression): TokenShingles =
+      copy(child = c)
+  }
+
+  /** MinHash signature over pre-hashed elements (array<long> -> array<long>). */
+  case class MinhashSignatureHashes(child: Expression, numPerms: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "minhash_signature_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.minhashSignatureHashes(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.kernels.minhashSignatureHashes($c, $numPerms)")
+    override protected def withNewChildInternal(
+        c: Expression): MinhashSignatureHashes = copy(child = c)
+  }
+
   /** SimHash fingerprint of a token array (array<int> -> long). */
   case class Simhash64(child: Expression) extends UnaryExpression {
     override def prettyName: String = "simhash64"
@@ -438,6 +471,12 @@ object expressions {
 
   def simhash64(c: Column): Column =
     catalyst.aggColExpr(Simhash64(catalyst.expr(c)))
+
+  def token_shingles(c: Column, n: Int): Column =
+    catalyst.aggColExpr(TokenShingles(catalyst.expr(c), n))
+
+  def minhash_signature_hashes(c: Column, numPerms: Int): Column =
+    catalyst.aggColExpr(MinhashSignatureHashes(catalyst.expr(c), numPerms))
 
   def hamming64(a: Column, b: Column): Column =
     catalyst.aggColExpr(Hamming64(

@@ -259,6 +259,14 @@ object functions {
   /** Deterministic tokenizer (string -> array<int>), codegen'd. */
   def tokenize(text: Column): Column = expressions.tokenize(text)
 
+  /** Rolling n-gram shingle hashes of a token array (array<long>). */
+  def token_shingles(tokens: Column, n: Int): Column =
+    expressions.token_shingles(tokens, n)
+
+  /** MinHash signature over pre-hashed set elements (e.g. shingles). */
+  def minhash_signature_hashes(hashes: Column, numPerms: Int = 128): Column =
+    expressions.minhash_signature_hashes(hashes, numPerms)
+
   /** Partial top-k by score per group (array<struct<id,score>>,
     * best-first, ties to the lower id) — use instead of a
     * row_number window when the candidate set is unbounded: only k

@@ -62,6 +62,51 @@ object kernels {
   def simhash64(tokens: ArrayData): Long =
     SimHash.fingerprintOfTokens(tokens.toIntArray())
 
+  /** Rolling n-gram shingle hashes over a token sequence: element i is a
+    * 64-bit hash of tokens[i..i+n) (order-sensitive — shingling is what
+    * makes MinHash dedup see word order, unlike the unigram token set).
+    * Output length max(0, len-n+1); n=1 degenerates to tokenHash per
+    * token.
+    */
+  def tokenShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val m = math.max(0, len - n + 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = Hashing.splitmix64(0x5A17E11EL ^ n)
+      var j = 0
+      while (j < n) {
+        h = Hashing.splitmix64(h ^ Hashing.tokenHash(tokens.getInt(i + j)))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over PRE-HASHED 64-bit set elements (shingles) —
+    * the elements feed the permutations directly, no tokenHash step.
+    */
+  def minhashSignatureHashes(hashes: ArrayData, numPerms: Int): ArrayData = {
+    require(numPerms <= maxCachedPerms, s"numPerms > $maxCachedPerms")
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < numPerms) {
+        val v = Hashing.splitmix64(h ^ permSeeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   def langId(text: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.operators.TextAnalysis.detectLang(text.toString))

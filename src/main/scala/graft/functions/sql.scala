@@ -150,6 +150,10 @@ object sql {
       "graft_cosine_sim" -> (
         "(a, b) - cosine similarity of two array<float>",
         (es: Seq[Expression]) => expressions.CosineSim(es.head, es(1))),
+      "graft_token_shingles" -> (
+        "(tokens, n) - rolling n-gram shingle hashes, array<long>",
+        (es: Seq[Expression]) => expressions.TokenShingles(es.head,
+          lng(es(1), "n").toInt)),
       "graft_lang_id" -> (
         "(text) - heuristic language id",
         (es: Seq[Expression]) =>

@@ -44,11 +44,17 @@ object Dedup {
       .filter(col(idCol) =!= col("keep_id"))
       .select(col(idCol))
 
-  /** Distinct word-token set per doc (the unit for Jaccard measures). */
-  private def tokenSets(tokenDocs: DataFrame): DataFrame =
-    tokenDocs.select(col("doc_id"),
-        array_distinct(col("tokens")).as("tokset"))
+  /** Distinct set per doc (the unit for Jaccard measures): unigram token
+    * ids at ngram=1, rolling-hashed n-gram shingles otherwise (shingles
+    * make Jaccard order-sensitive — the standard text-dedup unit).
+    */
+  private def tokenSets(tokenDocs: DataFrame, ngram: Int = 1): DataFrame = {
+    val elems =
+      if (ngram == 1) col("tokens")
+      else graft.functions.expressions.token_shingles(col("tokens"), ngram)
+    tokenDocs.select(col("doc_id"), array_distinct(elems).as("tokset"))
       .withColumn("set_size", size(col("tokset")))
+  }
 
   /** Exact verification of candidate (a, b) pairs against token sets:
     * joins both sides' sets, computes exact Jaccard, keeps >= threshold.
@@ -83,9 +89,10 @@ object Dedup {
     * prefix df, not raw df, which is the quadratic-blowup fix for the
     * round-1 uncapped posting join (VERDICT r01 "what's wrong" #3).
     */
-  def jaccardPairs(tokenDocs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(tokenDocs: DataFrame, threshold: Double,
+                   ngram: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
-    val sets = tokenSets(tokenDocs)
+    val sets = tokenSets(tokenDocs, ngram)
     val posting = sets
       .select(col("doc_id"), col("set_size"), explode(col("tokset")).as("t"))
     val dfreq = posting.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -115,10 +122,16 @@ object Dedup {
     * to the bucket join — constant fan-out, unlike the posting-list join.
     */
   def minhashLshPairs(tokenDocs: DataFrame, threshold: Double,
-                      numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+                      numBands: Int = 32, rowsPerBand: Int = 4,
+                      ngram: Int = 1): DataFrame = {
     val numPerms = numBands * rowsPerBand
+    val sigExpr =
+      if (ngram == 1) F.minhash_signature(numPerms)(col("tokens"))
+      else graft.functions.expressions.minhash_signature_hashes(
+        graft.functions.expressions.token_shingles(col("tokens"), ngram),
+        numPerms)
     val sigs = tokenDocs.select(col("doc_id"), col("tokens"))
-      .withColumn("sig", F.minhash_signature(numPerms)(col("tokens")))
+      .withColumn("sig", sigExpr)
       // drop the 128-long signature before the band shuffle — only
       // (doc_id, band) rides the exchange
       .select(col("doc_id"),
@@ -131,7 +144,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    verifyJaccard(cands, tokenSets(tokenDocs), threshold)
+    verifyJaccard(cands, tokenSets(tokenDocs, ngram), threshold)
   }
 
   /** SimHash near-dup pairs: fingerprints within `maxHamming`, via the

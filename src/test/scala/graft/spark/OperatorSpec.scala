@@ -81,6 +81,26 @@ class OperatorSpec extends AnyFunSuite {
         s"missing=${exact -- lsh}, extra=${lsh -- exact}")
   }
 
+  test("shingles make Jaccard order-sensitive; LSH path agrees") {
+    // same token MULTISET, different order: unigram Jaccard = 1.0 but
+    // bigram shingle Jaccard is low — shingling catches the reorder
+    val a = (1 to 40).toArray
+    val b = (1 to 40).reverse.toArray
+    val c = (1 to 40).toArray // true duplicate of a
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "tokens")
+    val uni = Dedup.jaccardPairs(docs, 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uni == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"unigram sets are all equal: $uni")
+    val bi = Dedup.jaccardPairs(docs, 0.9, ngram = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bi == Set((1L, 3L)),
+      s"only the true duplicate shares bigrams: $bi")
+    val biLsh = Dedup.minhashLshPairs(docs, 0.9, ngram = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(biLsh == bi, s"LSH shingle path must agree: $biLsh vs $bi")
+  }
+
   test("simhash pairs: identical docs distance 0, found via chunking") {
     val docs = Seq(
       (1L, Array.tabulate(50)(i => i * 3)),
