@@ -217,6 +217,45 @@ object Bench {
     results += "b8_bloom_probe_200m_256mb_bcast" -> probeBigSec
     bigBc.destroy()
 
+    // ---- runtime Bloom semi-join pruning: same join with/without ----
+    // fact = 100M rows, dim keeps 1% of the key space; the rule's Bloom
+    // probe drops ~99% of fact rows BEFORE the join shuffle
+    locally {
+      val dim = spark.range(0, 10, 1, 1)
+        .select((col("id") * 100).as("k")) // 10 of 1000 key values
+      def fact = spark.range(0, 100000000L, 1, cpus)
+        .select(col("id"), pmod(col("id"), lit(1000)).as("fk"))
+      def joinJob(s: org.apache.spark.sql.SparkSession,
+                  f: org.apache.spark.sql.DataFrame,
+                  d: org.apache.spark.sql.DataFrame): Long =
+        f.join(d, col("fk") === col("k")).agg(count(lit(1)))
+          .head().getLong(0)
+      val plain = { joinJob(spark, fact, dim) // warm
+        (1 to 2).map(_ => time(joinJob(spark, fact, dim))._2).min }
+      val s2 = spark.newSession()
+      s2.experimental.extraOptimizations =
+        Seq(graft.plans.GraftRuntimeFilter(s2))
+      s2.conf.set("spark.graft.runtimeFilter.enabled", "true")
+      s2.conf.set("spark.graft.runtimeFilter.minProbeBytes", "0")
+      s2.conf.set("spark.graft.runtimeFilter.maxBuildBytes",
+        (1L << 40).toString)
+      // forbid the broadcast join so both plans shuffle — isolating the
+      // semi-join pruning effect on the exchange volume
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plainShuffle = { joinJob(spark, fact, dim)
+        (1 to 2).map(_ => time(joinJob(spark, fact, dim))._2).min }
+      val dim2 = s2.range(0, 10, 1, 1).select((col("id") * 100).as("k"))
+      def fact2 = s2.range(0, 100000000L, 1, cpus)
+        .select(col("id"), pmod(col("id"), lit(1000)).as("fk"))
+      val pruned = { joinJob(s2, fact2, dim2)
+        (1 to 2).map(_ => time(joinJob(s2, fact2, dim2))._2).min }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      results += "b9_join_100m_broadcast" -> plain
+      results += "b9_join_100m_shuffle" -> plainShuffle
+      results += "b9_join_100m_shuffle_rtfilter" -> pruned
+    }
+
     // ---- sf-dir workloads (driver testdata at bench scale) ----
     val toks = TokenDocs.fromDocumentsPath(spark, sfDir).cache()
     toks.count()

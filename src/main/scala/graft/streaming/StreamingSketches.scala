@@ -94,6 +94,39 @@ object StreamingSketches {
       }
   }
 
+  /** Streaming exact dedup: emit only the FIRST occurrence of each key
+    * ever seen by the stream (state = one boolean per key). Duplicates
+    * within a batch and across batches are both dropped; use with
+    * OutputMode.Append. `stateTtl` bounds the state store for unbounded
+    * key domains — after an idle TTL a reappearing key is treated as new
+    * (sliding-window dedup, the standard compromise at 100 TB of keys;
+    * without a TTL the state holds one tiny row per distinct key).
+    */
+  def streamingDedup[T](ds: Dataset[T], keyFn: T => String,
+                        stateTtl: Option[java.time.Duration] = None)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    implicit val strEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.scalaBoolean
+    val timeout = stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[Boolean, T](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
+        (key: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
+            Iterator.empty
+          } else {
+            state.update(true)
+            stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
+            rows.take(1)
+          }
+      }
+  }
+
   /** Streaming quantiles of a numeric field per group via t-digest state.
     * Emits (group, n, p50, p99) per micro-batch.
     */

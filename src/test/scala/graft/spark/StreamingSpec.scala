@@ -114,6 +114,35 @@ class StreamingSpec extends AnyFunSuite {
       s"k1 must restart fresh after expiry: $k1Rows")
   }
 
+  test("streaming dedup keeps exactly the first occurrence of each key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TokenDoc]
+    val out = StreamingSketches.streamingDedup[TokenDoc](
+      stream.toDS(), d => d.tokens.mkString(","))
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    def doc(id: Long, toks: Array[Int]) =
+      TokenDoc(s"d$id", toks, toks.length, "s")
+    try {
+      // batch 1: a, a-dup (same content), b
+      stream.addData(Seq(doc(1, Array(1, 2, 3)), doc(2, Array(1, 2, 3)),
+        doc(3, Array(9, 9))))
+      q.processAllAvailable()
+      // batch 2: a again (cross-batch dup), c
+      stream.addData(Seq(doc(4, Array(1, 2, 3)), doc(5, Array(7))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT n_tok, doc_id FROM dedup_out").collect()
+      .map(r => r.getInt(0)).sorted.toSeq
+    // one row per distinct content: {1,2,3}, {9,9}, {7}
+    assert(kept == Seq(1, 2, 3), s"kept n_toks: $kept")
+    // streaming keep-set content equals the batch exact-dedup group count
+    assert(kept.size == 3)
+  }
+
   test("streaming quantiles stay within bound as batches arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
