@@ -515,6 +515,49 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ------- per-source n_tok quantiles (north-star query) -------
+    //
+    // "quantiles of n_tok" per source: exact interpolated median
+    // (DuckDB-recomputable) + sketch acceptance — t-digest by value,
+    // KLL by the rank bound it guarantees (cf. q05).
+
+    "q29_ntok_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TokenDocs.fromDocumentsPath(s, dir)
+        .select(col("source"), col("n_tok").cast("double").as("v")).cache()
+      val sketches = toks.groupBy(col("source")).agg(
+          F.tdigest_agg(col("v"), 100.0).as("td"),
+          F.kll_agg(col("v"), 200).as("kll"),
+          count(lit(1)).as("n"),
+          expr("percentile(v, 0.5)").as("exact_p50"))
+        .collect()
+      val rows = sketches.map { r =>
+        val src = r.getString(0)
+        val td = TDigest.deserialize(r.getAs[Array[Byte]]("td"))
+        val kll = KllSketch.deserialize(r.getAs[Array[Byte]]("kll"))
+        val n = r.getAs[Long]("n").toDouble
+        val exact = r.getAs[Double]("exact_p50")
+        val kllEst = kll.quantile(0.5)
+        // n_tok is discrete: the cdf jumps at duplicated values, so the
+        // rank check must be the INTERVAL form — an estimate v is a
+        // valid eps-approximate median iff P(x < v) <= 0.5+eps and
+        // P(x <= v) >= 0.5-eps
+        val ranks = toks.filter(col("source") === src)
+          .agg((sum(when(col("v") < kllEst, 1L).otherwise(0L)) / n)
+            .as("lt"),
+            (sum(when(col("v") <= kllEst, 1L).otherwise(0L)) / n)
+              .as("le"))
+          .head()
+        (src, math.round(exact * 10000) / 10000.0,
+          math.abs(td.quantile(0.5) - exact) <=
+            math.max(math.abs(exact) * 0.05, 2.0),
+          ranks.getDouble(0) <= 0.52 && ranks.getDouble(1) >= 0.48)
+      }
+      toks.unpersist()
+      rows.toSeq.toDF("source", "exact_p50", "td_ok", "kll_ok")
+        .orderBy(col("source"))
+    }),
+
     // ------- token-frequency heavy hitters (north-star query) -------
     //
     // exact top-20 words (SQL-recomputable) + the CMS point-estimate
@@ -798,6 +841,18 @@ object SparkEntry {
     "q25_ann_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q29_ntok_quantiles" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT doc_id, source, count(*) AS n_tok FROM w
+        |  WHERE w <> '' GROUP BY 1, 2)
+        |SELECT source,
+        |  round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 4) AS exact_p50,
+        |  true AS td_ok, true AS kll_ok
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
 
     "q28_heavy_hitters" ->
       """WITH tok AS (

@@ -279,6 +279,20 @@ object expressions {
       copy(child = c)
   }
 
+  /** SimHash over pre-hashed elements (array<long> -> long). */
+  case class Simhash64Hashes(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "simhash64_hashes"
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.simhash64Hashes(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.simhash64Hashes($c)")
+    override protected def withNewChildInternal(c: Expression): Simhash64Hashes =
+      copy(child = c)
+  }
+
   /** Hamming distance of two 64-bit fingerprints. */
   case class Hamming64(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -474,6 +488,9 @@ object expressions {
 
   def token_shingles(c: Column, n: Int): Column =
     catalyst.aggColExpr(TokenShingles(catalyst.expr(c), n))
+
+  def simhash64_hashes(c: Column): Column =
+    catalyst.aggColExpr(Simhash64Hashes(catalyst.expr(c)))
 
   def minhash_signature_hashes(c: Column, numPerms: Int): Column =
     catalyst.aggColExpr(MinhashSignatureHashes(catalyst.expr(c), numPerms))

@@ -107,6 +107,25 @@ object kernels {
     new GenericArrayData(sig)
   }
 
+  /** SimHash over pre-hashed 64-bit elements (shingles), weighted by
+    * multiplicity — the n-gram form of simhash64.
+    */
+  def simhash64Hashes(hashes: ArrayData): Long = {
+    val counts = new java.util.HashMap[Long, Int]()
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      counts.put(h, counts.getOrDefault(h, 0) + 1)
+      i += 1
+    }
+    val it = counts.entrySet().iterator()
+    SimHash.fingerprint(new Iterator[(Long, Double)] {
+      def hasNext = it.hasNext
+      def next() = { val e = it.next(); (e.getKey, e.getValue.toDouble) }
+    })
+  }
+
   def langId(text: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.operators.TextAnalysis.detectLang(text.toString))

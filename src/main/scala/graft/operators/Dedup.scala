@@ -158,8 +158,8 @@ object Dedup {
     * for what a cap discards.
     */
   def simhashPairs(tokenDocs: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 0): DataFrame = {
-    val keyed = simhashKeyed(tokenDocs, maxHamming)
+                   maxBucket: Int = 0, ngram: Int = 1): DataFrame = {
+    val keyed = simhashKeyed(tokenDocs, maxHamming, ngram)
     val pruned =
       if (maxBucket <= 0) keyed
       else {
@@ -180,8 +180,14 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  private def simhashKeyed(tokenDocs: DataFrame, maxHamming: Int): DataFrame =
-    tokenDocs.select(col("doc_id"), F.simhash64(col("tokens")).as("fp"))
+  private def simhashFp(ngram: Int): Column =
+    if (ngram == 1) F.simhash64(col("tokens"))
+    else graft.functions.expressions.simhash64_hashes(
+      graft.functions.expressions.token_shingles(col("tokens"), ngram))
+
+  private def simhashKeyed(tokenDocs: DataFrame, maxHamming: Int,
+                           ngram: Int = 1): DataFrame =
+    tokenDocs.select(col("doc_id"), simhashFp(ngram).as("fp"))
       .select(col("doc_id"), col("fp"),
         explode(F.simhash_buckets(col("fp"), maxHamming)).as("bk"))
 
@@ -199,9 +205,8 @@ object Dedup {
     * block-pair tasks — no broadcast, no driver collect.
     */
   def simhashPairsExact(tokenDocs: DataFrame, maxHamming: Int,
-                        numBlocks: Int = 8): DataFrame = {
-    val fps = tokenDocs.select(col("doc_id"),
-      F.simhash64(col("tokens")).as("fp"))
+                        numBlocks: Int = 8, ngram: Int = 1): DataFrame = {
+    val fps = tokenDocs.select(col("doc_id"), simhashFp(ngram).as("fp"))
     gridPairs(fps, "doc_id", numBlocks)
       .select(
         least(col("l.doc_id"), col("r.doc_id")).as("a"),

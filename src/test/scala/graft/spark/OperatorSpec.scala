@@ -101,6 +101,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(biLsh == bi, s"LSH shingle path must agree: $biLsh vs $bi")
   }
 
+  test("simhash with shingles separates reordered from duplicated docs") {
+    val a = (1 to 60).toArray
+    val b = (1 to 60).reverse.toArray // same multiset, reversed order
+    val c = (1 to 60).toArray         // true duplicate
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "tokens")
+    val uni = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uni == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"unigram simhash ignores order: $uni")
+    val bi = Dedup.simhashPairs(docs, maxHamming = 3, ngram = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bi == Set((1L, 3L)), s"bigram simhash sees order: $bi")
+    // bucketed == exact under shingles too
+    val biExact = Dedup.simhashPairsExact(docs, maxHamming = 3, ngram = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bi == biExact)
+  }
+
   test("simhash pairs: identical docs distance 0, found via chunking") {
     val docs = Seq(
       (1L, Array.tabulate(50)(i => i * 3)),
