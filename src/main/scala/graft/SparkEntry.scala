@@ -531,28 +531,36 @@ object SparkEntry {
           count(lit(1)).as("n"),
           expr("percentile(v, 0.5)").as("exact_p50"))
         .collect()
-      val rows = sketches.map { r =>
+      // n_tok is discrete: the cdf jumps at duplicated values, so the
+      // KLL rank check is the INTERVAL form — an estimate v is a valid
+      // eps-approximate median iff P(x < v) <= 0.5+eps and
+      // P(x <= v) >= 0.5-eps. Computed in ONE joined pass over all
+      // sources (no per-source driver loop).
+      val perSource = sketches.map { r =>
         val src = r.getString(0)
         val td = TDigest.deserialize(r.getAs[Array[Byte]]("td"))
         val kll = KllSketch.deserialize(r.getAs[Array[Byte]]("kll"))
-        val n = r.getAs[Long]("n").toDouble
         val exact = r.getAs[Double]("exact_p50")
-        val kllEst = kll.quantile(0.5)
-        // n_tok is discrete: the cdf jumps at duplicated values, so the
-        // rank check must be the INTERVAL form — an estimate v is a
-        // valid eps-approximate median iff P(x < v) <= 0.5+eps and
-        // P(x <= v) >= 0.5-eps
-        val ranks = toks.filter(col("source") === src)
-          .agg((sum(when(col("v") < kllEst, 1L).otherwise(0L)) / n)
-            .as("lt"),
-            (sum(when(col("v") <= kllEst, 1L).otherwise(0L)) / n)
-              .as("le"))
-          .head()
-        (src, math.round(exact * 10000) / 10000.0,
-          math.abs(td.quantile(0.5) - exact) <=
-            math.max(math.abs(exact) * 0.05, 2.0),
-          ranks.getDouble(0) <= 0.52 && ranks.getDouble(1) >= 0.48)
-      }
+        (src, exact, td.quantile(0.5), kll.quantile(0.5))
+      }.toSeq.toDF("source", "exact_p50", "td_p50", "kll_p50")
+      val ranks = toks.join(broadcast(perSource), Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          (sum(when(col("v") < col("kll_p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("rank_lt"),
+          (sum(when(col("v") <= col("kll_p50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("rank_le"))
+      val out = perSource.join(ranks, Seq("source"))
+        .select(col("source"),
+          round(col("exact_p50"), 4).as("exact_p50"),
+          (abs(col("td_p50") - col("exact_p50")) <=
+            greatest(abs(col("exact_p50")) * 0.05, lit(2.0))).as("td_ok"),
+          (col("rank_lt") <= 0.52 && col("rank_le") >= 0.48).as("kll_ok"))
+        .orderBy(col("source"))
+      // materialize the 20-row result before dropping the cache the
+      // plan depends on
+      val rows = out.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))
       toks.unpersist()
       rows.toSeq.toDF("source", "exact_p50", "td_ok", "kll_ok")
         .orderBy(col("source"))
