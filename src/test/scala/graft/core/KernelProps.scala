@@ -93,6 +93,39 @@ object KernelProps extends Properties("kernels") {
     }
   }
 
+  property("tokenShingles matches a direct reimplementation") =
+    forAll(tokensGen, Gen.chooseNum(1, 5)) { (ts, n) =>
+      val arr = ts.toArray
+      val got = kernels.tokenShingles(new GenericArrayData(arr), n)
+        .toLongArray()
+      val want = (0 to arr.length - n).map { i =>
+        var h = Hashing.splitmix64(0x5A17E11EL ^ n)
+        (i until i + n).foreach(j =>
+          h = Hashing.splitmix64(h ^ Hashing.tokenHash(arr(j))))
+        h
+      }.toArray
+      got.sameElements(want)
+    }
+
+  property("minhashSignatureHashes == signature over the same hash stream") =
+    forAll(tokensGen) { ts =>
+      val hashes = kernels.tokenShingles(
+        new GenericArrayData(ts.toArray), 2).toLongArray()
+      val got = kernels.minhashSignatureHashes(
+        new GenericArrayData(hashes), 64).toLongArray()
+      val want = MinHash.signature(hashes.iterator, 64)
+      got.sameElements(want)
+    }
+
+  property("simhash64Hashes: permutation-invariant, duplicate-sensitive") =
+    forAll(tokensGen) { ts =>
+      val hs = ts.map(t => Hashing.tokenHash(t)).toArray
+      val a = kernels.simhash64Hashes(new GenericArrayData(hs))
+      val b = kernels.simhash64Hashes(
+        new GenericArrayData(hs.reverse))
+      a == b // multiset-determined, order-free
+    }
+
   property("lshBandKeys: identical vectors share all keys, band tag packed") =
     forAll(Gen.listOfN(16, Gen.chooseNum(-50, 50))) { xs =>
       val v = xs.map(_ / 9.0f).toArray
