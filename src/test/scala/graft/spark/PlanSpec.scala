@@ -135,6 +135,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join and aggregate with zero exchanges") {
+    import graft.sources.BucketedTables
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketedTables.writeBucketed(
+        docs.select(col("doc_id"), col("source")), "graft_bt_a", "doc_id", 8)
+      BucketedTables.writeBucketed(
+        docs.select(col("doc_id"), col("n_chars")), "graft_bt_b", "doc_id", 8)
+      val joined = BucketedTables.read(spark, "graft_bt_a")
+        .join(BucketedTables.read(spark, "graft_bt_b"), Seq("doc_id"))
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"bucket-co-located join must not shuffle:\n$plan")
+      assert(joined.count() == docs.count())
+      // aggregation on the bucket key is exchange-free too
+      val agg = BucketedTables.read(spark, "graft_bt_a")
+        .groupBy(col("doc_id")).count()
+      assert(!planOf(agg).contains("Exchange"), planOf(agg))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bt_b")
+    }
+  }
+
   test("broadcast bloom probe stays inside codegen, no UDFs") {
     val f = BlockedBloomFilter.optimized(1000, 0.01)
     (0 until 1000).foreach(i => f.add(Hashing.tokenHash(i)))
