@@ -100,8 +100,12 @@ object Dedup {
     val ranked = posting.join(dfreq, Seq("t"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+      // epsilon guards the float boundary: 60 * 0.9 evaluates to
+      // 54.000000000000014, whose ceil would shorten the prefix by one
+      // and silently drop pairs; erring the other way only adds
+      // candidates (the exact verify removes them)
       .withColumn("prefix_len",
-        col("set_size") - ceil(col("set_size") * threshold) + 1)
+        col("set_size") - ceil(col("set_size") * threshold - 1e-9) + 1)
     val prefix = ranked.filter(col("rn") <= col("prefix_len"))
       .select(col("doc_id"), col("t"))
     // self-join the SAME plan aliased two ways: the shuffle on t is

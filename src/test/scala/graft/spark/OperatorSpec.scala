@@ -59,6 +59,21 @@ class OperatorSpec extends AnyFunSuite {
       math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 1e-4))
   }
 
+  test("prefix filter survives the float boundary (t * |d| an exact integer)") {
+    // 25 * 0.56 is 14 in the reals but 14.000000000000002 in doubles: a
+    // naive ceil yields 15, shortening doc1's prefix from 12 to 11 —
+    // exactly cutting off the FIRST shared token (ranks 1-11 are doc1's
+    // unique rare tokens) and silently dropping this J = 14/25 = 0.56
+    // pair. The epsilon-guarded ceil keeps it.
+    val shared = (100 to 113).toArray            // 14 shared tokens (df=2)
+    val doc1 = ((1 to 11).toArray ++ shared)     // 11 uniques + shared = 25
+    val doc2 = shared                            // exactly the shared set
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "tokens")
+    val pairs = Dedup.jaccardPairs(docs, 0.56).collect()
+    assert(pairs.length == 1, s"boundary pair must survive: ${pairs.toSeq}")
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 0.56) < 1e-9)
+  }
+
   test("prefix filter prunes the hot token out of the index at high t") {
     // at threshold 0.9 each 2-token doc indexes only its rarest token
     // (prefix length 1), so the df=20 hot token never reaches the
