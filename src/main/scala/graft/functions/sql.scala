@@ -41,6 +41,21 @@ object sql {
   }
   private type Decimal = org.apache.spark.sql.types.Decimal
 
+  // SQL inputs arrive with whatever type the user's column has; the
+  // aggregates read buffers with exact-type casts, so coerce here (the
+  // Column API does the same via .cast) — ExpectsInputTypes would do
+  // this but is private[sql] in Spark 4.
+  private def asLong(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
+  private def asDouble(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
+  private def asIntArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))
+
   /** name -> (usage, builder) for the aggregate expressions. */
   val aggregateBuilders: Map[String, (String, Seq[Expression] => Expression)] =
     Map(
@@ -50,7 +65,7 @@ object sql {
           val maxBits = if (es.length > 3) lng(es(3), "maxBits") else 0L
           val (nbits, k) = BloomConfig.optimize(
             lng(es(1), "capacity"), dbl(es(2), "fpr"), maxBits)
-          catalyst.BloomTokensAggregate(es.head, nbits, k)
+          catalyst.BloomTokensAggregate(asIntArray(es.head), nbits, k)
             .toAggregateExpression()
         }),
       "graft_bloom_agg_hash" -> (
@@ -59,7 +74,7 @@ object sql {
           val maxBits = if (es.length > 3) lng(es(3), "maxBits") else 0L
           val (nbits, k) = BloomConfig.optimize(
             lng(es(1), "capacity"), dbl(es(2), "fpr"), maxBits)
-          catalyst.BloomHashAggregate(es.head, nbits, k)
+          catalyst.BloomHashAggregate(asLong(es.head), nbits, k)
             .toAggregateExpression()
         }),
       "graft_bloom_union_agg" -> (
@@ -74,39 +89,39 @@ object sql {
         "(tokens[, p]) - HyperLogLog sketch",
         (es: Seq[Expression]) => {
           val p = if (es.length > 1) lng(es(1), "p").toInt else 14
-          catalyst.HllTokensAggregate(es.head, p).toAggregateExpression()
+          catalyst.HllTokensAggregate(asIntArray(es.head), p).toAggregateExpression()
         }),
       "graft_hll_agg_hash" -> (
         "(hash64[, p]) - HyperLogLog sketch",
         (es: Seq[Expression]) => {
           val p = if (es.length > 1) lng(es(1), "p").toInt else 14
-          catalyst.HllHashAggregate(es.head, p).toAggregateExpression()
+          catalyst.HllHashAggregate(asLong(es.head), p).toAggregateExpression()
         }),
       "graft_cms_agg_tokens" -> (
         "(tokens[, depth, width]) - count-min sketch",
         (es: Seq[Expression]) => {
           val d = if (es.length > 1) lng(es(1), "depth").toInt else 5
           val w = if (es.length > 2) lng(es(2), "width").toInt else 65536
-          catalyst.CmsTokensAggregate(es.head, d, w).toAggregateExpression()
+          catalyst.CmsTokensAggregate(asIntArray(es.head), d, w).toAggregateExpression()
         }),
       "graft_cms_agg_hash" -> (
         "(hash64[, depth, width]) - count-min sketch",
         (es: Seq[Expression]) => {
           val d = if (es.length > 1) lng(es(1), "depth").toInt else 5
           val w = if (es.length > 2) lng(es(2), "width").toInt else 65536
-          catalyst.CmsHashAggregate(es.head, d, w).toAggregateExpression()
+          catalyst.CmsHashAggregate(asLong(es.head), d, w).toAggregateExpression()
         }),
       "graft_tdigest_agg" -> (
         "(value[, compression]) - t-digest sketch",
         (es: Seq[Expression]) => {
           val c = if (es.length > 1) dbl(es(1), "compression") else 100.0
-          catalyst.TDigestAggregate(es.head, c).toAggregateExpression()
+          catalyst.TDigestAggregate(asDouble(es.head), c).toAggregateExpression()
         }),
       "graft_kll_agg" -> (
         "(value[, k]) - KLL quantile sketch",
         (es: Seq[Expression]) => {
           val k = if (es.length > 1) lng(es(1), "k").toInt else 200
-          catalyst.KllAggregate(es.head, k).toAggregateExpression()
+          catalyst.KllAggregate(asDouble(es.head), k).toAggregateExpression()
         }))
 
   /** name -> (usage, builder) for the native scalar expressions (codegen,
@@ -130,7 +145,8 @@ object sql {
           expressions.Fnv1a64(Cast(es.head, StringType))),
       "graft_minhash_signature" -> (
         "(tokens[, numPerms]) - MinHash signature, array<long>",
-        (es: Seq[Expression]) => expressions.MinhashSignature(es.head,
+        (es: Seq[Expression]) => expressions.MinhashSignature(
+          asIntArray(es.head),
           if (es.length > 1) lng(es(1), "numPerms").toInt else 128)),
       "graft_minhash_bands" -> (
         "(sig, numBands, rowsPerBand) - LSH band keys, array<long>",
@@ -138,7 +154,8 @@ object sql {
           lng(es(1), "numBands").toInt, lng(es(2), "rowsPerBand").toInt)),
       "graft_simhash" -> (
         "(tokens) - 64-bit SimHash fingerprint",
-        (es: Seq[Expression]) => expressions.Simhash64(es.head)),
+        (es: Seq[Expression]) =>
+          expressions.Simhash64(asIntArray(es.head))),
       "graft_simhash_buckets" -> (
         "(fp, maxHamming) - two-level pigeonhole bucket keys, array<long>",
         (es: Seq[Expression]) => expressions.SimhashBuckets(
@@ -152,8 +169,8 @@ object sql {
         (es: Seq[Expression]) => expressions.CosineSim(es.head, es(1))),
       "graft_token_shingles" -> (
         "(tokens, n) - rolling n-gram shingle hashes, array<long>",
-        (es: Seq[Expression]) => expressions.TokenShingles(es.head,
-          lng(es(1), "n").toInt)),
+        (es: Seq[Expression]) => expressions.TokenShingles(
+          asIntArray(es.head), lng(es(1), "n").toInt)),
       "graft_lang_id" -> (
         "(text) - heuristic language id",
         (es: Seq[Expression]) =>

@@ -52,6 +52,15 @@ class FacadeSpec extends AnyFunSuite {
         "SELECT graft_simhash(graft_tokenize('x')) FROM t")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("ScalaUDF"), plan)
+      // SQL builders coerce input types (an INT column into a
+      // double/long-typed aggregate used to ClassCastException)
+      val coerced = spark.sql(
+        """SELECT length(graft_kll_agg(n_tok)) AS a,
+          |       length(graft_tdigest_agg(n_tok)) AS b,
+          |       length(graft_bloom_agg_hash(n_tok, 1000, 0.01)) AS c
+          |FROM t""".stripMargin).head()
+      assert(coerced.getInt(0) > 0 && coerced.getInt(1) > 0 &&
+        coerced.getInt(2) > 64)
     } finally spark.stop()
   }
 
