@@ -40,7 +40,7 @@ object functions {
                        maxBits: Long = 0L): Column = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr, maxBits)
     catalyst.aggCol(catalyst.BloomTokensAggregate(
-      catalyst.expr(tokens), nbits, k))
+      catalyst.expr(tokens.cast("array<int>")), nbits, k))
   }
 
   /** Bloom filter over pre-hashed 64-bit keys. */
@@ -48,7 +48,7 @@ object functions {
                      maxBits: Long = 0L): Column = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr, maxBits)
     catalyst.aggCol(catalyst.BloomHashAggregate(
-      catalyst.expr(hash), nbits, k))
+      catalyst.expr(hash.cast("bigint")), nbits, k))
   }
 
   /** Union of pre-built Bloom dumps (checkpoint resume path). */
@@ -66,25 +66,25 @@ object functions {
                        width: Int = 65536): Column = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr)
     catalyst.aggCol(catalyst.SketchPanelAggregate(
-      catalyst.expr(tokens), nbits, k, p, depth, width))
+      catalyst.expr(tokens.cast("array<int>")), nbits, k, p, depth, width))
   }
 
   def hll_agg_tokens(tokens: Column, p: Int = 14): Column =
-    catalyst.aggCol(catalyst.HllTokensAggregate(catalyst.expr(tokens), p))
+    catalyst.aggCol(catalyst.HllTokensAggregate(catalyst.expr(tokens.cast("array<int>")), p))
 
   def hll_agg_hash(hash: Column, p: Int = 14): Column =
-    catalyst.aggCol(catalyst.HllHashAggregate(catalyst.expr(hash), p))
+    catalyst.aggCol(catalyst.HllHashAggregate(catalyst.expr(hash.cast("bigint")), p))
 
   def hll_union_agg(sketches: Column, p: Int = 14): Column =
     udaf(new aggregators.HllUnionAgg(p), Encoders.BINARY)(sketches)
 
   def cms_agg_tokens(tokens: Column, depth: Int = 5, width: Int = 65536): Column =
     catalyst.aggCol(catalyst.CmsTokensAggregate(
-      catalyst.expr(tokens), depth, width))
+      catalyst.expr(tokens.cast("array<int>")), depth, width))
 
   def cms_agg_hash(hash: Column, depth: Int = 5, width: Int = 65536): Column =
     catalyst.aggCol(catalyst.CmsHashAggregate(
-      catalyst.expr(hash), depth, width))
+      catalyst.expr(hash.cast("bigint")), depth, width))
 
   def cms_union_agg(sketches: Column, depth: Int = 5, width: Int = 65536): Column =
     udaf(new aggregators.CmsUnionAgg(depth, width), Encoders.BINARY)(sketches)
