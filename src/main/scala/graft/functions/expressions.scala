@@ -155,16 +155,31 @@ object expressions {
   }
 
   /** Deterministic tokenizer (string -> array<int>), the native form of
-    * TokenDocs.tokenize — inside codegen, no udf dispatch.
+    * TokenDocs.tokenize — inside codegen, no udf dispatch. NULL text
+    * tokenizes to the EMPTY array (TokenDocs.tokenize(null) contract),
+    * so n_tok/size stay non-null downstream.
     */
   case class Tokenize(child: Expression) extends UnaryExpression {
     override def prettyName: String = "graft_tokenize"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override protected def nullSafeEval(v: Any): Any =
-      kernels.tokenizeArray(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      kernels.tokenizeArrayOrEmpty(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
     override protected def doGenCode(ctx: CodegenContext,
-                                     ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.tokenizeArray($c)")
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val tpe = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |$tpe ${ev.value} = graft.functions.kernels.tokenizeArrayOrEmpty(
+              |  ${c.isNull} ? null : ${c.value});
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
     override protected def withNewChildInternal(c: Expression): Tokenize =
       copy(child = c)
   }

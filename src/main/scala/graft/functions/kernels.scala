@@ -26,6 +26,13 @@ object kernels {
   def tokenizeArray(text: UTF8String): ArrayData =
     new GenericArrayData(graft.sources.TokenDocs.tokenize(text.toString))
 
+  /** Null-tolerant form: null text -> empty token array (the
+    * TokenDocs.tokenize(null) contract).
+    */
+  def tokenizeArrayOrEmpty(text: UTF8String): ArrayData =
+    if (text == null) new GenericArrayData(Array.emptyIntArray)
+    else tokenizeArray(text)
+
   def minhashSignature(tokens: ArrayData, numPerms: Int): ArrayData = {
     require(numPerms <= maxCachedPerms, s"numPerms > $maxCachedPerms")
     val sig = Array.fill(numPerms)(Long.MaxValue)
