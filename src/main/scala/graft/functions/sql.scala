@@ -122,6 +122,25 @@ object sql {
         (es: Seq[Expression]) => {
           val k = if (es.length > 1) lng(es(1), "k").toInt else 200
           catalyst.KllAggregate(asDouble(es.head), k).toAggregateExpression()
+        }),
+      "graft_sketch_panel_agg" -> (
+        "(tokens, capacity, fpr[, p, depth, width]) - fused " +
+          "struct(bloom, hll, cms) in one pass",
+        (es: Seq[Expression]) => {
+          val (nbits, k) = BloomConfig.optimize(
+            lng(es(1), "capacity"), dbl(es(2), "fpr"))
+          val p = if (es.length > 3) lng(es(3), "p").toInt else 14
+          val d = if (es.length > 4) lng(es(4), "depth").toInt else 5
+          val w = if (es.length > 5) lng(es(5), "width").toInt else 65536
+          catalyst.SketchPanelAggregate(asIntArray(es.head), nbits, k, p, d, w)
+            .toAggregateExpression()
+        }),
+      "graft_topk_by_score" -> (
+        "(score, id, k) - per-group top-k array<struct<id,score>>, " +
+          "partial (map-side) top-k instead of a window",
+        (es: Seq[Expression]) => {
+          catalyst.TopKByScoreAggregate(asDouble(es.head), asLong(es(1)),
+            lng(es(2), "k").toInt).toAggregateExpression()
         }))
 
   /** name -> (usage, builder) for the native scalar expressions (codegen,

@@ -61,6 +61,14 @@ class FacadeSpec extends AnyFunSuite {
           |FROM t""".stripMargin).head()
       assert(coerced.getInt(0) > 0 && coerced.getInt(1) > 0 &&
         coerced.getInt(2) > 64)
+      // fused panel + partial top-k from SQL
+      val panel = spark.sql(
+        """SELECT p.bloom, p.hll,
+          |  graft_topk_by_score(n_tok, n_tok, 3) AS top
+          |FROM (SELECT graft_sketch_panel_agg(tokens, 10000, 0.01) AS p,
+          |             first(n_tok) AS n_tok FROM t GROUP BY source)
+          |GROUP BY 1, 2 LIMIT 1""".stripMargin)
+      assert(panel.head().getAs[scala.collection.Seq[_]]("top").nonEmpty)
     } finally spark.stop()
   }
 
