@@ -112,17 +112,22 @@ object expressions {
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = false
 
-    @transient private var cachedBytes: AnyRef = _
-    @transient private var cachedFilter: BlockedBloomFilter = _
+    // Single volatile field holding an immutable (bytes, filter) pair:
+    // a concurrent reader (e.g. a reused interpreted subquery plan
+    // evaluated from two threads) either sees a consistent pair or
+    // re-deserializes — it can never probe the WRONG filter, which two
+    // separate mutable fields allowed.
+    @transient @volatile private var cached: (AnyRef, BlockedBloomFilter) = _
 
     /** Called from generated code, hence public. */
     def probe(dump: AnyRef, h: Long): Boolean = {
       if (dump == null) return true
-      if (cachedBytes ne dump) {
-        cachedFilter = graft.core.BloomIO.load(dump.asInstanceOf[Array[Byte]])
-        cachedBytes = dump
+      var c = cached // read the pair ONCE into a local
+      if ((c eq null) || (c._1 ne dump)) {
+        c = (dump, graft.core.BloomIO.load(dump.asInstanceOf[Array[Byte]]))
+        cached = c
       }
-      cachedFilter.has(h)
+      c._2.has(h)
     }
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -514,18 +519,23 @@ object expressions {
     catalyst.aggColExpr(Hamming64(
       catalyst.expr(a.cast("bigint")), catalyst.expr(b.cast("bigint"))))
 
+  // vector kernels read ArrayData.toFloatArray — coerce array<double>
+  // (or any numeric array) inputs so they don't CCE / read garbage
+  private def floatArr(c: Column): Expression =
+    catalyst.expr(c.cast("array<float>"))
+
   def cosine_sim(a: Column, b: Column): Column =
-    catalyst.aggColExpr(CosineSim(catalyst.expr(a), catalyst.expr(b)))
+    catalyst.aggColExpr(CosineSim(floatArr(a), floatArr(b)))
 
   def lsh_signature(c: Column, nbits: Int, dim: Int): Column =
-    catalyst.aggColExpr(LshSignature(catalyst.expr(c), nbits, dim))
+    catalyst.aggColExpr(LshSignature(floatArr(c), nbits, dim))
 
   def ivf_assign(c: Column, centroids: Array[Array[Double]]): Column =
-    catalyst.aggColExpr(IvfAssign(catalyst.expr(c), centroids))
+    catalyst.aggColExpr(IvfAssign(floatArr(c), centroids))
 
   def ivf_probes(c: Column, centroids: Array[Array[Double]],
                  nprobe: Int): Column =
-    catalyst.aggColExpr(IvfProbes(catalyst.expr(c), centroids, nprobe))
+    catalyst.aggColExpr(IvfProbes(floatArr(c), centroids, nprobe))
 
   def lang_id(c: Column): Column =
     catalyst.aggColExpr(LangId(catalyst.expr(c.cast("string"))))
@@ -538,5 +548,5 @@ object expressions {
 
   def lsh_band_keys(c: Column, numBands: Int, bitsPerBand: Int,
                     dim: Int): Column =
-    catalyst.aggColExpr(LshBandKeys(catalyst.expr(c), numBands, bitsPerBand, dim))
+    catalyst.aggColExpr(LshBandKeys(floatArr(c), numBands, bitsPerBand, dim))
 }

@@ -72,8 +72,10 @@ object kernels {
   /** Rolling n-gram shingle hashes over a token sequence: element i is a
     * 64-bit hash of tokens[i..i+n) (order-sensitive — shingling is what
     * makes MinHash dedup see word order, unlike the unigram token set).
-    * Output length max(0, len-n+1); n=1 degenerates to tokenHash per
-    * token.
+    * Output length max(0, len-n+1). NOTE: n=1 yields SEEDED per-token
+    * shingle hashes (splitmix64(seed(1) ^ tokenHash(t))), NOT plain
+    * tokenHash — unigram-shingle MinHash signatures are not comparable
+    * with minhashSignature(tokens) signatures.
     */
   def tokenShingles(tokens: ArrayData, n: Int): ArrayData = {
     val len = tokens.numElements()

@@ -55,6 +55,13 @@ object sql {
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.IntegerType))
+  // Vector kernels read ArrayData.toFloatArray: an uncast array<double>
+  // input would CCE (Generic) or read garbage (Unsafe). Coerce like the
+  // other builders do.
+  private def asFloatArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
 
   /** name -> (usage, builder) for the aggregate expressions. */
   val aggregateBuilders: Map[String, (String, Seq[Expression] => Expression)] =
@@ -185,7 +192,8 @@ object sql {
           Cast(es.head, LongType), Cast(es(1), LongType))),
       "graft_cosine_sim" -> (
         "(a, b) - cosine similarity of two array<float>",
-        (es: Seq[Expression]) => expressions.CosineSim(es.head, es(1))),
+        (es: Seq[Expression]) =>
+          expressions.CosineSim(asFloatArray(es.head), asFloatArray(es(1)))),
       "graft_token_shingles" -> (
         "(tokens, n) - rolling n-gram shingle hashes, array<long>",
         (es: Seq[Expression]) => expressions.TokenShingles(
@@ -200,7 +208,7 @@ object sql {
           expressions.RollingFingerprint(Cast(es.head, StringType))),
       "graft_lsh_band_keys" -> (
         "(emb, numBands, bitsPerBand, dim) - hyperplane band keys",
-        (es: Seq[Expression]) => expressions.LshBandKeys(es.head,
+        (es: Seq[Expression]) => expressions.LshBandKeys(asFloatArray(es.head),
           lng(es(1), "numBands").toInt, lng(es(2), "bitsPerBand").toInt,
           lng(es(3), "dim").toInt)))
   }

@@ -16,9 +16,13 @@ import graft.functions.{catalyst => gcat, expressions => gexpr}
   * For an eligible equi-join it rewrites the large (probe) side to
   *
   *   Filter(graft_bloom_might_contain(
-  *            ScalarSubquery(Aggregate(bloom_agg_hash(xxhash64(buildKey)))),
-  *            xxhash64(probeKey)),
+  *            ScalarSubquery(Aggregate(bloom_agg_hash(xxhash64(buildKeys*)))),
+  *            xxhash64(probeKeys*)),
   *          probeSide)
+  *
+  * ALL conjunctive equi-keys are hashed into the one filter (a surviving
+  * probe row must match on every key), so no key-selection heuristic is
+  * needed and the filter is at least as selective as any single key.
   *
   * so the probe side's scan is pre-filtered by a Bloom filter built from
   * the (small) build side BEFORE the join shuffle — the distributed form
@@ -66,13 +70,17 @@ case class GraftRuntimeFilter(spark: SparkSession)
         val keys = equiKeys(cond, left, right)
         if (keys.isEmpty) j
         else {
-          val (lk, rk) = keys.head
+          // Hash ALL equi-keys into one filter: strictly more selective
+          // than any single-key choice (a probe row must match the build
+          // side on every conjunctive key to survive the join anyway),
+          // and needs no per-column distinct-count stats to pick a key.
+          val (lks, rks) = keys.unzip
           var newLeft = left
           var newRight = right
           if (canPruneLeft(joinType) && eligible(probe = left, build = right))
-            newLeft = inject(left, lk, right, rk)
+            newLeft = inject(left, lks, right, rks)
           if (canPruneRight(joinType) && eligible(probe = right, build = left))
-            newRight = inject(right, rk, left, lk)
+            newRight = inject(right, rks, left, lks)
           if ((newLeft eq left) && (newRight eq right)) j
           else Join(newLeft, newRight, joinType, Some(cond), hint)
         }
@@ -113,7 +121,25 @@ case class GraftRuntimeFilter(spark: SparkSession)
     !hasGraftFilter(probe) &&
       build.stats.sizeInBytes <= maxBuildBytes &&
       probe.stats.sizeInBytes >= minProbeBytes &&
-      !build.isStreaming && !probe.isStreaming
+      !build.isStreaming && !probe.isStreaming &&
+      deterministicBuild(build)
+
+  /** The build subtree is evaluated TWICE — once under the ScalarSubquery
+    * that builds the Bloom filter and once as the join's real build side.
+    * If those two evaluations can disagree (rand() filters, sample(),
+    * limit without a defining order, dedup that keeps an arbitrary row),
+    * the filter could drop probe rows whose keys DO exist in the actual
+    * build side — silent wrong results. Mirror Spark's InjectRuntimeFilter
+    * creation-side restriction: reject any nondeterministic expression and
+    * any row-set-nondeterministic operator.
+    */
+  private def deterministicBuild(plan: LogicalPlan): Boolean =
+    !plan.exists {
+      case _: Sample => true
+      case _: LocalLimit | _: GlobalLimit | _: Tail => true
+      case _: Deduplicate => true // keeps an arbitrary row per dup group
+      case p => p.expressions.exists(e => !e.deterministic)
+    }
 
   private def hasGraftFilter(plan: LogicalPlan): Boolean =
     plan.exists {
@@ -122,17 +148,17 @@ case class GraftRuntimeFilter(spark: SparkSession)
       case _ => false
     }
 
-  private def inject(probe: LogicalPlan, probeKey: Expression,
-                     build: LogicalPlan, buildKey: Expression): LogicalPlan = {
+  private def inject(probe: LogicalPlan, probeKeys: Seq[Expression],
+                     build: LogicalPlan, buildKeys: Seq[Expression]): LogicalPlan = {
     val capacity = build.stats.rowCount
       .map(_.longValue.max(1L)).getOrElse(expectedBuildRows)
     val (nbits, k) = BloomConfig.optimize(capacity, fpr)
     val agg = AggregateExpression(
-      gcat.BloomHashAggregate(new XxHash64(Seq(buildKey)), nbits, k),
+      gcat.BloomHashAggregate(new XxHash64(buildKeys), nbits, k),
       aggregate.Complete, isDistinct = false)
     val buildPlan = Aggregate(Nil, Seq(Alias(agg, "graft_rt_bloom")()), build)
     val probeExpr = gexpr.BloomMightContainDump(
-      ScalarSubquery(buildPlan), new XxHash64(Seq(probeKey)))
+      ScalarSubquery(buildPlan), new XxHash64(probeKeys))
     Filter(probeExpr, probe)
   }
 }

@@ -128,4 +128,66 @@ class RuntimeFilterSpec extends AnyFunSuite {
         .contains("graft_bloom_might_contain"))
     }
   }
+
+  test("multi-key equi-join hashes ALL keys into the one filter") {
+    // second key (l_suppkey) is the selective one here; hashing the
+    // composite tuple is at least as selective as the best single key
+    val dim2 = fact.filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey").as("d_ok"), col("l_suppkey").as("d_sk"),
+        col("l_quantity").as("d_qty"))
+    val cond = col("l_orderkey") === col("d_ok") &&
+      col("l_suppkey") === col("d_sk")
+    val plain = fact.join(dim2, cond)
+      .agg(count(lit(1)), sum(col("l_quantity"))).head()
+    withRule() {
+      val joined = fact.join(dim2, cond)
+        .agg(count(lit(1)), sum(col("l_quantity")))
+      val probes = joined.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.isInstanceOf[
+              graft.functions.expressions.BloomMightContainDump] =>
+          f.condition.asInstanceOf[
+            graft.functions.expressions.BloomMightContainDump]
+      }
+      assert(probes.nonEmpty, "rule must inject on the multi-key join")
+      probes.foreach { p =>
+        val hashKeys = p.right.children.map(_.toString)
+        // probe may land on either side: orderkey aliases d_ok, suppkey d_sk
+        assert(hashKeys.exists(k =>
+            k.contains("l_orderkey") || k.contains("d_ok")) &&
+          hashKeys.exists(k =>
+            k.contains("l_suppkey") || k.contains("d_sk")),
+          s"probe hash must cover BOTH equi-keys, got: $hashKeys")
+      }
+      assert(joined.head() == plain)
+    }
+  }
+
+  test("nondeterministic build side suppresses injection") {
+    withRule() {
+      // left-semi: ONLY the left side can be pruned, so the build is
+      // forced to be the (nondeterministic) right side -> must refuse.
+      // rand() filter: the ScalarSubquery evaluation and the real join
+      // build side could disagree.
+      val ndDim = fact.filter(rand(7) < 0.5)
+        .select(col("l_orderkey").as("d_ok"))
+      val j1 = fact.join(ndDim, col("l_orderkey") === col("d_ok"),
+        "left_semi")
+      assert(!j1.queryExecution.optimizedPlan.toString
+        .contains("graft_bloom_might_contain"),
+        "rand() build side must not be used to build a runtime filter")
+      // limit without a defining order: same hazard
+      val limDim = dim.limit(10).select(col("o_orderkey").as("d_ok"))
+      val j2 = fact.join(limDim, col("l_orderkey") === col("d_ok"),
+        "left_semi")
+      assert(!j2.queryExecution.optimizedPlan.toString
+        .contains("graft_bloom_might_contain"),
+        "limit build side must not be used to build a runtime filter")
+      // deterministic build side on the same join shape still fires
+      val j3 = fact.join(dim.select(col("o_orderkey").as("d_ok")),
+        col("l_orderkey") === col("d_ok"), "left_semi")
+      assert(j3.queryExecution.optimizedPlan.toString
+        .contains("graft_bloom_might_contain"))
+    }
+  }
 }
