@@ -602,6 +602,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------- incremental dedup against a persisted corpus index -------
+    //
+    // The corpus (lower half of doc_ids) is deduped once and its index
+    // persisted; the new snapshot (upper half) is then deduped against
+    // the INDEX ONLY — corpus text never rescanned. The oracle is a full
+    // BATCH dedup of the union in SQL, so a hash match proves
+    // incremental == batch end-to-end (exact tier, near-dup tier, and
+    // the chain case where the corpus neighbor was itself dropped).
+
+    "q30_dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val snap1 = docs.filter(col("doc_id") <= mid)
+      val snap2 = docs.filter(col("doc_id") > mid)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q30-idx").toString
+      Dedup.writeDedupIndex(snap1, idx)
+      val keptOld = Dedup.dedupDocs(snap1, threshold = 0.9)
+      val keptNew = Dedup.dedupIncremental(snap2, idx, threshold = 0.9)
+      keptOld.select(col("doc_id"), md5(col("text")).as("content_md5"),
+          lit(1L).as("snapshot"))
+        .union(keptNew.select(col("doc_id"),
+          md5(col("text")).as("content_md5"), lit(2L).as("snapshot")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------- ANN: IVF (k-means inverted lists) -------
     //
     // Recall is data-dependent (these embeddings are near-uniform, the
@@ -890,6 +916,36 @@ object SparkEntry {
         |  JOIN sizes sb ON sb.doc_id = p.b
         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9)
         |SELECT k.doc_id, md5(k.text) AS content_md5 FROM keep1 k
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+
+    // full BATCH dedup of the union — the Spark side computes the same
+    // result incrementally from the persisted index
+    "q30_dedup_incremental" ->
+      """WITH keep1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM keep1)
+        |  WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT p.b AS doc_id FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.a
+        |  JOIN sizes sb ON sb.doc_id = p.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9)
+        |SELECT k.doc_id, md5(k.text) AS content_md5,
+        |  CASE WHEN k.doc_id <=
+        |    (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) FROM documents)
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS snapshot
+        |FROM keep1 k
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
 

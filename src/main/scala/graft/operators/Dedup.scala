@@ -63,9 +63,17 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
+    verifyJaccard2(cands, sets, sets, threshold)
+
+  /** Two-sided variant: the a-side and b-side sets may come from
+    * different tables (incremental dedup verifies new docs against the
+    * STORED corpus toksets).
+    */
+  private def verifyJaccard2(cands: DataFrame, setsA: DataFrame,
+                             setsB: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(sets.as("sa0"), col("a") === col("sa0.doc_id"))
-      .join(sets.as("sb0"), col("b") === col("sb0.doc_id"))
+      .join(setsA.as("sa0"), col("a") === col("sa0.doc_id"))
+      .join(setsB.as("sb0"), col("b") === col("sb0.doc_id"))
       .select(col("a"), col("b"),
         col("sa0.tokset").as("ta"), col("sa0.set_size").as("sa"),
         col("sb0.tokset").as("tb"), col("sb0.set_size").as("sb"))
@@ -125,21 +133,28 @@ object Dedup {
     * rows) recall at j=0.6 is ~0.99. Each doc contributes numBands rows
     * to the bucket join — constant fan-out, unlike the posting-list join.
     */
-  def minhashLshPairs(tokenDocs: DataFrame, threshold: Double,
-                      numBands: Int = 32, rowsPerBand: Int = 4,
-                      ngram: Int = 1): DataFrame = {
+  /** Per-doc LSH band keys, exploded: (doc_id, band). The signature is
+    * computed and dropped BEFORE the band shuffle — only (doc_id, band)
+    * rides the exchange.
+    */
+  private[operators] def bandKeys(tokenDocs: DataFrame, numBands: Int,
+                                  rowsPerBand: Int, ngram: Int): DataFrame = {
     val numPerms = numBands * rowsPerBand
     val sigExpr =
       if (ngram == 1) F.minhash_signature(numPerms)(col("tokens"))
       else graft.functions.expressions.minhash_signature_hashes(
         graft.functions.expressions.token_shingles(col("tokens"), ngram),
         numPerms)
-    val sigs = tokenDocs.select(col("doc_id"), col("tokens"))
+    tokenDocs.select(col("doc_id"), col("tokens"))
       .withColumn("sig", sigExpr)
-      // drop the 128-long signature before the band shuffle — only
-      // (doc_id, band) rides the exchange
       .select(col("doc_id"),
         explode(F.minhash_bands(numBands, rowsPerBand)(col("sig"))).as("band"))
+  }
+
+  def minhashLshPairs(tokenDocs: DataFrame, threshold: Double,
+                      numBands: Int = 32, rowsPerBand: Int = 4,
+                      ngram: Int = 1): DataFrame = {
+    val sigs = bandKeys(tokenDocs, numBands, rowsPerBand, ngram)
     // self-join on band buckets with identical subplans on both sides so
     // the band shuffle (scan + minhash + explode) is computed once and
     // reused (ReusedExchange)
@@ -254,8 +269,9 @@ object Dedup {
     * clustering, and what q27's oracle recomputes).
     */
   def nearDupDropIds(tokenDocs: DataFrame, threshold: Double,
-                     numBands: Int = 32, rowsPerBand: Int = 4): DataFrame =
-    minhashLshPairs(tokenDocs, threshold, numBands, rowsPerBand)
+                     numBands: Int = 32, rowsPerBand: Int = 4,
+                     ngram: Int = 1): DataFrame =
+    minhashLshPairs(tokenDocs, threshold, numBands, rowsPerBand, ngram)
       .select(col("b").as("doc_id")).distinct()
 
   /** Full dedup pipeline over a driver-schema documents table (doc_id:
@@ -265,11 +281,124 @@ object Dedup {
     */
   def dedupDocs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
     val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
-    val toks = graft.sources.TokenDocs.fromDocuments(afterExact)
+    afterExact.join(nearDupDropIds(docTokens(afterExact), threshold),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Token table of a documents frame with the LONG doc_id kept (the
+    * dedup tiers join back to the documents on it).
+    */
+  private def docTokens(docs: DataFrame): DataFrame =
+    graft.sources.TokenDocs.fromDocuments(docs)
       .withColumn("doc_id",
         regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long"))
-    afterExact.join(nearDupDropIds(toks, threshold),
-      Seq("doc_id"), "left_anti")
+
+  // ----------------- incremental corpus dedup -----------------
+  //
+  // The single most common operation in a training-data pipeline: a new
+  // crawl snapshot arrives and must be deduped against the existing
+  // corpus WITHOUT rescanning the corpus. The corpus state lives in a
+  // persisted index of per-doc digests, LSH band keys, and token sets —
+  // the dedup analog of the reference's load-is-union resumability
+  // (/root/reference/io.go:156-178): load the index, union the new
+  // snapshot's state in, and the result equals a fresh batch run.
+  //
+  // PRECONDITION for batch-equality: new doc_ids are strictly greater
+  // than every indexed doc_id (the natural crawl-snapshot invariant).
+  // Under it, a corpus doc can never be dropped by a new doc (both the
+  // exact tier's min-id keep and the near-dup tier's smaller-id-neighbor
+  // drop only ever discard the LARGER id), so
+  //   dedupIncremental(s2, index(s1))  ∪  dedupDocs(s1)
+  //     == dedupDocs(s1 ∪ s2)                       (q30's oracle).
+  //
+  // 100-TB design: the index holds ONE digest row, B band rows and one
+  // tokset row per exact-survivor doc; incremental joins touch only the
+  // index and the (small) new snapshot — the corpus text is never read.
+  // All three joins are equi-joins on uniform keys (md5, band hash,
+  // doc_id); at scale write the band index bucketed by `band`
+  // (sources.BucketedTables) so repeated snapshots join exchange-free
+  // on the corpus side.
+
+  /** Persist the dedup index of a corpus under `dir`:
+    * digests/ (doc_id, content_md5), bands/ (doc_id, band) and
+    * toksets/ (doc_id, tokset, set_size) of the corpus' EXACT-tier
+    * survivors (near-dup-dropped docs still participate as smaller-id
+    * neighbors in a batch run, so they stay in the index).
+    */
+  def writeDedupIndex(docs: DataFrame, dir: String,
+                      numBands: Int = 32, rowsPerBand: Int = 4,
+                      ngram: Int = 1, append: Boolean = false): Unit = {
+    val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
+    writeIndexState(afterExact, dir, numBands, rowsPerBand, ngram, append)
+  }
+
+  private def writeIndexState(afterExact: DataFrame, dir: String,
+                              numBands: Int, rowsPerBand: Int, ngram: Int,
+                              append: Boolean): Unit = {
+    val mode = if (append) org.apache.spark.sql.SaveMode.Append
+               else org.apache.spark.sql.SaveMode.Overwrite
+    afterExact
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .write.mode(mode).parquet(s"$dir/digests")
+    val toks = docTokens(afterExact)
+    tokenSets(toks, ngram).write.mode(mode).parquet(s"$dir/toksets")
+    bandKeys(toks, numBands, rowsPerBand, ngram)
+      .write.mode(mode).parquet(s"$dir/bands")
+  }
+
+  /** Dedup a new snapshot against a persisted corpus index (see above),
+    * returning the KEPT new documents. Band/ngram parameters must match
+    * the index's. With `appendToIndex` the new snapshot's exact-tier
+    * survivors are appended to the index, so successive snapshots
+    * compose: index(s1) + incremental(s2, append) is a valid index for
+    * incremental(s3).
+    */
+  def dedupIncremental(newDocs: DataFrame, indexDir: String,
+                       threshold: Double = 0.9,
+                       numBands: Int = 32, rowsPerBand: Int = 4,
+                       ngram: Int = 1,
+                       appendToIndex: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val corpusDigests = spark.read.parquet(s"$indexDir/digests")
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    val corpusSets = spark.read.parquet(s"$indexDir/toksets")
+
+    // exact tier (a): content already in the corpus -> drop
+    val newDigests = newDocs
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+    val dupOfCorpus = newDigests
+      .join(corpusDigests.select(col("content_md5")), Seq("content_md5"))
+      .select(col("doc_id"))
+    val notInCorpus = newDocs.join(dupOfCorpus, Seq("doc_id"), "left_anti")
+    // exact tier (b): dedup the remaining new docs among themselves
+    val newExact = notInCorpus
+      .join(exactDropIds(notInCorpus), Seq("doc_id"), "left_anti")
+
+    val newToks = docTokens(newExact)
+    val newSets = tokenSets(newToks, ngram)
+    val newBands = bandKeys(newToks, numBands, rowsPerBand, ngram)
+
+    // near-dup tier (a): new docs vs the CORPUS INDEX only — band-key
+    // equi-join then exact-Jaccard verify against the stored toksets
+    val candVsCorpus = newBands.as("n")
+      .join(corpusBands.as("c"), col("n.band") === col("c.band"))
+      .select(col("c.doc_id").as("a"), col("n.doc_id").as("b"))
+      .distinct()
+    val dropVsCorpus =
+      verifyJaccard2(candVsCorpus, corpusSets, newSets, threshold)
+        .select(col("b").as("doc_id")).distinct()
+    // near-dup tier (b): within the new snapshot (same policy as batch:
+    // drop the larger id of every verified pair)
+    val dropWithin =
+      nearDupDropIds(newToks, threshold, numBands, rowsPerBand, ngram)
+
+    val kept = newExact
+      .join(dropVsCorpus, Seq("doc_id"), "left_anti")
+      .join(dropWithin, Seq("doc_id"), "left_anti")
+    if (appendToIndex)
+      writeIndexState(newExact, indexDir, numBands, rowsPerBand, ngram,
+        append = true)
+    kept
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with

@@ -1,0 +1,107 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Incremental corpus dedup: deduping a new snapshot against the
+  * persisted index must equal a fresh batch run over the union —
+  * including the chain case where the corpus neighbor was itself
+  * near-dup-dropped (it stays in the index as an exact-tier survivor).
+  */
+class DedupIncrementalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def words(r: Range, pfx: String = "w"): Seq[String] =
+    r.map(i => s"$pfx$i")
+  private def doc(id: Long, ws: Seq[String]): (Long, String, String) =
+    (id, ws.mkString(" "), "src" + (id % 3))
+  private def df(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "text", "source")
+
+  // snapshot 1 (corpus), ids 0-9
+  private val base = words(1 to 40)
+  private val c2Text = words(1 to 38) ++ words(1 to 2, "x") // J(c1,c2)=38/42
+  private val s1 = Seq(
+    doc(0L, words(100 to 140, "u")),        // unique
+    doc(1L, words(200 to 230, "v")),        // unique
+    doc(2L, base),                          // c1: kept near-dup anchor
+    doc(3L, words(100 to 140, "u")),        // exact dup of 0 -> dropped
+    doc(4L, words(300 to 350, "z")),        // unique
+    doc(5L, c2Text),                        // c2: near-dup of c1 -> dropped
+    doc(6L, words(400 to 420, "q")),        // unique
+    doc(7L, base),                          // exact dup of 2 -> dropped
+    doc(8L, words(500 to 560, "p")),        // unique
+    doc(9L, words(600 to 610, "m")))        // unique
+
+  // snapshot 2 (new), ids 10-19 — all ids > every s1 id (precondition)
+  private val s2 = Seq(
+    doc(10L, words(100 to 140, "u")),       // exact dup of corpus 0
+    // chain: near-dup of the DROPPED c2 (J=38/42~0.905) but NOT of c1
+    // (J=36/44~0.818): batch drops it because c2 is an exact-tier
+    // survivor -> the index must keep dropped-near-dup docs
+    doc(11L, words(1 to 36) ++ words(1 to 2, "x") ++ words(1 to 2, "y")),
+    doc(12L, words(700 to 750, "n")),       // unique new
+    doc(13L, base),                         // exact dup of corpus 2
+    doc(14L, words(1 to 38) ++ words(5 to 6, "k")), // near-dup of c1 -> drop
+    doc(15L, words(800 to 860, "t")),       // unique new
+    doc(16L, words(700 to 750, "n")),       // exact dup within new (of 12)
+    doc(17L, words(800 to 858, "t") ++ words(1 to 2, "j")), // near-dup of 15
+    doc(18L, words(900 to 905, "s")),       // unique new
+    doc(19L, words(900 to 905, "s")))       // exact dup within new (of 18)
+
+  // snapshot 3, ids 20-24 — for the append-compose case
+  private val s3 = Seq(
+    doc(20L, words(700 to 750, "n")),       // exact dup of SNAPSHOT-2 doc 12
+    doc(21L, words(1000 to 1040, "g")),     // unique
+    // near-dup of snapshot-2 doc 15 (indexed by the append)
+    doc(22L, words(800 to 858, "t") ++ words(3 to 4, "j")),
+    doc(23L, words(600 to 610, "m")),       // exact dup of corpus 9
+    doc(24L, words(1100 to 1120, "h")))     // unique
+
+  private def keptIds(d: DataFrame): Seq[Long] =
+    d.select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("incremental == batch over the union (exact, near-dup, chain)") {
+    val dir = Files.createTempDirectory("graft-dedup-idx").toString
+    Dedup.writeDedupIndex(df(s1), dir)
+    val batchS1 = keptIds(Dedup.dedupDocs(df(s1)))
+    val incS2 = keptIds(Dedup.dedupIncremental(df(s2), dir))
+    val batchUnion = keptIds(Dedup.dedupDocs(df(s1 ++ s2)))
+    assert((batchS1 ++ incS2).sorted == batchUnion,
+      s"s1=$batchS1 inc=$incS2 union=$batchUnion")
+    // the planted cases, explicitly
+    assert(!incS2.contains(10L), "exact dup of corpus content")
+    assert(!incS2.contains(11L), "chain: near-dup of a DROPPED corpus doc")
+    assert(!incS2.contains(13L), "exact dup of corpus content")
+    assert(!incS2.contains(14L), "near-dup of kept corpus doc")
+    assert(!incS2.contains(16L), "exact dup within the new snapshot")
+    assert(!incS2.contains(17L), "near-dup within the new snapshot")
+    assert(incS2.contains(12L) && incS2.contains(15L) &&
+      incS2.contains(18L), "unique new docs kept")
+  }
+
+  test("appendToIndex composes: snapshot3 against index(s1)+append(s2)") {
+    val dir = Files.createTempDirectory("graft-dedup-idx2").toString
+    Dedup.writeDedupIndex(df(s1), dir)
+    val incS2 = keptIds(
+      Dedup.dedupIncremental(df(s2), dir, appendToIndex = true))
+    val incS3 = keptIds(Dedup.dedupIncremental(df(s3), dir))
+    val batchAll = keptIds(Dedup.dedupDocs(df(s1 ++ s2 ++ s3)))
+    val batchS1 = keptIds(Dedup.dedupDocs(df(s1)))
+    assert((batchS1 ++ incS2 ++ incS3).sorted == batchAll,
+      s"s1=$batchS1 incS2=$incS2 incS3=$incS3 all=$batchAll")
+    assert(!incS3.contains(20L), "exact dup of an appended snapshot-2 doc")
+    assert(!incS3.contains(22L), "near-dup of an appended snapshot-2 doc")
+    assert(!incS3.contains(23L), "exact dup of original corpus content")
+    assert(incS3.contains(21L) && incS3.contains(24L))
+  }
+}
