@@ -628,6 +628,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------- connected-component near-dup clustering -------
+    //
+    // Cluster-level dedup over the verified near-dup pair set (same pair
+    // set as q11, = the exact Jaccard>=0.9 pairs): min-label propagation
+    // with pointer jumping, O(log diameter) rounds. The oracle recomputes
+    // the components with a DuckDB recursive CTE over the SQL-recomputed
+    // pair set, so (doc_id, cluster_id, cluster_size) is hash-checked.
+
+    "q31_dedup_cc_clusters" -> ((s, dir) => {
+      val toks = TokenDocs.fromDocumentsPath(s, dir)
+        .withColumn("doc_id", regexp_extract(col("doc_id"), "(\\d+)$", 1)
+          .cast("long"))
+      val pairs = Dedup.minhashLshPairs(toks, 0.9, numBands = 32,
+        rowsPerBand = 4).select(col("a"), col("b"))
+      val labels = Dedup.nearDupClusters(pairs)
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------- ANN: IVF (k-means inverted lists) -------
     //
     // Recall is data-dependent (these embeddings are near-uniform, the
@@ -957,7 +980,37 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q22_dedup_embedding" -> embeddingPairsOracle,
-    "q23_dedup_embedding_lsh" -> embeddingPairsOracle
+    "q23_dedup_embedding_lsh" -> embeddingPairsOracle,
+
+    // connected components over the exact pair set, via recursive CTE
+    "q31_dedup_cc_clusters" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok AS (SELECT * FROM w WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT a, b FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = cnt.a
+        |  JOIN sizes sb ON sb.doc_id = cnt.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lab AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |SELECT l.doc_id, l.cluster_id,
+        |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+        |FROM lab l ORDER BY doc_id""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact and LSH embedding near-dup queries (the

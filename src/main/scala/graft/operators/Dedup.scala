@@ -401,6 +401,72 @@ object Dedup {
     kept
   }
 
+  // ----------------- connected-component clustering -----------------
+
+  /** Connected components over a near-dup pair set: (doc_id, cluster_id)
+    * for every doc appearing in `pairs`, where cluster_id is the MINIMUM
+    * doc id of the component — the clustering dedup policy real pipelines
+    * want over chains (A~B~C with A!~C is ONE cluster; the pairwise
+    * smaller-id-neighbor policy can keep several docs of a component,
+    * e.g. a star whose center is the largest id).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING
+    * (label <- label(label) each round), so convergence takes
+    * O(log(diameter)) rounds, not O(diameter) — a 1M-doc chain converges
+    * in ~20 rounds. Each round is two equi-joins + one aggregation, all
+    * shuffled on uniform id keys; per-round lineage is cut with
+    * localCheckpoint so the plan does not grow exponentially (the
+    * standard Spark iterative-algorithm requirement). No driver collect:
+    * the only per-round action is the scalar convergence count.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // min label over neighbors
+      val nbrMin = edges.join(labels, col("v") === col("id"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.join(nbrMin, col("id") === col("u"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: follow the label one hop (labels are vertex ids,
+      // so the label's own label exists); this is what makes rounds log
+      val jumped = updated.as("x")
+        .join(updated.select(col("id").as("lid"),
+          col("cluster_id").as("lcl")).as("y"),
+          col("x.cluster_id") === col("y.lid"), "left")
+        .select(col("x.id"),
+          coalesce(col("y.lcl"), col("x.cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = jumped.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("old")).as("o"),
+          Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = jumped
+      it += 1
+    }
+    require(converged,
+      s"nearDupClusters did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** Ids to drop under CLUSTER-level dedup: everything in a near-dup
+    * component except its minimum id — the connected-component
+    * alternative to [[nearDupDropIds]]'s pairwise policy (which can keep
+    * more than one doc per component).
+    */
+  def nearDupDropIdsCC(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    nearDupClusters(pairs, maxIters)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with
     * cosine >= threshold, a < b — grid-blocked all-pairs (see
     * [[gridPairs]]). O(n^2) compute spread over block-pair tasks with

@@ -315,4 +315,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1L) == (512, 256)) // downscaled, aspect kept
     assert(out(2L) == (100, 50))  // never upscaled
   }
+
+  test("CC clustering: one cluster per component, min id as label") {
+    // components: chain {1,2,3}, star {4,6,9} centered on 9 (the largest
+    // id), singleton pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 9L), (6L, 9L), (10L, 11L))
+      .toDF("a", "b")
+    val labels = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 6L -> 4L, 9L -> 4L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("CC drop policy differs from pairwise on a large-id star center") {
+    // star: 9 similar to 4 and 6, but 4 !~ 6. Pairwise drops only 9
+    // (4 and 6 have no SMALLER-id neighbor); CC keeps one per component.
+    val pairs = Seq((4L, 9L), (6L, 9L)).toDF("a", "b")
+    val ccDrops = Dedup.nearDupDropIdsCC(pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ccDrops == Seq(6L, 9L), "CC keeps only the component min (4)")
+    val pairwiseDrops = pairs.select(col("b").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pairwiseDrops == Seq(9L), "pairwise keeps both 4 and 6")
+  }
+
+  test("CC clustering converges in log rounds on a long chain") {
+    // a 300-node chain has diameter 299: naive min-propagation needs 299
+    // rounds; pointer jumping must finish within maxIters=25 (~log2)
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.nearDupClusters(pairs, maxIters = 25)
+    assert(labels.select(countDistinct(col("cluster_id"))).head.getLong(0) == 1L)
+    assert(labels.count() == 300L)
+    assert(labels.agg(max(col("cluster_id"))).head.getLong(0) == 0L)
+  }
 }
