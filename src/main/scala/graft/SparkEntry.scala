@@ -673,6 +673,41 @@ object SparkEntry {
         .toDF("n_queries", "recall_ok")
     }),
 
+    // ------- ANN: persisted IVF index with partition pruning -------
+    //
+    // q25's scale path made real: the corpus is assigned + written
+    // partitioned by centroid id ONCE; the search reads only the probed
+    // lists (pruned_scan pins that the lists scan carries partition
+    // filters). Same recall gate as q25 against brute force.
+
+    "q32_ann_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q32-ivf").toString
+      Ann.writeIvfIndex(emb, idx, nlist = 16)
+      val search = Ann.searchIvfIndex(qs, idx, 5, nprobe = 12)
+      val exact = Ann.bruteForceTopK(qs, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      val nHit = search.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+      }.flatten
+      val pruned = scans(search.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("lists")))
+        .exists(_.partitionFilters.nonEmpty)
+      val nQueries = qs.select(countDistinct(col("vec_id"))).head().getLong(0)
+      Seq((nQueries, nHit.toDouble / nExact >= 0.8, pruned))
+        .toDF("n_queries", "recall_ok", "pruned_scan")
+    }),
+
     // ------- runtime Bloom semi-join pruning (Catalyst rule) -------
     //
     // The engine's InjectRuntimeFilter analog: an isolated session with
@@ -897,6 +932,11 @@ object SparkEntry {
 
     "q25_ann_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q32_ann_ivf_index" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
+        |  true AS pruned_scan
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     "q29_ntok_quantiles" ->

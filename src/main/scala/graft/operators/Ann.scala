@@ -172,6 +172,78 @@ object Ann {
     rankTopK(cands, k)
   }
 
+  // ----------------- persisted IVF index -----------------
+  //
+  // The 100-TB shape ivfTopK's doc comment promises: assign every corpus
+  // row to its centroid ONCE and write the corpus partitioned by `cl`;
+  // a search then reads only the nprobe matching partitions (partition
+  // pruning at the scan — PlanSpec asserts PartitionFilters on the
+  // lists scan). Index layout under `dir`:
+  //   centroids/  (cl, pos, v) — the nlist x dim quantizer, tiny
+  //   lists/cl=<c>/...parquet — the corpus, one directory per list
+
+  /** Train the quantizer and write the IVF index under `dir`. */
+  def writeIvfIndex(corpus: DataFrame, dir: String, nlist: Int,
+                    iters: Int = 3, idCol: String = "vec_id",
+                    embCol: String = "embedding"): Unit = {
+    import graft.functions.{expressions => E}
+    import org.apache.spark.sql.SaveMode
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nlist, iters, idCol, embCol)
+    cents.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, p) => (c, p, x) }
+    }.toSeq.toDF("cl", "pos", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        E.ivf_assign(col(embCol), cents).as("cl"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cl")
+      .parquet(s"$dir/lists")
+  }
+
+  /** Load the quantizer matrix back (nlist x dim doubles — tiny). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val nlist = rows.map(_._1).max + 1
+    val dim = rows.map(_._2).max + 1
+    val cents = Array.fill(nlist)(new Array[Double](dim))
+    rows.foreach { case (c, p, v) => cents(c)(p) = v }
+    cents
+  }
+
+  /** Search a persisted IVF index: each query probes its `nprobe`
+    * nearest lists; the lists scan carries a LITERAL partition filter
+    * (the union of probed cl values — at most min(nlist, queries *
+    * nprobe) values, collected from the bounded probe set, never from
+    * corpus-sized data), so the input is pruned at the file listing,
+    * not post-scan. Results match ivfTopK at the same quantizer by
+    * construction (same assignment expression both at write and here).
+    */
+  def searchIvfIndex(queries: DataFrame, dir: String, k: Int,
+                     nprobe: Int = 4, idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    import graft.functions.{expressions => E}
+    val spark = queries.sparkSession
+    val cents = readIvfCentroids(spark, dir)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("q_emb"),
+      explode(E.ivf_probes(col(embCol), cents, nprobe)).as("cl"))
+    // bounded driver collect: <= nlist distinct probe values
+    val probed = q.select(col("cl")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("cl").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val cands = q.join(lists, Seq("cl"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", F.cosine_sim(col("q_emb"), col("c_emb")))
+    rankTopK(cands, k)
+  }
+
   /** Band-bucket size distribution for a corpus at the given LSH
     * parameters: (bucket, bsz, dropped). Run this alongside a capped
     * lshTopK to account for what the cap discards — the no-silent-cap

@@ -271,6 +271,51 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${exact -- ivf}, extra=${ivf -- exact}")
   }
 
+  test("persisted IVF index: search == ivfTopK, scan carries partition filters") {
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until 10
+    } yield {
+      val base = Array.tabulate(8)(d =>
+        if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f)
+      val noisy = base.zipWithIndex.map { case (v, d) =>
+        v + 0.02f * graft.core.Hashing.toUnitDouble(
+          graft.core.Hashing.at(77, (c * 10 + m) * 8 + d)).toFloat
+      }
+      ((c * 10 + m).toLong, noisy)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString
+    Ann.writeIvfIndex(emb, dir, nlist = 4, iters = 3)
+    // centroid round-trip: the persisted quantizer equals the trained one
+    val cents = Ann.readIvfCentroids(spark, dir)
+    assert(cents.length == 4 && cents.head.length == 8)
+    val fromIndex = Ann.searchIvfIndex(qs, dir, 3, nprobe = 2)
+    val direct = Ann.ivfTopK(qs, emb, 3, nlist = 4, nprobe = 2,
+      centroids = cents)
+    assert(fromIndex.collect().toSet == direct.collect().toSet,
+      "index search must equal the recompute-per-search path")
+    // the scan must be PRUNED: partition filters on cl (descend into
+    // the executed AQE stages to find the parquet scan)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val scan = scans(fromIndex.queryExecution.executedPlan).filter(
+      _.metadata.get("Location").exists(_.contains("lists")))
+    assert(scan.nonEmpty, "lists scan not found:\n" +
+      fromIndex.queryExecution.executedPlan)
+    assert(scan.head.partitionFilters.nonEmpty,
+      s"lists scan must carry partition filters:\n${scan.head}")
+    assert(scan.head.metadata("PartitionFilters").contains("cl"),
+      scan.head.metadata("PartitionFilters"))
+  }
+
   test("multimodal decode: metadata deterministic, nulls dropped") {
     val media = Seq(
       (1L, "hello world".getBytes("UTF-8"), "fake/image"),
