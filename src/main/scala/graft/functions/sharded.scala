@@ -174,9 +174,33 @@ object sharded {
   def shardedFilterOf(dumps: Seq[Array[Byte]]): ShardedFilter =
     new ShardedFilter(dumps.map(d => BloomIO.load(d)).toArray)
 
-  /** Codegen probe column against a sharded filter. */
-  def shardedProbe(f: ShardedFilter)(hash: Column): Column = {
-    val probe = f
-    org.apache.spark.sql.functions.udf((h: Long) => probe.has(h)).apply(hash)
-  }
+  /** Codegen probe column against a sharded filter (plan-embedded; the
+    * sharded analog of functions.bloomProbe). Above
+    * [[shardedProbeBroadcastThreshold]] prefer [[shardedProbeAuto]].
+    */
+  def shardedProbe(f: ShardedFilter)(hash: Column): Column =
+    catalyst.aggColExpr(expressions.ShardedProbe(
+      f, catalyst.expr(hash.cast("bigint"))))
+
+  /** Total-bit-array size (bytes) above which shardedProbeAuto ships the
+    * shards via a torrent broadcast instead of the serialized plan.
+    */
+  val shardedProbeBroadcastThreshold: Long = 32L << 20
+
+  /** Probe via an explicit broadcast handle (large shard-set path). */
+  def shardedProbeBroadcast(
+      bcast: org.apache.spark.broadcast.Broadcast[ShardedFilter])(
+      hash: Column): Column =
+    catalyst.aggColExpr(expressions.ShardedProbeBroadcast(
+      bcast, catalyst.expr(hash.cast("bigint"))))
+
+  /** Plan-embed small shard sets, broadcast large ones — per-row probe
+    * cost is identical (codegen either way); only the shipping differs.
+    */
+  def shardedProbeAuto(spark: org.apache.spark.sql.SparkSession,
+                       f: ShardedFilter,
+                       threshold: Long = shardedProbeBroadcastThreshold):
+      Column => Column =
+    if (f.totalBits / 8 <= threshold) shardedProbe(f)
+    else shardedProbeBroadcast(spark.sparkContext.broadcast(f))
 }

@@ -133,24 +133,42 @@ object StreamingSketches {
   case class QuantileUpdate(key: String, n: Double, p50: Double, p99: Double,
                             digest: Array[Byte])
 
+  /** `stateTtl` as in [[perSourceSketches]]: an idle key expires from the
+    * state store (final snapshot emitted) and restarts fresh if it
+    * reappears — required for unbounded key domains, whose per-key
+    * digests otherwise grow the store without limit.
+    */
   def perKeyQuantiles[T](ds: Dataset[T], keyFn: T => String,
                          valueFn: T => Double,
-                         compression: Double = 100.0): Dataset[QuantileUpdate] = {
+                         compression: Double = 100.0,
+                         stateTtl: Option[java.time.Duration] = None):
+      Dataset[QuantileUpdate] = {
     implicit val stateEnc = Encoders.BINARY
     implicit val outEnc = Encoders.product[QuantileUpdate]
     implicit val strEnc = Encoders.STRING
+    val timeout = stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout)
     ds.groupByKey(keyFn)
-      .mapGroupsWithState[Array[Byte], QuantileUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Array[Byte], QuantileUpdate](timeout) {
         (key: String, rows: Iterator[T], state: GroupState[Array[Byte]]) =>
-          val td =
-            if (state.exists) TDigest.deserialize(state.get)
-            else TDigest(compression)
-          rows.foreach(r => td.add(valueFn(r)))
-          val bytes = td.serialize()
-          state.update(bytes)
-          QuantileUpdate(key, td.total, td.quantile(0.5), td.quantile(0.99),
-            bytes)
+          if (state.hasTimedOut) {
+            // idle past TTL: emit the final snapshot and drop the state
+            val bytes = state.get
+            val td = TDigest.deserialize(bytes)
+            state.remove()
+            QuantileUpdate(key, td.total, td.quantile(0.5),
+              td.quantile(0.99), bytes)
+          } else {
+            val td =
+              if (state.exists) TDigest.deserialize(state.get)
+              else TDigest(compression)
+            rows.foreach(r => td.add(valueFn(r)))
+            val bytes = td.serialize()
+            state.update(bytes)
+            stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
+            QuantileUpdate(key, td.total, td.quantile(0.5),
+              td.quantile(0.99), bytes)
+          }
       }
   }
 }

@@ -75,6 +75,30 @@ class PlanSpec extends AnyFunSuite {
       s"probe path must not dispatch UDFs:\n$plan")
   }
 
+  test("sharded probe is native codegen, plan-embedded and broadcast") {
+    import graft.functions.sharded
+    val shards = Array.fill(4)(BlockedBloomFilter.optimized(1000, 0.01))
+    (0 until 1000).foreach { i =>
+      val h = Hashing.tokenHash(i)
+      shards(sharded.shardOf(h, 4)).add(h)
+    }
+    val f = new sharded.ShardedFilter(shards)
+    for ((name, probeCol) <- Seq(
+        "embedded" -> sharded.shardedProbe(f) _,
+        "broadcast" -> sharded.shardedProbeBroadcast(
+          spark.sparkContext.broadcast(f)) _,
+        "auto" -> sharded.shardedProbeAuto(spark, f))) {
+      val df = spark.range(0, 2000, 1, 2)
+        .select(probeCol(F.token_hash64(col("id"))).as("hit"))
+        .filter(col("hit"))
+      val plan = planOf(df)
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name sharded probe must not dispatch UDFs:\n$plan")
+      assert(plan.contains("sharded_probe"), s"$name:\n$plan")
+      assert(df.count() == 1000L, s"$name: no false negatives")
+    }
+  }
+
   test("dedup/ANN hot paths carry no ScalaUDF (native expressions only)") {
     val toks = TokenDocs.fromDocumentsPath(spark, "/root/testdata/sf0.001")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -143,6 +143,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.size == 3)
   }
 
+  test("perKeyQuantiles TTL: idle key expires and restarts fresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val updates = StreamingSketches.perKeyQuantiles[(String, Double)](
+      stream.toDS(), _._1, _._2,
+      stateTtl = Some(java.time.Duration.ofMillis(50)))
+    val q = updates.writeStream
+      .format("memory").queryName("qttl_updates")
+      .outputMode(OutputMode.Update())
+      .start()
+    // ProcessingTimeTimeout: processAllAvailable never latches — poll
+    def nsOf(key: String): Seq[Double] = spark.sql(
+      s"SELECT n FROM qttl_updates WHERE key = '$key'")
+      .collect().map(_.getDouble(0)).toSeq
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond) {
+        assert(System.currentTimeMillis() <= deadline, s"timeout: $what")
+        q.exception.foreach(throw _)
+        Thread.sleep(50)
+      }
+    }
+    try {
+      stream.addData(Seq(("k1", 1.0), ("k1", 2.0), ("k2", 5.0)))
+      waitFor("batch1")(nsOf("k1").contains(2.0) && nsOf("k2").contains(1.0))
+      Thread.sleep(400) // exceed the TTL while the keys sit idle
+      stream.addData(Seq(("k1", 9.0))) // k1 reappears after expiry
+      waitFor("k1 restart")(nsOf("k1").contains(1.0))
+    } finally q.stop()
+    val k1 = nsOf("k1")
+    // a surviving digest would have produced n=3 on the reappearance
+    assert(!k1.contains(3.0), s"k1 digest must not survive the TTL: $k1")
+    assert(k1.contains(1.0), s"k1 must restart fresh: $k1")
+  }
+
   test("streaming quantiles stay within bound as batches arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
