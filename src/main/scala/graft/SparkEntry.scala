@@ -673,6 +673,48 @@ object SparkEntry {
         .toDF("n_queries", "recall_ok")
     }),
 
+    // ------- skew valve accounting (no silent caps) -------
+    //
+    // A planted hot bucket — 50 byte-identical docs, the mass-duplicated-
+    // boilerplate skew shape — exercises maxBucket end-to-end: the capped
+    // simhash join drops exactly the hot group's C(50,2) pairs, keeps all
+    // 10 planted small near-dup pairs, and the loss is fully accounted
+    // (pairs_lost recomputed from the grid-exact pair set; every lost
+    // pair engine-verified to lie inside the hot group; bucket stats
+    // report the dropped keys). The dataset is deterministic, so the
+    // oracle pins the exact numbers.
+
+    "q33_skew_valve" -> ((s, dir) => {
+      import s.implicits._
+      val hotToks = (1 to 30).toArray
+      val hot = (0L until 50L).map(i => (i, hotToks))
+      val dupPairs = (0 until 10).flatMap { i =>
+        val t = (1000 + 40 * i to 1029 + 40 * i).toArray
+        Seq((100L + 2 * i, t), (101L + 2 * i, t))
+      }
+      val toks = (hot ++ dupPairs).toDF("doc_id", "tokens")
+        .repartition(8)
+      val capped = Dedup.simhashPairs(toks, maxHamming = 3, maxBucket = 10)
+        .select(col("a"), col("b"))
+      val exact = Dedup.simhashPairsExact(toks, maxHamming = 3)
+        .select(col("a"), col("b"))
+      val nCapped = capped.count()
+      val nExact = exact.count()
+      val lost = exact.except(capped)
+      val nLost = lost.count()
+      val lostAllHot =
+        lost.filter(col("a") >= 50 || col("b") >= 50).isEmpty
+      val stats = Dedup.simhashBucketStats(toks, 3, maxBucket = 10)
+      val nDroppedBuckets = stats.filter(col("dropped")).count()
+      val smallPairsKept = capped
+        .filter(col("a") >= 100L && col("b") === col("a") + 1).count()
+      Seq((nCapped, nExact, nLost, nDroppedBuckets, smallPairsKept,
+          nDroppedBuckets > 0, lostAllHot))
+        .toDF("pairs_capped", "pairs_exact", "pairs_lost",
+          "buckets_dropped", "small_pairs_kept", "cap_engaged",
+          "lost_all_hot")
+    }),
+
     // ------- ANN: persisted IVF index with partition pruning -------
     //
     // q25's scale path made real: the corpus is assigned + written
@@ -938,6 +980,17 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
         |  true AS pruned_scan
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // deterministic planted-skew fixture: 50 identical docs lose exactly
+    // C(50,2)=1225 pairs under the cap (all 16 pigeonhole keys of the
+    // shared fingerprint dropped); the 10 small near-dup pairs survive
+    "q33_skew_valve" ->
+      """SELECT CAST(10 AS BIGINT) AS pairs_capped,
+        |  CAST(1235 AS BIGINT) AS pairs_exact,
+        |  CAST(1225 AS BIGINT) AS pairs_lost,
+        |  CAST(16 AS BIGINT) AS buckets_dropped,
+        |  CAST(10 AS BIGINT) AS small_pairs_kept,
+        |  true AS cap_engaged, true AS lost_all_hot""".stripMargin,
 
     "q29_ntok_quantiles" ->
       """WITH w AS (
