@@ -285,6 +285,18 @@ object Dedup {
       Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupDocs]] with the CONNECTED-COMPONENT drop policy in the
+    * near-dup tier: exactly one kept doc (the min id) per near-dup
+    * component, where the pairwise policy can keep several (see
+    * [[nearDupDropIdsCC]]). Costs the CC rounds on top of the pair set.
+    */
+  def dedupDocsCC(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
+    val pairs = minhashLshPairs(docTokens(afterExact), threshold)
+      .select(col("a"), col("b"))
+    afterExact.join(nearDupDropIdsCC(pairs), Seq("doc_id"), "left_anti")
+  }
+
   /** Token table of a documents frame with the LONG doc_id kept (the
     * dedup tiers join back to the documents on it).
     */
@@ -323,7 +335,11 @@ object Dedup {
     * digests/ (doc_id, content_md5), bands/ (doc_id, band) and
     * toksets/ (doc_id, tokset, set_size) of the corpus' EXACT-tier
     * survivors (near-dup-dropped docs still participate as smaller-id
-    * neighbors in a batch run, so they stay in the index).
+    * neighbors in a batch run, so they stay in the index), plus a
+    * manifest/ row (band params, doc count, max doc id) — the lineage
+    * record that lets [[dedupIncremental]] take its parameters FROM the
+    * index (a band/ngram mismatch would silently miss near-dups) and
+    * check the monotone-id precondition without scanning the index.
     */
   def writeDedupIndex(docs: DataFrame, dir: String,
                       numBands: Int = 32, rowsPerBand: Int = 4,
@@ -332,9 +348,27 @@ object Dedup {
     writeIndexState(afterExact, dir, numBands, rowsPerBand, ngram, append)
   }
 
+  /** (numBands, rowsPerBand, ngram, nDocs, maxDocId) of an index. */
+  def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): (Int, Int, Int, Long, Long) = {
+    val r = spark.read.parquet(s"$dir/manifest")
+      .agg(max(col("num_bands")), max(col("rows_per_band")),
+        max(col("ngram")), sum(col("n_docs")), max(col("max_doc_id")))
+      .head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))
+  }
+
   private def writeIndexState(afterExact: DataFrame, dir: String,
                               numBands: Int, rowsPerBand: Int, ngram: Int,
                               append: Boolean): Unit = {
+    val spark = afterExact.sparkSession
+    if (append) {
+      // appended state must be band-compatible with what is already there
+      val (nb, rpb, ng, _, _) = readIndexManifest(spark, dir)
+      require(nb == numBands && rpb == rowsPerBand && ng == ngram,
+        s"index at $dir was built with (numBands=$nb, rowsPerBand=$rpb, " +
+          s"ngram=$ng); cannot append ($numBands, $rowsPerBand, $ngram)")
+    }
     val mode = if (append) org.apache.spark.sql.SaveMode.Append
                else org.apache.spark.sql.SaveMode.Overwrite
     afterExact
@@ -344,21 +378,41 @@ object Dedup {
     tokenSets(toks, ngram).write.mode(mode).parquet(s"$dir/toksets")
     bandKeys(toks, numBands, rowsPerBand, ngram)
       .write.mode(mode).parquet(s"$dir/bands")
+    val stats = afterExact
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
+    import spark.implicits._
+    // an all-duplicates snapshot appends zero docs: record maxDocId -1
+    // so the monotone check stays a no-op for it
+    Seq((numBands, rowsPerBand, ngram, stats.getLong(0),
+        if (stats.isNullAt(1)) -1L else stats.getLong(1)))
+      .toDF("num_bands", "rows_per_band", "ngram", "n_docs", "max_doc_id")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/manifest")
   }
 
   /** Dedup a new snapshot against a persisted corpus index (see above),
-    * returning the KEPT new documents. Band/ngram parameters must match
-    * the index's. With `appendToIndex` the new snapshot's exact-tier
+    * returning the KEPT new documents. Band/ngram parameters are READ
+    * FROM THE INDEX MANIFEST (passing them would invite a silent
+    * mismatch that misses near-dups), and the monotone-id precondition
+    * (every new doc_id > every indexed doc_id) is enforced against the
+    * manifest's max_doc_id — one cheap aggregation over the NEW
+    * snapshot only. With `appendToIndex` the new snapshot's exact-tier
     * survivors are appended to the index, so successive snapshots
     * compose: index(s1) + incremental(s2, append) is a valid index for
     * incremental(s3).
     */
   def dedupIncremental(newDocs: DataFrame, indexDir: String,
                        threshold: Double = 0.9,
-                       numBands: Int = 32, rowsPerBand: Int = 4,
-                       ngram: Int = 1,
                        appendToIndex: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
+    val (numBands, rowsPerBand, ngram, _, maxIndexed) =
+      readIndexManifest(spark, indexDir)
+    val newMinRow = newDocs.agg(min(col("doc_id"))).head()
+    if (newMinRow.isNullAt(0)) return newDocs // empty snapshot
+    val newMin = newMinRow.getLong(0)
+    require(newMin > maxIndexed,
+      s"incremental dedup requires new doc_ids above the indexed corpus " +
+        s"(min new id $newMin <= max indexed id $maxIndexed); batch-equal " +
+        s"results are only guaranteed for monotone snapshot ids")
     val corpusDigests = spark.read.parquet(s"$indexDir/digests")
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
     val corpusSets = spark.read.parquet(s"$indexDir/toksets")

@@ -89,6 +89,30 @@ class DedupIncrementalSpec extends AnyFunSuite {
       incS2.contains(18L), "unique new docs kept")
   }
 
+  test("manifest guards: non-monotone ids and band mismatches rejected") {
+    val dir = Files.createTempDirectory("graft-dedup-idx3").toString
+    Dedup.writeDedupIndex(df(s1), dir, numBands = 32, rowsPerBand = 4)
+    val (nb, rpb, ng, nDocs, maxId) =
+      Dedup.readIndexManifest(spark, dir)
+    assert((nb, rpb, ng) == (32, 4, 1))
+    assert(maxId == 9L)
+    assert(nDocs == 8L, "2 exact dups dropped from 10 docs")
+    // new snapshot overlapping the indexed id range -> refuse (batch
+    // equality no longer holds)
+    val overlapping = df(Seq(doc(5L, words(1 to 5, "zz"))))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(overlapping, dir).collect()
+    }
+    assert(e.getMessage.contains("monotone"))
+    // appending with different band params -> refuse (the stored band
+    // keys would be incomparable)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.writeDedupIndex(df(s2), dir, numBands = 16, rowsPerBand = 8,
+        append = true)
+    }
+    assert(e2.getMessage.contains("numBands"))
+  }
+
   test("appendToIndex composes: snapshot3 against index(s1)+append(s2)") {
     val dir = Files.createTempDirectory("graft-dedup-idx2").toString
     Dedup.writeDedupIndex(df(s1), dir)

@@ -384,6 +384,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairwiseDrops == Seq(9L), "pairwise keeps both 4 and 6")
   }
 
+  test("dedupDocsCC keeps one doc per component where pairwise keeps more") {
+    // star: doc 9 near-dups BOTH 4 and 6 (J ~ 0.91 each) but 4 !~ 6
+    // (J ~ 0.83): pairwise dedup keeps {4, 6}; CC dedup keeps only 4
+    val core = (1 to 38).map(i => s"w$i")
+    val onlyIn4 = Seq("a1", "a2", "a3", "a4")
+    val onlyIn6 = Seq("b1", "b2", "b3", "b4")
+    val d4 = core ++ onlyIn4                      // 42 words
+    val d6 = core ++ onlyIn6                      // 42 words
+    val d9 = core                                 // 38 words, J=38/42~0.905
+    val docs = Seq(
+      (4L, d4.mkString(" "), "s"),
+      (6L, d6.mkString(" "), "s"),
+      (9L, d9.mkString(" "), "s"),
+      (11L, (1 to 20).map(i => s"z$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val pairwise = Dedup.dedupDocs(docs, 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val cc = Dedup.dedupDocsCC(docs, 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(pairwise == Seq(4L, 6L, 11L), s"pairwise keeps the star leaves: $pairwise")
+    assert(cc == Seq(4L, 11L), s"CC keeps one per component: $cc")
+  }
+
   test("CC clustering converges in log rounds on a long chain") {
     // a 300-node chain has diameter 299: naive min-propagation needs 299
     // rounds; pointer jumping must finish within maxIters=25 (~log2)
