@@ -673,6 +673,31 @@ object SparkEntry {
         .toDF("n_queries", "recall_ok")
     }),
 
+    // ------- incremental EMBEDDING dedup vs persisted index -------
+    //
+    // vector twin of q30: lower-id half of the embeddings is indexed
+    // once; the upper half is deduped against the INDEX ONLY (band join
+    // + exact-cosine verify on stored vectors). Oracle = the batch
+    // smaller-id-neighbor drop policy over the union, recomputed fully
+    // in SQL (LSH candidate completeness at 0.45 is the q23==q22
+    // equality, proven on this data).
+
+    "q34_emb_dedup_incremental" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val snap1 = emb.filter(col("vec_id") <= mid)
+      val snap2 = emb.filter(col("vec_id") > mid)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q34-idx").toString
+      Dedup.writeEmbDedupIndex(snap1, idx)
+      val keptOld = snap1.join(Dedup.embDedupDropIds(snap1, 0.45),
+        Seq("vec_id"), "left_anti")
+      val keptNew = Dedup.embDedupIncremental(snap2, idx, 0.45)
+      keptOld.select(col("vec_id"), lit(1L).as("snapshot"))
+        .union(keptNew.select(col("vec_id"), lit(2L).as("snapshot")))
+        .orderBy(col("vec_id"))
+    }),
+
     // ------- skew valve accounting (no silent caps) -------
     //
     // A planted hot bucket — 50 byte-identical docs, the mass-duplicated-
@@ -980,6 +1005,22 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
         |  true AS pruned_scan
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // batch drop policy over the union, fully in SQL
+    "q34_emb_dedup_incremental" ->
+      """WITH drops AS (
+        |  SELECT DISTINCT b.vec_id AS vid
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45)
+        |SELECT e.vec_id,
+        |  CASE WHEN e.vec_id <=
+        |    (SELECT CAST(floor(max(vec_id) / 2.0) AS BIGINT)
+        |     FROM embeddings)
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS snapshot
+        |FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vid FROM drops)
+        |ORDER BY vec_id""".stripMargin,
 
     // deterministic planted-skew fixture: 50 identical docs lose exactly
     // C(50,2)=1225 pairs under the cap (all 16 pigeonhole keys of the

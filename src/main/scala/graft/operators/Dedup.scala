@@ -521,6 +521,94 @@ object Dedup {
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
 
+  // ------------- incremental EMBEDDING dedup -------------
+  //
+  // The vector twin of the text index: persist (vid, emb, band keys) of
+  // a corpus once; dedupe a new snapshot of vectors by band-joining it
+  // against the index and verifying exact cosine — corpus vectors are
+  // read only from the index, never recomputed. Same monotone-id
+  // precondition and manifest discipline as the text index.
+
+  /** Drop-the-larger-id policy over embedding near-dup pairs (the
+    * SQL-replicable batch counterpart of [[embDedupIncremental]]).
+    */
+  def embDedupDropIds(embeddings: DataFrame, threshold: Double,
+                      numBands: Int = 64, bitsPerBand: Int = 4,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame =
+    embeddingNearDupPairsLsh(embeddings, threshold, numBands, bitsPerBand,
+      idCol, embCol)
+      .select(col("b").as(idCol)).distinct()
+
+  /** Persist the embedding dedup index: vectors/ (vid, emb),
+    * bands/ (vid, band) and manifest/ (band params, dim, count, max id).
+    */
+  def writeEmbDedupIndex(embeddings: DataFrame, dir: String,
+                         numBands: Int = 64, bitsPerBand: Int = 4,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding",
+                         dim: Int = -1): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = if (dim > 0) dim else Ann.dimOf(embeddings, embCol)
+    val v = embeddings.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/vectors")
+    v.select(col("vid"),
+        explode(F.lsh_band_keys(col("emb"), numBands, bitsPerBand, d))
+          .as("band"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/bands")
+    val stats = v.agg(count(lit(1)), max(col("vid"))).head()
+    Seq((numBands, bitsPerBand, d, stats.getLong(0),
+        if (stats.isNullAt(1)) -1L else stats.getLong(1)))
+      .toDF("num_bands", "bits_per_band", "dim", "n_vecs", "max_vid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/manifest")
+  }
+
+  /** Dedup new vectors against a persisted embedding index: drop any new
+    * vector with a corpus neighbor at cosine >= threshold (band-join on
+    * the index's keys + exact-cosine verify against the stored vectors)
+    * or a smaller-id new neighbor. Band params come from the manifest;
+    * new ids must exceed every indexed id. Returns the kept new rows.
+    */
+  def embDedupIncremental(newEmbs: DataFrame, indexDir: String,
+                          threshold: Double,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding"): DataFrame = {
+    val spark = newEmbs.sparkSession
+    val m = spark.read.parquet(s"$indexDir/manifest")
+      .agg(max(col("num_bands")), max(col("bits_per_band")),
+        max(col("dim")), max(col("max_vid"))).head()
+    val (numBands, bitsPerBand, d, maxVid) =
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3))
+    val newMinRow = newEmbs.agg(min(col(idCol))).head()
+    if (newMinRow.isNullAt(0)) return newEmbs
+    require(newMinRow.getLong(0) > maxVid,
+      s"incremental embedding dedup requires new ids above the indexed " +
+        s"corpus (min new ${newMinRow.getLong(0)} <= max indexed $maxVid)")
+    val corpusVecs = spark.read.parquet(s"$indexDir/vectors")
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    val newV = newEmbs.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    val newBands = newV.select(col("vid"),
+      explode(F.lsh_band_keys(col("emb"), numBands, bitsPerBand, d))
+        .as("band"))
+    val dropVsCorpus = newBands.as("n")
+      .join(corpusBands.as("c"), col("n.band") === col("c.band"))
+      .select(col("c.vid").as("a"), col("n.vid").as("b")).distinct()
+      .join(corpusVecs.select(col("vid").as("a"), col("emb").as("ea")),
+        Seq("a"))
+      .join(newV.select(col("vid").as("b"), col("emb").as("eb")), Seq("b"))
+      .filter(F.cosine_sim(col("ea"), col("eb")) >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    val dropWithin = embDedupDropIds(newEmbs, threshold, numBands,
+      bitsPerBand, idCol, embCol)
+    newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
+      .join(dropWithin, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with
     * cosine >= threshold, a < b — grid-blocked all-pairs (see
     * [[gridPairs]]). O(n^2) compute spread over block-pair tasks with

@@ -113,6 +113,49 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("numBands"))
   }
 
+  test("embedding incremental dedup == batch drop policy over the union") {
+    // deterministic unit vectors in 8-d: near-dups = same base + tiny
+    // noise (cosine ~0.999); distinct bases are near-orthogonal
+    def vec(base: Int, salt: Int): Array[Float] = {
+      val v = Array.tabulate(8)(d =>
+        (if (d == base % 8) 10f else 0f) +
+          0.05f * graft.core.Hashing.toUnitDouble(
+            graft.core.Hashing.at(base * 1000 + salt, d)).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = Seq(
+      (0L, vec(0, 0)), (1L, vec(1, 0)), (2L, vec(2, 0)),
+      (3L, vec(0, 7)), // near-dup of 0 -> batch-dropped, stays indexed
+      (4L, vec(3, 0))).toDF("vec_id", "embedding")
+    val snap = Seq(
+      (10L, vec(1, 3)),  // near-dup of corpus 1 -> drop
+      (11L, vec(4, 0)),  // new base -> keep
+      (12L, vec(0, 9)),  // near-dup of the DROPPED corpus 3 -> still drop
+      (13L, vec(4, 5)),  // near-dup of NEW 11 -> drop (within-new)
+      (14L, vec(5, 0))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-emb-idx").toString
+    Dedup.writeEmbDedupIndex(corpus, dir)
+    val incKept = Dedup.embDedupIncremental(snap, dir, 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val union = corpus.union(snap)
+    val batchKept = union
+      .join(Dedup.embDedupDropIds(union, 0.9), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val corpusKept = corpus
+      .join(Dedup.embDedupDropIds(corpus, 0.9), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert((corpusKept ++ incKept).sorted == batchKept,
+      s"corpus=$corpusKept inc=$incKept batch=$batchKept")
+    assert(incKept == Seq(11L, 14L), s"kept: $incKept")
+    // monotone-id guard
+    val bad = Seq((2L, vec(6, 0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embDedupIncremental(bad, dir, 0.9).collect()
+    }
+    assert(e.getMessage.contains("indexed"))
+  }
+
   test("appendToIndex composes: snapshot3 against index(s1)+append(s2)") {
     val dir = Files.createTempDirectory("graft-dedup-idx2").toString
     Dedup.writeDedupIndex(df(s1), dir)

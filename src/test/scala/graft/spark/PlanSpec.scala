@@ -75,6 +75,40 @@ class PlanSpec extends AnyFunSuite {
       s"probe path must not dispatch UDFs:\n$plan")
   }
 
+  test("incremental dedup scans ONLY the index — corpus parquet untouched") {
+    import spark.implicits._
+    // corpus on disk as parquet (so a rescan would show up as a file scan)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-plan-corpus").toString + "/docs"
+    (0L until 40L).map(i =>
+        (i, (1 to 25).map(w => s"c$i-w$w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(corpusDir)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-plan-idx").toString
+    graft.operators.Dedup.writeDedupIndex(
+      spark.read.parquet(corpusDir), idxDir)
+    val snap = (100L until 110L).map(i =>
+        (i, (1 to 25).map(w => s"n$i-w$w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.operators.Dedup.dedupIncremental(snap, idxDir)
+    kept.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val locs = scans(kept.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    assert(locs.nonEmpty, "index scans must be present")
+    assert(locs.forall(l => !l.contains("graft-plan-corpus")),
+      s"incremental dedup must NEVER rescan the corpus files:\n$locs")
+    assert(locs.exists(_.contains("graft-plan-idx")),
+      s"scans must come from the index:\n$locs")
+  }
+
   test("sharded probe is native codegen, plan-embedded and broadcast") {
     import graft.functions.sharded
     val shards = Array.fill(4)(BlockedBloomFilter.optimized(1000, 0.01))
