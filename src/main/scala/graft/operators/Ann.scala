@@ -203,6 +203,26 @@ object Ann {
       .parquet(s"$dir/lists")
   }
 
+  /** Append new vectors to an existing IVF index: assign them with the
+    * STORED quantizer (so old and new rows are bucketed identically) and
+    * append into the per-centroid partitions — incremental ingestion
+    * without retraining or rewriting the corpus. The quantizer drifts
+    * from the true density as the corpus grows; retrain (writeIvfIndex)
+    * when recall degrades — the index records no statistics because
+    * recall is the observable that matters (q25/q32's gate).
+    */
+  def appendToIvfIndex(newVecs: DataFrame, dir: String,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): Unit = {
+    import graft.functions.{expressions => E}
+    val cents = readIvfCentroids(newVecs.sparkSession, dir)
+    newVecs
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        E.ivf_assign(col(embCol), cents).as("cl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("cl")
+      .parquet(s"$dir/lists")
+  }
+
   /** Load the quantizer matrix back (nlist x dim doubles — tiny). */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Array[Array[Double]] = {

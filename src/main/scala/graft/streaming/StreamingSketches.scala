@@ -127,6 +127,40 @@ object StreamingSketches {
       }
   }
 
+  /** Streaming dedup AGAINST A PERSISTED CORPUS plus within-stream
+    * first-occurrence dedup: rows whose key hits the corpus Bloom filter
+    * are dropped before they ever reach the state store (the filter has
+    * no false negatives, so every true corpus dup is dropped; false
+    * positives wrongly drop fresh rows at the filter's configured fpr —
+    * the standard approximate-dedup tradeoff, tune fpr to taste). The
+    * filter is built once from the corpus digest column (e.g. the
+    * `digests/` table of `Dedup.writeDedupIndex`) and probed as shared
+    * executor state; stream state stays one boolean per NEW key.
+    */
+  def streamingDedupVsCorpus[T](ds: Dataset[T], keyFn: T => String,
+                                corpus: BlockedBloomFilter,
+                                stateTtl: Option[java.time.Duration] = None)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    streamingDedup(
+      ds.filter((t: T) => !corpus.has(Hashing.fnv1a64(
+        keyFn(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)))),
+      keyFn, stateTtl)
+
+  /** Build the corpus-key Bloom filter for [[streamingDedupVsCorpus]]
+    * from a one-column DataFrame of key strings (distributed build,
+    * partial->final merge; one driver-side dump decode).
+    */
+  def corpusKeyFilter(keys: org.apache.spark.sql.DataFrame,
+                      capacity: Long, fpr: Double): BlockedBloomFilter = {
+    import org.apache.spark.sql.functions.col
+    val bytes = keys.agg(
+        graft.functions.functions.bloom_agg_hash(
+          graft.functions.functions.fnv_hash64_native(col(keys.columns.head)),
+          capacity, fpr).as("f"))
+      .head().getAs[Array[Byte]]("f")
+    BloomIO.load(bytes)
+  }
+
   /** Streaming quantiles of a numeric field per group via t-digest state.
     * Emits (group, n, p50, p99) per micro-batch.
     */

@@ -316,6 +316,41 @@ class OperatorSpec extends AnyFunSuite {
       scan.head.metadata("PartitionFilters"))
   }
 
+  test("IVF index append: new vectors searchable, assignment consistent") {
+    val mk = (c: Int, m: Int) => {
+      val base = Array.tabulate(8)(d =>
+        if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f)
+      base.zipWithIndex.map { case (v, d) =>
+        v + 0.02f * graft.core.Hashing.toUnitDouble(
+          graft.core.Hashing.at(78, (c * 100 + m) * 8 + d)).toFloat }
+    }
+    val initial = (for { c <- 0 until 4; m <- 0 until 8 }
+      yield ((c * 100 + m).toLong, mk(c, m))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    Ann.writeIvfIndex(initial, dir, nlist = 4, iters = 3)
+    // append vectors from the same clusters, new ids
+    val extra = (for { c <- 0 until 4; m <- 8 until 12 }
+      yield ((c * 100 + m).toLong, mk(c, m))).toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(extra, dir)
+    // searching with a query near cluster 2 must now surface appended
+    // cluster-2 vectors among the neighbors
+    val qs = initial.filter(col("vec_id") === 200L)
+    val found = Ann.searchIvfIndex(qs, dir, 12, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((208L to 211L).forall(found.contains),
+      s"appended cluster-2 vectors must be searchable: $found")
+    // every appended row landed in the partition the stored quantizer
+    // assigns it to (old/new bucketing identical)
+    val cents = Ann.readIvfCentroids(spark, dir)
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("neighbor_id") >= 8L) // appended ids end in 08..11
+    val mismatched = lists.withColumn("expect",
+        graft.functions.expressions.ivf_assign(col("c_emb"), cents))
+      .filter(col("cl") =!= col("expect")).count()
+    assert(mismatched == 0L)
+  }
+
   test("multimodal decode: metadata deterministic, nulls dropped") {
     val media = Seq(
       (1L, "hello world".getBytes("UTF-8"), "fake/image"),

@@ -179,6 +179,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(k1.contains(1.0), s"k1 must restart fresh: $k1")
   }
 
+  test("streaming dedup vs corpus filter drops corpus dups pre-state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus keys {1,2,3} and {9,9} (as token-content keys)
+    val corpusKeys = Seq("1,2,3", "9,9").toDF("k")
+    val filter = StreamingSketches.corpusKeyFilter(corpusKeys, 1000, 1e-6)
+    val stream = MemoryStream[TokenDoc]
+    val out = StreamingSketches.streamingDedupVsCorpus[TokenDoc](
+      stream.toDS(), d => d.tokens.mkString(","), filter)
+    val q = out.writeStream
+      .format("memory").queryName("corpus_dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    def doc(id: Long, toks: Array[Int]) =
+      TokenDoc(s"d$id", toks, toks.length, "s")
+    try {
+      stream.addData(Seq(
+        doc(1, Array(1, 2, 3)), // corpus dup -> dropped by the filter
+        doc(2, Array(7, 8)),    // fresh -> kept
+        doc(3, Array(7, 8)),    // within-stream dup -> dropped by state
+        doc(4, Array(9, 9))))   // corpus dup -> dropped
+      q.processAllAvailable()
+      stream.addData(Seq(doc(5, Array(7, 8)), doc(6, Array(4))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT doc_id FROM corpus_dedup_out").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("d2", "d6"), s"kept: $kept")
+  }
+
   test("streaming quantiles stay within bound as batches arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
