@@ -339,13 +339,18 @@ object Bench {
           col("source"))
       val snap = fresh.union(dups).persist()
       corpus.count(); snap.count()
+      // 16 bands x 8 rows: random Zipf-doc pairs sit at J~0.4, where
+      // 32x4 bands collide ~56% of ALL pairs (quadratic candidates);
+      // 16x8 collides ~1% while recall at J>=0.8 stays ~0.96
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-bench-dedup-idx").toString
-      val (_, tIndex) = time { Dedup.writeDedupIndex(corpus, idxDir) }
+      val (_, tIndex) = time {
+        Dedup.writeDedupIndex(corpus, idxDir, numBands = 16, rowsPerBand = 8) }
       val (nInc, tInc) = time {
-        Dedup.dedupIncremental(snap, idxDir).count() }
+        Dedup.dedupIncremental(snap, idxDir, threshold = 0.8).count() }
       val (nBatch, tBatch) = time {
-        Dedup.dedupDocs(corpus.union(snap)).count() }
+        Dedup.dedupDocs(corpus.union(snap), threshold = 0.8,
+          numBands = 16, rowsPerBand = 8).count() }
       require(nInc <= 4500 && nBatch >= 50000,
         s"planted dups must be dropped: inc=$nInc batch=$nBatch")
       results += "b10_dedup_index_build_50k" -> tIndex

@@ -279,9 +279,16 @@ object Dedup {
     * (MinHash-LSH verified Jaccard at `threshold`); returns the kept
     * documents. The near-dup tier only sees the exact tier's survivors.
     */
-  def dedupDocs(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+  /** Size the bands for the data's similarity regime: the default 32x4
+    * suits high thresholds over mostly-dissimilar docs; corpora whose
+    * RANDOM pairs already sit at J~0.4 (small vocabularies) want fewer,
+    * longer bands (e.g. 16x8) or the candidate join goes quadratic.
+    */
+  def dedupDocs(docs: DataFrame, threshold: Double = 0.9,
+                numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
-    afterExact.join(nearDupDropIds(docTokens(afterExact), threshold),
+    afterExact.join(
+      nearDupDropIds(docTokens(afterExact), threshold, numBands, rowsPerBand),
       Seq("doc_id"), "left_anti")
   }
 
@@ -542,29 +549,41 @@ object Dedup {
 
   /** Persist the embedding dedup index: vectors/ (vid, emb),
     * bands/ (vid, band) and manifest/ (band params, dim, count, max id).
+    * With `append`, band params must match the existing manifest.
     */
   def writeEmbDedupIndex(embeddings: DataFrame, dir: String,
                          numBands: Int = 64, bitsPerBand: Int = 4,
                          idCol: String = "vec_id",
                          embCol: String = "embedding",
-                         dim: Int = -1): Unit = {
+                         dim: Int = -1,
+                         append: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    if (append) {
+      val m = spark.read.parquet(s"$dir/manifest")
+        .agg(max(col("num_bands")), max(col("bits_per_band")),
+          max(col("dim"))).head()
+      require(m.getInt(0) == numBands && m.getInt(1) == bitsPerBand &&
+        (dim <= 0 || m.getInt(2) == dim),
+        s"embedding index at $dir was built with (numBands=${m.getInt(0)}, " +
+          s"bitsPerBand=${m.getInt(1)}, dim=${m.getInt(2)}); cannot append " +
+          s"($numBands, $bitsPerBand, $dim)")
+    }
+    val mode = if (append) org.apache.spark.sql.SaveMode.Append
+               else org.apache.spark.sql.SaveMode.Overwrite
     val d = if (dim > 0) dim else Ann.dimOf(embeddings, embCol)
     val v = embeddings.select(col(idCol).as("vid"), col(embCol).as("emb"))
-    v.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dir/vectors")
+    v.write.mode(mode).parquet(s"$dir/vectors")
     v.select(col("vid"),
         explode(F.lsh_band_keys(col("emb"), numBands, bitsPerBand, d))
           .as("band"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dir/bands")
+      .write.mode(mode).parquet(s"$dir/bands")
     val stats = v.agg(count(lit(1)), max(col("vid"))).head()
     Seq((numBands, bitsPerBand, d, stats.getLong(0),
         if (stats.isNullAt(1)) -1L else stats.getLong(1)))
       .toDF("num_bands", "bits_per_band", "dim", "n_vecs", "max_vid")
       .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .write.mode(mode)
       .parquet(s"$dir/manifest")
   }
 
@@ -577,7 +596,8 @@ object Dedup {
   def embDedupIncremental(newEmbs: DataFrame, indexDir: String,
                           threshold: Double,
                           idCol: String = "vec_id",
-                          embCol: String = "embedding"): DataFrame = {
+                          embCol: String = "embedding",
+                          appendToIndex: Boolean = false): DataFrame = {
     val spark = newEmbs.sparkSession
     val m = spark.read.parquet(s"$indexDir/manifest")
       .agg(max(col("num_bands")), max(col("bits_per_band")),
@@ -605,6 +625,13 @@ object Dedup {
       .select(col("b").as(idCol)).distinct()
     val dropWithin = embDedupDropIds(newEmbs, threshold, numBands,
       bitsPerBand, idCol, embCol)
+    // index composition appends ALL new vectors, not only kept ones: a
+    // near-dup-dropped vector is still the smaller-id neighbor of later
+    // snapshots' vectors under the batch policy (the text index keeps
+    // exact-tier survivors for the same reason)
+    if (appendToIndex)
+      writeEmbDedupIndex(newEmbs, indexDir, numBands, bitsPerBand,
+        idCol, embCol, d, append = true)
     newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
       .join(dropWithin, Seq(idCol), "left_anti")
   }

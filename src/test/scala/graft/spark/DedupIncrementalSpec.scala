@@ -154,6 +154,31 @@ class DedupIncrementalSpec extends AnyFunSuite {
       Dedup.embDedupIncremental(bad, dir, 0.9).collect()
     }
     assert(e.getMessage.contains("indexed"))
+    // append composes, including the chain case: x ~ y ~ z with
+    // cos(x,y)=cos(y,z)=0.93 >= 0.9 but cos(x,z)=0.73 < 0.9 (a rotation
+    // chain). y is dropped by x; z is later dropped ONLY because the
+    // appended index holds the DROPPED y — a kept-only index would
+    // wrongly keep z.
+    def rot(theta: Double): Array[Float] = {
+      val v = new Array[Float](8)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat
+      v
+    }
+    val theta = math.acos(0.93)
+    val dir2 = Files.createTempDirectory("graft-emb-idx2").toString
+    Dedup.writeEmbDedupIndex(
+      Seq((0L, rot(0))).toDF("vec_id", "embedding"), dir2)
+    val inc2 = Dedup.embDedupIncremental(
+      Seq((10L, rot(theta))).toDF("vec_id", "embedding"),
+      dir2, 0.9, appendToIndex = true)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(inc2.isEmpty, s"y must be dropped by x: $inc2")
+    val inc3 = Dedup.embDedupIncremental(
+      Seq((20L, rot(2 * theta)), (21L, vec(6, 0)))
+        .toDF("vec_id", "embedding"), dir2, 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(inc3 == Seq(21L),
+      s"z must be dropped via the DROPPED-but-indexed y: $inc3")
   }
 
   test("appendToIndex composes: snapshot3 against index(s1)+append(s2)") {
