@@ -431,9 +431,16 @@ object Dedup {
       .join(corpusDigests.select(col("content_md5")), Seq("content_md5"))
       .select(col("doc_id"))
     val notInCorpus = newDocs.join(dupOfCorpus, Seq("doc_id"), "left_anti")
-    // exact tier (b): dedup the remaining new docs among themselves
+    // exact tier (b): dedup the remaining new docs among themselves.
+    // PERSIST the survivors: they feed four downstream plan branches
+    // (toksets, band keys, within-new pairs, final keep join), and
+    // without the cache each branch would re-run the corpus-digest
+    // anti-join — an index-sized scan per branch. Snapshot-sized by
+    // contract, so MEMORY_AND_DISK is bounded; lineage is kept (unlike
+    // localCheckpoint) so executor loss recomputes instead of failing.
     val newExact = notInCorpus
       .join(exactDropIds(notInCorpus), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val newToks = docTokens(newExact)
     val newSets = tokenSets(newToks, ngram)
@@ -456,10 +463,23 @@ object Dedup {
     val kept = newExact
       .join(dropVsCorpus, Seq("doc_id"), "left_anti")
       .join(dropWithin, Seq("doc_id"), "left_anti")
-    if (appendToIndex)
-      writeIndexState(newExact, indexDir, numBands, rowsPerBand, ngram,
+    if (appendToIndex) {
+      // MATERIALIZE before extending the index: each append refreshes
+      // Spark's file index/caches for indexDir, so (a) a lazy RESULT
+      // evaluated afterwards would re-read the index with the new
+      // snapshot inside and drop every new doc as a duplicate of
+      // itself, and (b) the digests append would invalidate newExact
+      // mid-write and the bands/toksets appends would then evaluate it
+      // against the post-append digests — appending EMPTY state.
+      // localCheckpoint cuts both plans away from the index files
+      // (snapshot-sized, bounded).
+      val materialized = kept.localCheckpoint()
+      val newExactM = newExact.localCheckpoint()
+      newExact.unpersist()
+      writeIndexState(newExactM, indexDir, numBands, rowsPerBand, ngram,
         append = true)
-    kept
+      materialized
+    } else kept
   }
 
   // ----------------- connected-component clustering -----------------
@@ -629,11 +649,17 @@ object Dedup {
     // near-dup-dropped vector is still the smaller-id neighbor of later
     // snapshots' vectors under the batch policy (the text index keeps
     // exact-tier survivors for the same reason)
-    if (appendToIndex)
+    val kept = newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
+      .join(dropWithin, Seq(idCol), "left_anti")
+    if (appendToIndex) {
+      // materialize BEFORE the append (see dedupIncremental: the write
+      // refreshes the index path, and a lazy result would re-read the
+      // index with the new vectors inside and drop them all)
+      val materialized = kept.localCheckpoint()
       writeEmbDedupIndex(newEmbs, indexDir, numBands, bitsPerBand,
         idCol, embCol, d, append = true)
-    newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
-      .join(dropWithin, Seq(idCol), "left_anti")
+      materialized
+    } else kept
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with

@@ -442,6 +442,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(cc == Seq(4L, 11L), s"CC keeps one per component: $cc")
   }
 
+  test("CC clustering matches GraphX ConnectedComponents on random graphs") {
+    // independent oracle: GraphX's CC also labels every vertex with the
+    // minimum vertex id of its component — compare on deterministic
+    // random graphs of varying density
+    import graft.core.Hashing
+    for ((seed, nEdges, nVerts) <- Seq((1L, 80, 120), (2L, 300, 150),
+        (3L, 30, 200))) {
+      val edges = (0 until nEdges).map { i =>
+        val a = Math.floorMod(Hashing.at(seed, 2 * i), nVerts).toLong
+        val b = Math.floorMod(Hashing.at(seed, 2 * i + 1), nVerts).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val ours = Dedup.nearDupClusters(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(
+        spark.sparkContext.parallelize(edges), defaultValue = 0)
+      val gx = graph.connectedComponents().vertices
+        .collect().toMap
+      // GraphX includes every vertex of the edge list; ours too
+      assert(ours == gx.map { case (k, v) => (k: Long) -> (v: Long) },
+        s"seed=$seed: ours and GraphX disagree")
+    }
+  }
+
   test("CC clustering converges in log rounds on a long chain") {
     // a 300-node chain has diameter 299: naive min-propagation needs 299
     // rounds; pointer jumping must finish within maxIters=25 (~log2)
