@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -806,6 +806,23 @@ object SparkEntry {
         .toDF("n_join_rows", "sum_qty", "filter_injected")
     }),
 
+    // ------------- eval-set decontamination -------------
+    //
+    // The spellcheck workload (/root/reference/examples/spellcheck)
+    // pointed at the LLM-pipeline problem: training docs sharing word
+    // 3-grams with a held-out eval split must be flagged. The Bloom
+    // filter over eval n-grams prunes the training-side explode inside
+    // codegen; the exact string verify join makes the overlap counts
+    // collision-free, so DuckDB recomputes them exactly.
+
+    "q35_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 11 === 0)
+      val trainDocs = docs.filter(col("doc_id") % 11 =!= 0)
+      Decontaminate.contaminated(trainDocs, evalDocs, n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1117,6 +1134,22 @@ object SparkEntry {
     "q23_dedup_embedding_lsh" -> embeddingPairsOracle,
 
     // connected components over the exact pair set, via recursive CTE
+    "q35_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng FROM idx),
+        |ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 11 = 0),
+        |tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 11 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_overlap
+        |FROM tr JOIN ev USING (ng)
+        |GROUP BY tr.doc_id
+        |HAVING count(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q31_dedup_cc_clusters" ->
       """WITH RECURSIVE
         |w AS (

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.BloomIO
+import graft.functions.{functions => F}
+
+/** Eval-set decontamination — the canonical LLM-training use of a Bloom
+  * filter: training documents that share word n-grams with a held-out
+  * evaluation corpus must be found (and usually dropped) so benchmark
+  * numbers aren't memorization. This is the spellcheck workload's shape
+  * (/root/reference/examples/spellcheck — build a filter from one corpus,
+  * probe a second) pointed at the data-pipeline problem.
+  *
+  * Scale design (train side is the 100 TB side, eval side is small):
+  *  - the eval n-gram set is aggregated into ONE blocked-Bloom dump via
+  *    the partial->final tree merge (no driver-side set), sized by an
+  *    exact or caller-supplied cardinality;
+  *  - the training side's n-gram explode — the unavoidable linear pass —
+  *    is pruned row-by-row INSIDE whole-stage codegen by the Bloom probe
+  *    (plan-embedded under 32 MiB, torrent-broadcast above, see
+  *    [[graft.functions.functions.bloomProbeAuto]]) before anything
+  *    shuffles;
+  *  - only the surviving candidates (true overlaps + an fpr-bounded
+  *    sliver of false positives) reach the exact verify join on the
+  *    n-gram STRING, which removes both Bloom false positives and 64-bit
+  *    hash collisions — the reported overlaps are exact.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams per document, space-joined, built entirely
+    * from codegen'd higher-order functions (no UDF): whitespace split,
+    * empties dropped (the engine-wide tokenization — see
+    * [[graft.sources.TokenDocs]]), then every window of n consecutive
+    * tokens.
+    */
+  def docNgrams(docs: DataFrame, n: Int, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "ngram length must be >= 1")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // sequence(1, stop) DESCENDS when stop < 1 (yielding i=0, an illegal
+    // slice start), so short docs need the explicit guard
+    val ngs = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(typedLit(Array.empty[String]))
+    docs.select(col(idCol), explode(array_distinct(ngs)).as("ng"))
+  }
+
+  /** (doc_id, n_overlap) for every training doc sharing at least
+    * `minOverlap` distinct n-grams with the eval corpus.
+    *
+    * `expectedEvalNgrams` sizes the filter without an extra counting
+    * job when the caller already knows the scale; 0 means count exactly
+    * (one cheap aggregate over the SMALL side).
+    */
+  def contaminated(train: DataFrame, eval: DataFrame, n: Int = 3,
+                   minOverlap: Int = 1, fpr: Double = 1e-3,
+                   expectedEvalNgrams: Long = 0L,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val spark = train.sparkSession
+    val evalNg = docNgrams(eval, n, textCol, idCol)
+      .select(col("ng")).distinct()
+    val cap =
+      if (expectedEvalNgrams > 0) expectedEvalNgrams
+      else math.max(evalNg.count(), 1000L)
+    val dump = evalNg
+      .agg(F.bloom_agg_hash(F.fnv_hash64_native(col("ng")), cap, fpr)
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val probe = F.bloomProbeAuto(spark, BloomIO.load(dump))
+    val cands = docNgrams(train, n, textCol, idCol)
+      .filter(probe(F.fnv_hash64_native(col("ng"))))
+    // exact verify on the string: kills Bloom FPs AND hash collisions.
+    // Candidate volume is fpr-bounded, so this join's shuffle is tiny;
+    // Catalyst/AQE picks broadcast when the eval set fits.
+    cands.join(evalNg, Seq("ng"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Training corpus with contaminated documents removed. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
+                    minOverlap: Int = 1, fpr: Double = 1e-3,
+                    expectedEvalNgrams: Long = 0L,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    train.join(
+      contaminated(train, eval, n, minOverlap, fpr, expectedEvalNgrams,
+        textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -475,4 +475,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(labels.count() == 300L)
     assert(labels.agg(max(col("cluster_id"))).head.getLong(0) == 0L)
   }
+
+  test("decontamination flags exactly the docs sharing eval n-grams") {
+    import graft.operators.Decontaminate
+    val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // eval 3-grams: {"alpha beta gamma", "beta gamma delta"}
+    val train = Seq(
+      (0L, "xx alpha beta gamma yy"),          // shares 1
+      (1L, "alpha beta gamma delta epsilon"),  // shares 2
+      (2L, "alpha beta xx gamma delta"),       // 3-grams all differ
+      (3L, "alpha beta"),                      // too short for any 3-gram
+      (4L, "zz alpha  beta gamma"),            // double space: empties dropped -> shares 1
+      (5L, "alpha beta gamma alpha beta gamma")// repeated n-gram counts ONCE
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.contaminated(train, evalDocs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 4L -> 1L, 5L -> 1L), s"got $got")
+    val strict = Decontaminate.contaminated(train, evalDocs, n = 3,
+      minOverlap = 2).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+    val clean = Decontaminate.decontaminate(train, evalDocs, n = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
 }

@@ -154,7 +154,14 @@ class PlanSpec extends AnyFunSuite {
         .select(graft.operators.TextAnalysis.lang_id(col("text")))),
       "rolling_fp" -> planOf(spark.read
         .parquet("/root/testdata/sf0.001/documents.parquet")
-        .select(graft.operators.TextAnalysis.rolling_fingerprint(col("text")))))
+        .select(graft.operators.TextAnalysis.rolling_fingerprint(col("text")))),
+      "decontaminate" -> {
+        val docs = spark.read
+          .parquet("/root/testdata/sf0.001/documents.parquet")
+        planOf(graft.operators.Decontaminate.contaminated(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0), n = 3))
+      })
     for ((name, plan) <- plans)
       assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
         s"$name plan must not dispatch UDFs:\n$plan")
