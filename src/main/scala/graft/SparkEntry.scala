@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Sampling, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -823,6 +823,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- deterministic stratified sampling -------------
+    //
+    // Hash-keyed Bernoulli sampling (md5-threshold, not rand()): the
+    // sample is a pure function of doc_id + salt, so it is stable under
+    // retries/partitioning and DuckDB reproduces the EXACT kept set.
+
+    "q36_stratified_sample" -> ((s, dir) => {
+      Sampling.sampleBySource(tbl(s, dir, "documents"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+            "src3" -> 0.0),
+          defaultFraction = 0.1, salt = "s42")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1134,6 +1149,20 @@ object SparkEntry {
     "q23_dedup_embedding_lsh" -> embeddingPairsOracle,
 
     // connected components over the exact pair set, via recursive CTE
+    // thresholds generated by the SAME function the operator uses, so
+    // the oracle cannot drift from the engine
+    "q36_stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR) || '|s42') <
+         |  CASE source
+         |    WHEN 'src0' THEN '${Sampling.hexThreshold(1.0)}'
+         |    WHEN 'src1' THEN '${Sampling.hexThreshold(0.5)}'
+         |    WHEN 'src2' THEN '${Sampling.hexThreshold(0.25)}'
+         |    WHEN 'src3' THEN '${Sampling.hexThreshold(0.0)}'
+         |    ELSE '${Sampling.hexThreshold(0.1)}'
+         |  END
+         |ORDER BY doc_id""".stripMargin,
+
     "q35_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -498,4 +498,30 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(clean == Set(2L, 3L))
   }
+
+  test("hash-keyed sampling: deterministic, partition-stable, nested") {
+    import graft.operators.Sampling
+    val n = 4000
+    val df = (0L until n.toLong)
+      .map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val s1 = ids(Sampling.sample(df, 0.5, "t"))
+    // partitioning must not change the sample (rand() would)
+    assert(ids(Sampling.sample(df.repartition(13), 0.5, "t")) == s1)
+    assert(math.abs(s1.size.toDouble / n - 0.5) < 0.05, s"${s1.size}")
+    // a different salt is an independent resample
+    assert(ids(Sampling.sample(df, 0.5, "u")) != s1)
+    // thresholds nest: the 25% sample is a subset of the 50% one
+    assert(ids(Sampling.sample(df, 0.25, "t")).subsetOf(s1))
+    // strata: listed fractions exact at 0/1, default covers the rest
+    val strat = Sampling.sampleBySource(df, Map("a" -> 1.0, "b" -> 0.0),
+      salt = "t")
+    assert(strat.count() == n / 2 &&
+      strat.filter(col("source") === "b").isEmpty)
+    val dflt = Sampling.sampleBySource(df, Map("a" -> 0.0),
+      defaultFraction = 1.0, salt = "t")
+    assert(dflt.count() == n / 2 &&
+      dflt.filter(col("source") === "a").isEmpty)
+  }
 }
