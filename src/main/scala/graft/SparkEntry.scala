@@ -823,6 +823,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- full corpus-curation pipeline -------------
+    //
+    // The composed flagship a training pipeline actually runs, end to
+    // end: exact+near dedup -> eval-set decontamination -> hash-keyed
+    // sampling. Every stage is individually oracle-checked (q27, q35,
+    // q36); here the WHOLE composition is recomputed in one SQL query,
+    // so stage wiring (which tier sees which survivors) is verified too.
+
+    "q37_curation_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 11 === 0)
+      val train = docs.filter(col("doc_id") % 11 =!= 0)
+      val deduped = Dedup.dedupDocs(train)
+      val clean = Decontaminate.decontaminate(deduped, evalDocs, n = 4)
+      Sampling.sample(clean, 0.5, salt = "s7")
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- deterministic stratified sampling -------------
     //
     // Hash-keyed Bernoulli sampling (md5-threshold, not rand()): the
@@ -1149,6 +1168,58 @@ object SparkEntry {
     "q23_dedup_embedding_lsh" -> embeddingPairsOracle,
 
     // connected components over the exact pair set, via recursive CTE
+    // the whole pipeline recomputed in one query: dedup (q27's CTEs over
+    // the train split), decontamination (q35's), sampling (q36's
+    // threshold from the same generating function)
+    "q37_curation_pipeline" ->
+      s"""WITH train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+         |keep1 AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM train) WHERE rn = 1),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM keep1)
+         |  WHERE w <> ''),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+         |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT DISTINCT p.b AS doc_id FROM pairs p
+         |  JOIN sizes sa ON sa.doc_id = p.a
+         |  JOIN sizes sb ON sb.doc_id = p.b
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+         |keep2 AS (
+         |  SELECT doc_id, text FROM keep1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |tokl AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM keep2),
+         |idx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM tokl),
+         |ng AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS ng FROM idx),
+         |evtok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |evidx AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM evtok),
+         |evng AS (
+         |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS ng FROM evidx),
+         |contaminated AS (
+         |  SELECT DISTINCT ng.doc_id FROM ng JOIN evng USING (ng)),
+         |keep3 AS (
+         |  SELECT doc_id, text FROM keep2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT doc_id, md5(text) AS content_md5 FROM keep3
+         |WHERE md5(CAST(doc_id AS VARCHAR) || '|s7') <
+         |  '${Sampling.hexThreshold(0.5)}'
+         |ORDER BY doc_id""".stripMargin,
+
     // thresholds generated by the SAME function the operator uses, so
     // the oracle cannot drift from the engine
     "q36_stratified_sample" ->

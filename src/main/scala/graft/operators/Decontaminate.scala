@@ -47,12 +47,34 @@ object Decontaminate {
     docs.select(col(idCol), explode(array_distinct(ngs)).as("ng"))
   }
 
-  /** (doc_id, n_overlap) for every training doc sharing at least
-    * `minOverlap` distinct n-grams with the eval corpus.
+  /** Bloom filter over the eval corpus's distinct n-grams (fnv1a64 of
+    * the space-joined n-gram string), built with the partial->final
+    * tree merge and decoded once on the driver. Shared by the batch
+    * query and streaming.streamingDecontaminate, so a filter persisted
+    * with [[graft.core.BloomIO.dump]] screens both.
     *
     * `expectedEvalNgrams` sizes the filter without an extra counting
     * job when the caller already knows the scale; 0 means count exactly
     * (one cheap aggregate over the SMALL side).
+    */
+  def evalNgramFilter(eval: DataFrame, n: Int = 3, fpr: Double = 1e-3,
+                      expectedEvalNgrams: Long = 0L,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): graft.core.BlockedBloomFilter = {
+    val evalNg = docNgrams(eval, n, textCol, idCol)
+      .select(col("ng")).distinct()
+    val cap =
+      if (expectedEvalNgrams > 0) expectedEvalNgrams
+      else math.max(evalNg.count(), 1000L)
+    val dump = evalNg
+      .agg(F.bloom_agg_hash(F.fnv_hash64_native(col("ng")), cap, fpr)
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    BloomIO.load(dump)
+  }
+
+  /** (doc_id, n_overlap) for every training doc sharing at least
+    * `minOverlap` distinct n-grams with the eval corpus.
     */
   def contaminated(train: DataFrame, eval: DataFrame, n: Int = 3,
                    minOverlap: Int = 1, fpr: Double = 1e-3,
@@ -63,14 +85,8 @@ object Decontaminate {
     val spark = train.sparkSession
     val evalNg = docNgrams(eval, n, textCol, idCol)
       .select(col("ng")).distinct()
-    val cap =
-      if (expectedEvalNgrams > 0) expectedEvalNgrams
-      else math.max(evalNg.count(), 1000L)
-    val dump = evalNg
-      .agg(F.bloom_agg_hash(F.fnv_hash64_native(col("ng")), cap, fpr)
-        .as("sk"))
-      .head().getAs[Array[Byte]]("sk")
-    val probe = F.bloomProbeAuto(spark, BloomIO.load(dump))
+    val probe = F.bloomProbeAuto(spark,
+      evalNgramFilter(eval, n, fpr, expectedEvalNgrams, textCol, idCol))
     val cands = docNgrams(train, n, textCol, idCol)
       .filter(probe(F.fnv_hash64_native(col("ng"))))
     // exact verify on the string: kills Bloom FPs AND hash collisions.
@@ -81,6 +97,26 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** Row-local distinct word n-grams of one text — the same
+    * tokenization as [[docNgrams]] (split on ' ', empties dropped), for
+    * paths where a DataFrame column is unavailable (streaming
+    * predicates, typed pipelines).
+    */
+  def ngramsOf(text: String, n: Int): Iterator[String] = {
+    val toks = text.split(" ").iterator.filter(_.nonEmpty).toArray
+    if (toks.length < n) Iterator.empty
+    else toks.sliding(n).map(_.mkString(" ")).distinct
+  }
+
+  /** Distinct n-grams of `text` that hit the eval filter. Bloom-only —
+    * no false negatives (a truly shared n-gram always counts), false
+    * hits at the filter's configured fpr.
+    */
+  def overlapCount(text: String, n: Int,
+                   filter: graft.core.BlockedBloomFilter): Int =
+    ngramsOf(text, n).count(ng =>
+      filter.has(graft.core.Hashing.fnv1a64(ng)))
 
   /** Training corpus with contaminated documents removed. */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,

@@ -161,6 +161,25 @@ object StreamingSketches {
     BloomIO.load(bytes)
   }
 
+  /** Streaming eval-set decontamination: drop stream rows whose text
+    * shares >= `minOverlap` distinct word n-grams with a static eval
+    * corpus, screened by the Bloom filter
+    * [[graft.operators.Decontaminate.evalNgramFilter]] builds (same
+    * keys as the batch q35 path, so one persisted filter serves both).
+    * Stateless — a pure filter, so any output mode works. Row-local
+    * Bloom probing cannot run the batch path's exact verify join:
+    * every truly contaminated row IS dropped (no false negatives), and
+    * an fpr-bounded sliver of clean rows is dropped with it — the
+    * conservative direction for training hygiene.
+    */
+  def streamingDecontaminate[T](ds: Dataset[T], textFn: T => String,
+                                evalFilter: BlockedBloomFilter,
+                                n: Int = 3, minOverlap: Int = 1)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    ds.filter((t: T) =>
+      graft.operators.Decontaminate.overlapCount(textFn(t), n, evalFilter)
+        < minOverlap)
+
   /** Streaming quantiles of a numeric field per group via t-digest state.
     * Emits (group, n, p50, p99) per micro-batch.
     */

@@ -209,6 +209,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Seq("d2", "d6"), s"kept: $kept")
   }
 
+  test("streaming decontamination drops rows overlapping the eval set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val filter = graft.operators.Decontaminate
+      .evalNgramFilter(evalDocs, n = 3, fpr = 1e-6)
+    val stream = MemoryStream[(String, String)]
+    val out = StreamingSketches.streamingDecontaminate[(String, String)](
+      stream.toDS(), _._2, filter, n = 3)
+    val q = out.writeStream
+      .format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(
+        ("d1", "xx alpha beta gamma yy"),   // shares a 3-gram -> dropped
+        ("d2", "alpha beta xx gamma"),      // no shared 3-gram -> kept
+        ("d3", "short"),                    // too short -> kept
+        ("d4", "beta gamma delta and more")))// shares -> dropped
+      q.processAllAvailable()
+      stream.addData(Seq(("d5", "alpha beta gamma")))  // shares -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT _1 FROM decon_out").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("d2", "d3"), s"kept: $kept")
+  }
+
   test("streaming quantiles stay within bound as batches arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
