@@ -857,6 +857,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- per-source token-budget fill -------------
+    //
+    // Keep each source's docs in reproducible hash order until the
+    // source's cumulative char count reaches the budget — the "N tokens
+    // per source" sampling op. Exact SQL oracle: same window sum.
+
+    "q38_token_budget" -> ((s, dir) => {
+      Sampling.sampleByBudget(tbl(s, dir, "documents"), budget = 3000,
+          weightCol = "n_chars", salt = "s9")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1219,6 +1232,15 @@ object SparkEntry {
          |WHERE md5(CAST(doc_id AS VARCHAR) || '|s7') <
          |  '${Sampling.hexThreshold(0.5)}'
          |ORDER BY doc_id""".stripMargin,
+
+    "q38_token_budget" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|s9'), doc_id) AS cum
+        |  FROM documents)
+        |WHERE cum <= 3000
+        |ORDER BY doc_id""".stripMargin,
 
     // thresholds generated by the SAME function the operator uses, so
     // the oracle cannot drift from the engine

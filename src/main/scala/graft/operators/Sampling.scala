@@ -45,6 +45,33 @@ object Sampling {
              idCol: String = "doc_id"): DataFrame =
     df.filter(sampleKey(col(idCol), salt) < lit(hexThreshold(frac)))
 
+  /** Deterministic budget fill: keep each stratum's docs in hash-key
+    * order while the stratum's cumulative weight (token count) stays
+    * within `budget` — the "give me N tokens per source" pipeline op.
+    * The kept set is the prefix of a reproducible random permutation,
+    * so it is retry-stable, grows monotonically with the budget, and
+    * any engine with md5 and window sums reproduces it exactly (q38).
+    *
+    * Scale: one shuffle keyed on the stratum plus an in-partition sort
+    * of (key, weight) rows — window sort is spill-backed, and the rows
+    * are narrow regardless of document size. A single stratum must fit
+    * one task's sort, which holds whenever stratum row counts are
+    * bounded (the usual case: sources/languages number in the
+    * thousands, not billions).
+    */
+  def sampleByBudget(df: DataFrame, budget: Long,
+                     weightCol: String = "n_tok",
+                     salt: String = "graft",
+                     idCol: String = "doc_id",
+                     strataCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(idCol), salt), col(idCol))
+    df.withColumn("__graft_cum", sum(col(weightCol)).over(w))
+      .filter(col("__graft_cum") <= budget)
+      .drop("__graft_cum")
+  }
+
   /** Stratified Bernoulli sample: per-stratum fractions (e.g. balance
     * sources or languages), `defaultFraction` for strata not listed.
     */

@@ -524,4 +524,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(dflt.count() == n / 2 &&
       dflt.filter(col("source") === "a").isEmpty)
   }
+
+  test("token-budget fill: prefix semantics, monotone in budget") {
+    import graft.operators.Sampling
+    val df = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", 10L + (i % 7)))
+      .toDF("doc_id", "source", "n_tok")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val small = Sampling.sampleByBudget(df, 200, salt = "t")
+    val big = Sampling.sampleByBudget(df, 600, salt = "t")
+    // per-stratum totals respect the budget
+    for ((d, bud) <- Seq((small, 200L), (big, 600L))) {
+      val sums = d.groupBy(col("source")).agg(sum(col("n_tok")).as("s"))
+        .collect().map(_.getLong(1))
+      assert(sums.forall(_ <= bud), s"budget $bud exceeded: ${sums.toSeq}")
+    }
+    // monotone: raising the budget only ADDS docs
+    assert(ids(small).subsetOf(ids(big)))
+    // partition-stable
+    assert(ids(Sampling.sampleByBudget(df.repartition(17), 200,
+      salt = "t")) == ids(small))
+    assert(ids(small).nonEmpty && ids(small).size < 300)
+  }
 }

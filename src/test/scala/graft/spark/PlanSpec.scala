@@ -200,6 +200,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget fill plans one exchange (stratum window only)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(graft.operators.Sampling.sampleByBudget(
+      docs, 3000, weightCol = "n_chars", salt = "s9"))
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(nExchanges == 1, s"expected 1 shuffle, got $nExchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("bucketed tables join and aggregate with zero exchanges") {
     import graft.sources.BucketedTables
     val docs = spark.read
