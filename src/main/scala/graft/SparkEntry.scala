@@ -857,6 +857,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- within-doc repetition signals -------------
+
+    "q39_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionMetrics(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- per-source token-budget fill -------------
     //
     // Keep each source's docs in reproducible hash order until the
@@ -1232,6 +1239,29 @@ object SparkEntry {
          |WHERE md5(CAST(doc_id AS VARCHAR) || '|s7') <
          |  '${Sampling.hexThreshold(0.5)}'
          |ORDER BY doc_id""".stripMargin,
+
+    "q39_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, count(*) AS total, count(DISTINCT ng) AS dist FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ng
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok))
+        |  GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, count(*) AS total, count(DISTINCT ng) AS dist FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+        |    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok))
+        |  GROUP BY doc_id)
+        |SELECT tok.doc_id, len(t) AS n_tokens,
+        |  round(CASE WHEN len(t) >= 1
+        |    THEN 1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+        |    ELSE 0 END, 4) AS dup_tok_frac,
+        |  round(coalesce(1 - CAST(g2.dist AS DOUBLE) / g2.total, 0), 4) AS dup_2gram_frac,
+        |  round(coalesce(1 - CAST(g3.dist AS DOUBLE) / g3.total, 0), 4) AS dup_3gram_frac
+        |FROM tok LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q38_token_budget" ->
       """SELECT doc_id, source, n_chars FROM (

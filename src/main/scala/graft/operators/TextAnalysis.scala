@@ -35,6 +35,34 @@ object TextAnalysis {
           lit(1)), 4).as("repetition_ratio"))
   }
 
+  /** Within-document repetition signals (the Gopher/CCNet-style
+    * duplicate n-gram fractions used to drop boilerplate and spam):
+    * dup_Ngram_frac = 1 - distinct-n-grams / total-n-grams. All pure
+    * codegen column expressions, O(len·log len) per row; docs shorter
+    * than n have no n-grams and score 0.
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    def ngrams(n: Int) = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    def dupFrac(n: Int) = {
+      val total = size(toks) - (n - 1)
+      // sequence(1, stop) DESCENDS for stop < 1: guard short docs
+      when(total >= lit(1),
+        round(lit(1.0) - size(array_distinct(ngrams(n))).cast("double")
+          / total.cast("double"), 4))
+        .otherwise(lit(0.0))
+    }
+    docs.select(
+      col(idCol),
+      size(toks).cast("bigint").as("n_tokens"),
+      dupFrac(1).as("dup_tok_frac"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+  }
+
   /** Stopword lists per language for the lang-ID heuristic (top function
     * words; standard public lists, trimmed).
     */

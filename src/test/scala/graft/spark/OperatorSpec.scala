@@ -525,6 +525,24 @@ class OperatorSpec extends AnyFunSuite {
       dflt.filter(col("source") === "a").isEmpty)
   }
 
+  test("repetition metrics: planted duplicate n-gram fractions") {
+    val docs = Seq(
+      (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
+      (1L, "a b c"),      // no repetition anywhere
+      (2L, "x"),          // too short for 2/3-grams
+      (3L, ""),           // empty: 0 tokens
+      (4L, "p q p q p q") // 1g: 1-2/6; 2g: 1-2/5; 3g: 1-2/4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((4L, 0.75, 0.6667, 0.5)), s"${got(0L)}")
+    assert(got(1L) == ((3L, 0.0, 0.0, 0.0)))
+    assert(got(2L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((6L, 0.6667, 0.6, 0.5)), s"${got(4L)}")
+  }
+
   test("token-budget fill: prefix semantics, monotone in budget") {
     import graft.operators.Sampling
     val df = (0L until 300L)
