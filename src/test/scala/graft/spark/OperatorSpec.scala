@@ -525,6 +525,26 @@ class OperatorSpec extends AnyFunSuite {
       dflt.filter(col("source") === "a").isEmpty)
   }
 
+  test("row-local ngramsOf matches column docNgrams on random texts") {
+    // batch q35 and streaming decontamination share one filter, so the
+    // row-local and codegen n-gram paths MUST tokenize identically —
+    // including double spaces (empty tokens) and short/empty texts
+    import graft.operators.Decontaminate
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "dd", "e", "")
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    for (n <- 1 to 4) {
+      val colSide = Decontaminate.docNgrams(texts.toDF("doc_id", "text"), n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val rowSide = texts.flatMap { case (id, t) =>
+        Decontaminate.ngramsOf(t, n).map(id -> _) }.toSet
+      assert(colSide == rowSide, s"n=$n mismatch")
+    }
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
