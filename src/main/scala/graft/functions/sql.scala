@@ -210,7 +210,15 @@ object sql {
         "(emb, numBands, bitsPerBand, dim) - hyperplane band keys",
         (es: Seq[Expression]) => expressions.LshBandKeys(asFloatArray(es.head),
           lng(es(1), "numBands").toInt, lng(es(2), "bitsPerBand").toInt,
-          lng(es(3), "dim").toInt)))
+          lng(es(3), "dim").toInt)),
+      "graft_word_ngrams" -> (
+        "(text, n) - distinct word n-grams, array<string>",
+        (es: Seq[Expression]) =>
+          org.apache.spark.sql.graftglue.glue.expressionOfEager(
+            graft.operators.Decontaminate.wordNgrams(
+              org.apache.spark.sql.graftglue.glue.columnOf(
+                Cast(es.head, StringType)),
+              lng(es(1), "n").toInt))))
   }
 
   private def injectInto(registry:

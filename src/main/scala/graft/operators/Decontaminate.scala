@@ -35,16 +35,23 @@ object Decontaminate {
     * tokens.
     */
   def docNgrams(docs: DataFrame, n: Int, textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame = {
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ng"))
+
+  /** Distinct word n-grams of a text column as `array<string>` — the
+    * column form behind [[docNgrams]], also lifted to SQL as
+    * `graft_word_ngrams(text, n)`.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "ngram length must be >= 1")
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val toks = filter(split(text, " "), t => t =!= "")
     // sequence(1, stop) DESCENDS when stop < 1 (yielding i=0, an illegal
     // slice start), so short docs need the explicit guard
     val ngs = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(typedLit(Array.empty[String]))
-    docs.select(col(idCol), explode(array_distinct(ngs)).as("ng"))
+    array_distinct(ngs)
   }
 
   /** Bloom filter over the eval corpus's distinct n-grams (fnv1a64 of

@@ -47,6 +47,11 @@ class FacadeSpec extends AnyFunSuite {
       assert(s.getInt(1) == 2)
       assert(s.getLong(2) == graft.core.Hashing.tokenHash(42))
       assert(s.getInt(3) == 32)
+      // word n-grams lift: same values as the operator's column form
+      val ng = spark.sql(
+        "SELECT graft_word_ngrams('a b c d a b', 2) AS g").head()
+        .getSeq[String](0)
+      assert(ng == Seq("a b", "b c", "c d", "d a"), ng)
       // the scalar surface is codegen expressions, not UDFs
       val plan = spark.sql(
         "SELECT graft_simhash(graft_tokenize('x')) FROM t")
