@@ -359,6 +359,38 @@ object Bench {
       corpus.unpersist(); snap.unpersist()
     }
 
+    // ---- eval-set decontamination throughput ----
+    // 200k-doc train side (~15M tokens) screened against a 10k-doc eval
+    // set at n=8 (long n-grams: Zipf docs rarely collide by chance, so
+    // the Bloom screen drops nearly the whole explode pre-shuffle); 200
+    // eval docs planted verbatim into train must ALL be flagged (Bloom
+    // has no false negatives and exact copies share every n-gram)
+    locally {
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val evalDocs = toText(TokenDocGen.generateDf(spark, 10000, 22L, cpus))
+        .persist()
+      val planted = evalDocs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val train = toText(TokenDocGen.generateDf(spark, 200000, 21L, cpus))
+        .union(planted).persist()
+      val nPlanted = planted.count(); train.count(); evalDocs.count()
+      val (nFlag, tDecon) = time {
+        graft.operators.Decontaminate
+          .contaminated(train, evalDocs, n = 8).count() }
+      val nPlantedFlagged = graft.operators.Decontaminate
+        .contaminated(train.filter(col("doc_id") >= 300000L), evalDocs,
+          n = 8).count()
+      require(nPlantedFlagged == nPlanted,
+        s"all $nPlanted planted contaminated docs must be flagged, " +
+          s"got $nPlantedFlagged")
+      require(nFlag >= nPlanted && nFlag < 200000L, s"nFlag=$nFlag")
+      results += "b11_decontaminate_200k_vs_10k" -> tDecon
+      train.unpersist(); evalDocs.unpersist()
+    }
+
     // ---- head-to-head vs Spark's built-in HLL++ on identical input ----
     val cmpDocs = TokenDocGen.generateDf(spark, 250000, 42L, cpus).persist()
     val cmpTok = cmpDocs.agg(sum(col("n_tok"))).head().getLong(0)

@@ -212,6 +212,35 @@ object expressions {
     * tokenizes to the EMPTY array (TokenDocs.tokenize(null) contract),
     * so n_tok/size stay non-null downstream.
     */
+  /** Distinct word n-grams of a text column, array<string> — native
+    * because the higher-order-function formulation re-evaluates the
+    * tokenize subtree per window (see kernels.wordNgrams).
+    */
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_word_ngrams"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      kernels.wordNgrams(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val tpe = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |$tpe ${ev.value} = graft.functions.kernels.wordNgrams(
+              |  ${c.isNull} ? null : ${c.value}, $n);
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
   case class Tokenize(child: Expression) extends UnaryExpression {
     override def prettyName: String = "graft_tokenize"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -544,6 +573,9 @@ object expressions {
 
   def tokenize(c: Column): Column =
     catalyst.aggColExpr(Tokenize(catalyst.expr(c.cast("string"))))
+
+  def word_ngrams(c: Column, n: Int): Column =
+    catalyst.aggColExpr(WordNgrams(catalyst.expr(c.cast("string")), n))
 
   def minhash_signature(c: Column, numPerms: Int): Column =
     catalyst.aggColExpr(MinhashSignature(catalyst.expr(c), numPerms))

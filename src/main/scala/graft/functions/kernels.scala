@@ -33,6 +33,39 @@ object kernels {
     if (text == null) new GenericArrayData(Array.emptyIntArray)
     else tokenizeArray(text)
 
+  /** Distinct word n-grams of a text (space-joined windows of n
+    * consecutive non-empty whitespace-split tokens), first-occurrence
+    * order — the row-local twin of Decontaminate.ngramsOf. One split
+    * and one rolling StringBuilder per ROW: the higher-order-function
+    * formulation re-evaluates the split subtree per WINDOW (O(len^2)
+    * per doc — measured 42 s just to explode 36M n-grams at 32 cores),
+    * which is why this is a native kernel.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   def minhashSignature(tokens: ArrayData, numPerms: Int): ArrayData = {
     require(numPerms <= maxCachedPerms, s"numPerms > $maxCachedPerms")
     val sig = Array.fill(numPerms)(Long.MaxValue)

@@ -213,12 +213,8 @@ object sql {
           lng(es(3), "dim").toInt)),
       "graft_word_ngrams" -> (
         "(text, n) - distinct word n-grams, array<string>",
-        (es: Seq[Expression]) =>
-          org.apache.spark.sql.graftglue.glue.expressionOfEager(
-            graft.operators.Decontaminate.wordNgrams(
-              org.apache.spark.sql.graftglue.glue.columnOf(
-                Cast(es.head, StringType)),
-              lng(es(1), "n").toInt))))
+        (es: Seq[Expression]) => expressions.WordNgrams(
+          Cast(es.head, StringType), lng(es(1), "n").toInt)))
   }
 
   private def injectInto(registry:

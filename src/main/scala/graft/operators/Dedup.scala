@@ -406,6 +406,12 @@ object Dedup {
     * survivors are appended to the index, so successive snapshots
     * compose: index(s1) + incremental(s2, append) is a valid index for
     * incremental(s3).
+    *
+    * Caching: the exact-tier survivor set is persisted (it feeds four
+    * plan branches). With `appendToIndex` it is released before this
+    * returns; without, it stays cached so the LAZY result can reuse it —
+    * a caller done with the returned frame in a long-lived session can
+    * `spark.catalog.clearCache()` or unpersist via the storage UI.
     */
   def dedupIncremental(newDocs: DataFrame, indexDir: String,
                        threshold: Double = 0.9,

@@ -43,21 +43,25 @@ object TextAnalysis {
     */
   def repetitionMetrics(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    def ngrams(n: Int) = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // project the token array ONCE into a bound attribute: referencing
+    // the filter(split(...)) tree from several output columns would
+    // re-split the text per column; n-gram distinct counts come from
+    // the native wordNgrams kernel (one split + rolling window per row,
+    // not the O(len^2) higher-order-function formulation)
+    val withToks = docs.select(col(idCol), col(textCol).as("__text"),
+      filter(split(col(textCol), " "), t => t =!= "").as("__toks"))
     def dupFrac(n: Int) = {
-      val total = size(toks) - (n - 1)
-      // sequence(1, stop) DESCENDS for stop < 1: guard short docs
+      val total = size(col("__toks")) - (n - 1)
+      val distinctN =
+        if (n == 1) size(array_distinct(col("__toks")))
+        else size(Decontaminate.wordNgrams(col("__text"), n))
       when(total >= lit(1),
-        round(lit(1.0) - size(array_distinct(ngrams(n))).cast("double")
-          / total.cast("double"), 4))
+        round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 4))
         .otherwise(lit(0.0))
     }
-    docs.select(
+    withToks.select(
       col(idCol),
-      size(toks).cast("bigint").as("n_tokens"),
+      size(col("__toks")).cast("bigint").as("n_tokens"),
       dupFrac(1).as("dup_tok_frac"),
       dupFrac(2).as("dup_2gram_frac"),
       dupFrac(3).as("dup_3gram_frac"))

@@ -13,13 +13,4 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object glue {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** Eagerly convert a DSL-built Column into a catalyst expression tree
-    * (UnresolvedFunction etc., resolved by the analyzer's normal
-    * fixpoint). `expressionOf` instead wraps the node opaquely, which
-    * only a Dataset boundary converts — an opaque wrapper returned from
-    * a FunctionRegistry builder reaches codegen unconverted and fails.
-    */
-  def expressionOfEager(c: Column): Expression =
-    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
