@@ -823,6 +823,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // same contamination answered from a PERSISTED eval index (one
+    // filter file + stored n-gram strings; eval corpus never rescanned)
+    // — the oracle is identical to q35's by construction
+    "q40_decontaminate_index" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 11 === 0)
+      val trainDocs = docs.filter(col("doc_id") % 11 =!= 0)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q40-evalidx").toString
+      Decontaminate.writeEvalIndex(evalDocs, idx, n = 3)
+      Decontaminate.contaminatedVsIndex(trainDocs, idx)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- full corpus-curation pipeline -------------
     //
     // The composed flagship a training pipeline actually runs, end to
@@ -1286,21 +1300,9 @@ object SparkEntry {
          |  END
          |ORDER BY doc_id""".stripMargin,
 
-    "q35_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |idx AS (
-        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
-        |ng AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng FROM idx),
-        |ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 11 = 0),
-        |tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 11 <> 0)
-        |SELECT tr.doc_id, count(*) AS n_overlap
-        |FROM tr JOIN ev USING (ng)
-        |GROUP BY tr.doc_id
-        |HAVING count(*) >= 1
-        |ORDER BY doc_id""".stripMargin,
+    "q35_decontaminate" -> decontaminateOracle,
+    // index-backed path computes the SAME answer from persisted state
+    "q40_decontaminate_index" -> decontaminateOracle,
 
     "q31_dedup_cc_clusters" ->
       """WITH RECURSIVE
@@ -1349,6 +1351,25 @@ object SparkEntry {
     * exact computation; q11's LSH recall at the 0.9 threshold is
     * 1-(1-0.9^4)^32 ~ 1, so both match the exact pair set).
     */
+  /** Shared oracle for the direct (q35) and index-backed (q40)
+    * decontamination paths — identical answers by construction.
+    */
+  private val decontaminateOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+      |ng AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng FROM idx),
+      |ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 11 = 0),
+      |tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 11 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_overlap
+      |FROM tr JOIN ev USING (ng)
+      |GROUP BY tr.doc_id
+      |HAVING count(*) >= 1
+      |ORDER BY doc_id""".stripMargin
+
   private val jaccardOracle: String =
     """WITH w AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w

@@ -122,6 +122,62 @@ object Decontaminate {
     ngramsOf(text, n).count(ng =>
       filter.has(graft.core.Hashing.fnv1a64(ng)))
 
+  // ----------------- persisted eval-set index -----------------
+  //
+  // The production shape: the eval corpus changes rarely, the training
+  // snapshots keep coming — so build the screen ONCE and persist it.
+  // Layout: `dir/filter.bloom` (reference dump format v0, with a
+  // comment header — the Dump/Load interchange the suite keeps
+  // bit-compatible with /root/reference/io.go), `dir/ngrams` (parquet
+  // of the distinct eval n-gram strings, needed for the exact verify
+  // tier), `dir/manifest` (n + fpr; read back so a caller cannot probe
+  // with a mismatched n). The same filter file drives streaming
+  // decontamination via BloomIO.load + streamingDecontaminate.
+
+  /** Build and persist the eval-set index. */
+  def writeEvalIndex(eval: DataFrame, dir: String, n: Int = 3,
+                     fpr: Double = 1e-3, expectedEvalNgrams: Long = 0L,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Unit = {
+    val spark = eval.sparkSession
+    import spark.implicits._
+    val evalNg = docNgrams(eval, n, textCol, idCol)
+      .select(col("ng")).distinct()
+    evalNg.write.mode("overwrite").parquet(s"$dir/ngrams")
+    val filter = evalNgramFilter(eval, n, fpr, expectedEvalNgrams,
+      textCol, idCol)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "filter.bloom"),
+      BloomIO.dump(filter, comment = "graft/v1 eval-ngrams"))
+    Seq((n, fpr)).toDF("n", "fpr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** [[contaminated]] against a persisted index: the filter ships from
+    * one file, n comes from the manifest, and the exact verify joins
+    * the stored n-gram strings — the eval corpus itself is never
+    * rescanned.
+    */
+  def contaminatedVsIndex(train: DataFrame, indexDir: String,
+                          minOverlap: Int = 1,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val spark = train.sparkSession
+    val mf = spark.read.parquet(s"$indexDir/manifest").head()
+    val n = mf.getAs[Int]("n")
+    val filter = BloomIO.load(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "filter.bloom")))
+    val probe = F.bloomProbeAuto(spark, filter)
+    val evalNg = spark.read.parquet(s"$indexDir/ngrams")
+    val cands = docNgrams(train, n, textCol, idCol)
+      .filter(probe(F.fnv_hash64_native(col("ng"))))
+    cands.join(evalNg, Seq("ng"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Training corpus with contaminated documents removed. */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 3,
                     minOverlap: Int = 1, fpr: Double = 1e-3,

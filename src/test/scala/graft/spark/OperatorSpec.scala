@@ -525,6 +525,30 @@ class OperatorSpec extends AnyFunSuite {
       dflt.filter(col("source") === "a").isEmpty)
   }
 
+  test("persisted eval index answers identically to the direct path") {
+    import graft.operators.Decontaminate
+    val evalDocs = Seq((100L, "alpha beta gamma delta"),
+      (101L, "one two three four five")).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "xx alpha beta gamma yy"),
+      (1L, "one two three four five six"),
+      (2L, "nothing shared here at all")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-evalidx-test").toString
+    Decontaminate.writeEvalIndex(evalDocs, dir, n = 3, fpr = 1e-6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(Decontaminate.contaminatedVsIndex(train, dir)) ==
+      rows(Decontaminate.contaminated(train, evalDocs, n = 3)))
+    // the persisted filter file drives the streaming screen too, and
+    // carries the reference dump format (comment readable on load)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "filter.bloom"))
+    val f = graft.core.BloomIO.load(bytes)
+    assert(Decontaminate.overlapCount("xx alpha beta gamma", 3, f) == 1)
+    assert(Decontaminate.overlapCount("nothing shared here", 3, f) == 0)
+  }
+
   test("row-local ngramsOf matches column docNgrams on random texts") {
     // batch q35 and streaming decontamination share one filter, so the
     // row-local and codegen n-gram paths MUST tokenize identically —
