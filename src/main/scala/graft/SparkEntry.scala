@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -871,6 +871,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- sequence packing assignments -------------
+    //
+    // Deterministic concat-then-split packing into 512-token chunks
+    // per source (md5-key order): each doc's start offset, chunk id,
+    // and offset within its chunk — exactly recomputable in SQL.
+
+    "q41_pack_assignments" -> ((s, dir) => {
+      Packing.packAssignments(tbl(s, dir, "documents"), seqLen = 512,
+          weightCol = "n_chars", salt = "sp")
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- within-doc repetition signals -------------
 
     "q39_repetition" -> ((s, dir) => {
@@ -1253,6 +1265,18 @@ object SparkEntry {
          |WHERE md5(CAST(doc_id AS VARCHAR) || '|s7') <
          |  '${Sampling.hexThreshold(0.5)}'
          |ORDER BY doc_id""".stripMargin,
+
+    "q41_pack_assignments" ->
+      """SELECT doc_id, source, n_chars, start_off,
+        |  CAST(floor(start_off / 512) AS BIGINT) AS chunk_id,
+        |  start_off % 512 AS chunk_off
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sp'), doc_id)
+        |      - n_chars AS start_off
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q39_repetition" ->
       """WITH tok AS (

@@ -569,6 +569,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("packing assignments: contiguous stream, chunk math, salt epochs") {
+    import graft.operators.Packing
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", 5L + (i % 11)))
+      .toDF("doc_id", "source", "n_tok")
+    val asg = Packing.packAssignments(df, seqLen = 64, salt = "e1")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // per source: offsets form a contiguous stream (sorted starts are
+    // the prefix sums), chunk fields derive from start_off
+    for (src <- Seq("a", "b")) {
+      val s = asg.filter(_._1 == src).sortBy(_._4)
+      assert(s.head._4 == 0L)
+      s.sliding(2).foreach { case Array(p, q) =>
+        assert(q._4 == p._4 + p._3, s"gap after ${p._2}") }
+      s.foreach { case (_, _, _, start, chunk, off) =>
+        assert(chunk == start / 64 && off == start % 64) }
+    }
+    // docs span boundaries: some doc must straddle a chunk edge
+    assert(asg.exists { case (_, _, w, start, _, _) =>
+      start / 64 != (start + w - 1) / 64 })
+    // a different salt is a different epoch order
+    val e2 = Packing.packAssignments(df, 64, salt = "e2")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(asg.exists { case (_, id, _, start, _, _) => e2(id) != start })
+    // partition-stable
+    val re = Packing.packAssignments(df.repartition(13), 64, salt = "e1")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(asg.forall { case (_, id, _, start, _, _) => re(id) == start })
+    // chunk inventory adds up
+    val st = Packing.chunkStats(
+      Packing.packAssignments(df, 64, salt = "e1"), 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (src <- Seq("a", "b")) {
+      val (tot, full, tail) = st(src)
+      assert(full * 64 + tail == tot)
+    }
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
