@@ -93,6 +93,25 @@ object KernelProps extends Properties("kernels") {
     }
   }
 
+  property("wordNgrams == ngramsOf on arbitrary texts (incl. unicode)") = {
+    val wordGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(""),                       // consecutive spaces
+      Gen.const("héllo"), Gen.const("日本語"), Gen.const("x"))
+    val textGen = for {
+      k <- Gen.chooseNum(0, 20)
+      ws <- Gen.listOfN(k, wordGen)
+    } yield ws.mkString(" ")
+    forAll(textGen, Gen.chooseNum(1, 4)) { (text, n) =>
+      val got = kernels.wordNgrams(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), n)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      val want = graft.operators.Decontaminate.ngramsOf(text, n).toSeq
+      gotSeq == want
+    }
+  }
+
   property("tokenShingles matches a direct reimplementation") =
     forAll(tokensGen, Gen.chooseNum(1, 5)) { (ts, n) =>
       val arr = ts.toArray
