@@ -217,6 +217,9 @@ object expressions {
     * tokenize subtree per window (see kernels.wordNgrams).
     */
   case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    // plan-time guard for ALL construction paths (Column API + SQL
+    // registry): the kernel's window loop would emit [""] for n < 1
+    require(n >= 1, s"ngram length must be >= 1, got $n")
     override def prettyName: String = "graft_word_ngrams"
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = false

@@ -67,8 +67,22 @@ object Decontaminate {
                       idCol: String = "doc_id"): graft.core.BlockedBloomFilter = {
     val evalNg = docNgrams(eval, n, textCol, idCol)
       .select(col("ng")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try filterFromNgrams(evalNg, fpr, expectedEvalNgrams)
+    finally evalNg.unpersist()
+  }
+
+  /** Build the filter from an ALREADY-computed distinct n-gram frame —
+    * the single evaluation the verify tier and the filter must share:
+    * recomputing the frame for each would let a non-deterministic eval
+    * DataFrame (sample(), unordered limit) produce a filter and a
+    * verify set from different row sets, and an n-gram present in one
+    * but not the other silently breaks the no-false-negative contract.
+    */
+  private def filterFromNgrams(evalNg: DataFrame, fpr: Double,
+                               expected: Long): graft.core.BlockedBloomFilter = {
     val cap =
-      if (expectedEvalNgrams > 0) expectedEvalNgrams
+      if (expected > 0) expected
       else math.max(evalNg.count(), 1000L)
     val dump = evalNg
       .agg(F.bloom_agg_hash(F.fnv_hash64_native(col("ng")), cap, fpr)
@@ -87,15 +101,20 @@ object Decontaminate {
                    idCol: String = "doc_id"): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     val spark = train.sparkSession
+    // ONE evaluation of the eval n-gram set feeds the count, the
+    // filter build, and the verify join (see filterFromNgrams)
     val evalNg = docNgrams(eval, n, textCol, idCol)
       .select(col("ng")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = F.bloomProbeAuto(spark,
-      evalNgramFilter(eval, n, fpr, expectedEvalNgrams, textCol, idCol))
+      filterFromNgrams(evalNg, fpr, expectedEvalNgrams))
     val cands = docNgrams(train, n, textCol, idCol)
       .filter(probe(F.fnv_hash64_native(col("ng"))))
     // exact verify on the string: kills Bloom FPs AND hash collisions.
     // Candidate volume is fpr-bounded, so this join's shuffle is tiny;
-    // Catalyst/AQE picks broadcast when the eval set fits.
+    // Catalyst/AQE picks broadcast when the eval set fits. evalNg stays
+    // cached for it (eval-corpus-sized, released on session GC or
+    // clearCache; the filter build above already materialized it).
     cands.join(evalNg, Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
@@ -108,6 +127,7 @@ object Decontaminate {
     * predicates, typed pipelines).
     */
   def ngramsOf(text: String, n: Int): Iterator[String] = {
+    if (text == null) return Iterator.empty // tokenize(null)==empty contract
     val toks = text.split(" ").iterator.filter(_.nonEmpty).toArray
     if (toks.length < n) Iterator.empty
     else toks.sliding(n).map(_.mkString(" ")).distinct
@@ -134,23 +154,49 @@ object Decontaminate {
   // with a mismatched n). The same filter file drives streaming
   // decontamination via BloomIO.load + streamingDecontaminate.
 
-  /** Build and persist the eval-set index. */
+  /** Build and persist the eval-set index. The stored n-grams, the
+    * filter, and the manifest all come from ONE evaluation of the
+    * n-gram frame (write parquet, then read it back for the filter
+    * build), and every file goes through the Hadoop filesystem `dir`
+    * resolves to — mixing Spark writers with driver-local java.nio
+    * would scatter the index across two filesystems on any cluster
+    * whose default FS isn't the local disk.
+    */
   def writeEvalIndex(eval: DataFrame, dir: String, n: Int = 3,
                      fpr: Double = 1e-3, expectedEvalNgrams: Long = 0L,
                      textCol: String = "text",
                      idCol: String = "doc_id"): Unit = {
     val spark = eval.sparkSession
     import spark.implicits._
-    val evalNg = docNgrams(eval, n, textCol, idCol)
+    docNgrams(eval, n, textCol, idCol)
       .select(col("ng")).distinct()
-    evalNg.write.mode("overwrite").parquet(s"$dir/ngrams")
-    val filter = evalNgramFilter(eval, n, fpr, expectedEvalNgrams,
-      textCol, idCol)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "filter.bloom"),
-      BloomIO.dump(filter, comment = "graft/v1 eval-ngrams"))
+      .write.mode("overwrite").parquet(s"$dir/ngrams")
+    val storedNg = spark.read.parquet(s"$dir/ngrams")
+    val filter = filterFromNgrams(storedNg, fpr, expectedEvalNgrams)
+    val out = hadoopFs(spark, dir)
+      .create(filterPath(dir), true)
+    try out.write(BloomIO.dump(filter, comment = "graft/v1 eval-ngrams"))
+    finally out.close()
     Seq((n, fpr)).toDF("n", "fpr")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  private def filterPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "filter.bloom")
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Load the persisted filter (for [[graft.streaming.StreamingSketches
+    * .streamingDecontaminate]] or ad-hoc probes).
+    */
+  def loadEvalFilter(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): graft.core.BlockedBloomFilter = {
+    val in = hadoopFs(spark, indexDir).open(filterPath(indexDir))
+    try BloomIO.loadFrom(in)
+    finally in.close()
   }
 
   /** [[contaminated]] against a persisted index: the filter ships from
@@ -166,9 +212,7 @@ object Decontaminate {
     val spark = train.sparkSession
     val mf = spark.read.parquet(s"$indexDir/manifest").head()
     val n = mf.getAs[Int]("n")
-    val filter = BloomIO.load(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexDir, "filter.bloom")))
-    val probe = F.bloomProbeAuto(spark, filter)
+    val probe = F.bloomProbeAuto(spark, loadEvalFilter(spark, indexDir))
     val evalNg = spark.read.parquet(s"$indexDir/ngrams")
     val cands = docNgrams(train, n, textCol, idCol)
       .filter(probe(F.fnv_hash64_native(col("ng"))))

@@ -407,11 +407,11 @@ object Dedup {
     * compose: index(s1) + incremental(s2, append) is a valid index for
     * incremental(s3).
     *
-    * Caching: the exact-tier survivor set is persisted (it feeds four
-    * plan branches). With `appendToIndex` it is released before this
-    * returns; without, it stays cached so the LAZY result can reuse it —
-    * a caller done with the returned frame in a long-lived session can
-    * `spark.catalog.clearCache()` or unpersist via the storage UI.
+    * Caching: the exact-tier survivor set is persisted while the tiers
+    * run (it feeds four plan branches) and RELEASED before this
+    * returns on both paths — the result is materialized eagerly
+    * (localCheckpoint), so repeated calls in a long-lived session do
+    * not accumulate caches.
     */
   def dedupIncremental(newDocs: DataFrame, indexDir: String,
                        threshold: Double = 0.9,
@@ -485,7 +485,15 @@ object Dedup {
       writeIndexState(newExactM, indexDir, numBands, rowsPerBand, ngram,
         append = true)
       materialized
-    } else kept
+    } else {
+      // non-append path: materialize eagerly too, so the snapshot-sized
+      // survivor cache can be RELEASED before returning — repeated
+      // non-append calls in a long session must not accumulate one
+      // cached frame per call
+      val materialized = kept.localCheckpoint()
+      newExact.unpersist()
+      materialized
+    }
   }
 
   // ----------------- connected-component clustering -----------------

@@ -230,12 +230,14 @@ class StreamingSpec extends AnyFunSuite {
         ("d3", "short"),                    // too short -> kept
         ("d4", "beta gamma delta and more")))// shares -> dropped
       q.processAllAvailable()
-      stream.addData(Seq(("d5", "alpha beta gamma")))  // shares -> dropped
+      stream.addData(Seq(
+        ("d5", "alpha beta gamma"),        // shares -> dropped
+        ("d6", null)))                     // null text -> kept, no NPE
       q.processAllAvailable()
     } finally q.stop()
     val kept = spark.sql("SELECT _1 FROM decon_out").collect()
       .map(_.getString(0)).sorted.toSeq
-    assert(kept == Seq("d2", "d3"), s"kept: $kept")
+    assert(kept == Seq("d2", "d3", "d6"), s"kept: $kept")
   }
 
   test("streaming quantiles stay within bound as batches arrive") {
