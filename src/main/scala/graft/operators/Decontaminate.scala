@@ -112,18 +112,15 @@ object Decontaminate {
       .filter(probe(F.fnv_hash64_native(col("ng"))))
     // exact verify on the string: kills Bloom FPs AND hash collisions.
     // Candidate volume is fpr-bounded, so this join's shuffle is tiny;
-    // Catalyst/AQE picks broadcast when the eval set fits. The result
-    // (narrow: id + count) is materialized eagerly so the eval n-gram
-    // cache can be RELEASED before returning — repeated calls must not
-    // accumulate one eval-sized cache each (same discipline as
-    // dedupIncremental).
-    val result = cands.join(evalNg, Seq("ng"), "left_semi")
+    // Catalyst/AQE picks broadcast when the eval set fits. evalNg's
+    // cache (materialized by the filter build above, so the verify join
+    // reads the SAME evaluation — the non-deterministic-input guard) is
+    // reclaimed by Spark's ContextCleaner once the returned frame is
+    // garbage-collected; the result stays lazy and plan-inspectable.
+    cands.join(evalNg, Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
-      .localCheckpoint()
-    evalNg.unpersist()
-    result
   }
 
   /** Row-local distinct word n-grams of one text — the same

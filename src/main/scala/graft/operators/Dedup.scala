@@ -407,11 +407,11 @@ object Dedup {
     * compose: index(s1) + incremental(s2, append) is a valid index for
     * incremental(s3).
     *
-    * Caching: the exact-tier survivor set is persisted while the tiers
-    * run (it feeds four plan branches) and RELEASED before this
-    * returns on both paths — the result is materialized eagerly
-    * (localCheckpoint), so repeated calls in a long-lived session do
-    * not accumulate caches.
+    * Caching: the exact-tier survivor set is persisted (it feeds four
+    * plan branches). The append path releases it explicitly (the result
+    * is materialized before the index write anyway); the non-append
+    * path returns a lazy frame that reuses the cache, which Spark's
+    * ContextCleaner unpersists once the frame is garbage-collected.
     */
   def dedupIncremental(newDocs: DataFrame, indexDir: String,
                        threshold: Double = 0.9,
@@ -485,15 +485,12 @@ object Dedup {
       writeIndexState(newExactM, indexDir, numBands, rowsPerBand, ngram,
         append = true)
       materialized
-    } else {
-      // non-append path: materialize eagerly too, so the snapshot-sized
-      // survivor cache can be RELEASED before returning — repeated
-      // non-append calls in a long session must not accumulate one
-      // cached frame per call
-      val materialized = kept.localCheckpoint()
-      newExact.unpersist()
-      materialized
-    }
+    } else kept
+    // non-append path stays LAZY (composable, plan-inspectable — the
+    // PlanSpec index-only-scan assertion reads the returned plan); the
+    // survivor cache is released by Spark's ContextCleaner once the
+    // returned frame is dropped (persisted RDDs unpersist on GC), so
+    // repeated calls do not accumulate caches beyond live results
   }
 
   // ----------------- connected-component clustering -----------------
