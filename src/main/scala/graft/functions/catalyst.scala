@@ -522,8 +522,15 @@ object catalyst {
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       a(0) = math.min(a(0), b(0)); a
     }
+    // first-row time is read on a MAP executor and the delta on the
+    // executor evaluating the final merge: on a multi-node cluster NTP
+    // drift between those machines biases the reading by the skew (and
+    // it includes shuffle/scheduler wait). Clamp at 0 so skew can never
+    // produce a negative duration; treat the metric as wall-clock-
+    // -including-skew, fine for lineage bookkeeping, not profiling.
     def eval(b: Array[Long]): Any =
-      if (b(0) == Long.MaxValue) 0L else System.currentTimeMillis() - b(0)
+      if (b(0) == Long.MaxValue) 0L
+      else math.max(0L, System.currentTimeMillis() - b(0))
     def serialize(b: Array[Long]): Array[Byte] = {
       val out = new Array[Byte](8)
       var i = 0

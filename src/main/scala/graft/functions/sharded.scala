@@ -110,8 +110,11 @@ object sharded {
                         numShards: Int): Column = {
     val (nbits, k) = BloomConfig.optimize(
       math.max(1, capacity / numShards), fpr)
+    // cast like every token-array wrapper (functions.scala): the
+    // aggregate reads getInt() positionally, so an uncast array<bigint>
+    // column would be read at the wrong stride — silent garbage hashes
     catalyst.aggCol(BloomShardedAggregate(
-      catalyst.expr(tokens), numShards, nbits, k))
+      catalyst.expr(tokens.cast("array<int>")), numShards, nbits, k))
   }
 
   /** Explode a sharded build into one row per shard — the checkpoint/
@@ -129,7 +132,10 @@ object sharded {
     require(Integer.bitCount(numShards) == 1, "numShards must be a power of 2")
     if (numShards == 1) org.apache.spark.sql.functions.lit(0)
     else org.apache.spark.sql.functions
-      .shiftrightunsigned(hash, 64 - Integer.numberOfTrailingZeros(numShards))
+      // bigint cast first: an int hash column under Java shift semantics
+      // would shift mod 32 and select the wrong bits
+      .shiftrightunsigned(hash.cast("bigint"),
+        64 - Integer.numberOfTrailingZeros(numShards))
       .cast("int")
   }
 
@@ -171,8 +177,34 @@ object sharded {
     def cardinality: Double = shards.map(_.cardinality).sum
   }
 
+  /** Assemble from the COMPLETE ordered dump sequence (the
+    * aggregate-form `shards` array, which always carries every shard in
+    * position). For row-form output use [[shardedFilterOfRows]] — a
+    * bare dump sequence collected from rows loses shard ids and empty
+    * shards, and a permuted or gapped sequence probes the wrong shard.
+    */
   def shardedFilterOf(dumps: Seq[Array[Byte]]): ShardedFilter =
     new ShardedFilter(dumps.map(d => BloomIO.load(d)).toArray)
+
+  /** Assemble a probe handle from ROW-FORM output (shard_id, sketch).
+    * The groupBy build drops empty shards and row order is arbitrary,
+    * so shard ids are required: missing shards become EMPTY filters
+    * with the same geometry as the present ones (an empty shard never
+    * matched any key, so probing it must return false — which an empty
+    * filter does).
+    */
+  def shardedFilterOfRows(rows: Seq[(Int, Array[Byte])],
+                          numShards: Int): ShardedFilter = {
+    require(Integer.bitCount(numShards) == 1, "numShards must be a power of 2")
+    require(rows.nonEmpty, "at least one shard row required")
+    require(rows.forall(r => r._1 >= 0 && r._1 < numShards),
+      s"shard_id out of range for numShards=$numShards")
+    require(rows.map(_._1).distinct.size == rows.size, "duplicate shard_id")
+    val loaded = rows.map { case (i, d) => i -> BloomIO.load(d) }.toMap
+    val proto = loaded.head._2
+    new ShardedFilter(Array.tabulate(numShards)(i =>
+      loaded.getOrElse(i, BlockedBloomFilter(proto.numBits, proto.k))))
+  }
 
   /** Codegen probe column against a sharded filter (plan-embedded; the
     * sharded analog of functions.bloomProbe). Above

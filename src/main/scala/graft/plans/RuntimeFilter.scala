@@ -39,15 +39,16 @@ import graft.functions.{catalyst => gcat, expressions => gexpr}
   *    unmatched rows cannot reach the output)
   *  - build side stats.sizeInBytes <= maxBuildBytes, probe side
   *    >= minProbeBytes (don't pay a subquery for a small scan)
-  *  - at most one graft runtime filter per probe subtree (idempotence
-  *    under fixed-point optimizer batches)
+  *  - at most one graft runtime filter per probe subtree AND key set
+  *    (idempotent under fixed-point batches, while a star join still
+  *    gets one filter per dimension)
   *
   * The filter sizes from build-side rowCount stats when available, else
   * `expectedBuildRows`. The subquery result (one dump) is deserialized
   * once per task by BloomMightContainDump's byte-identity cache.
   */
 case class GraftRuntimeFilter(spark: SparkSession)
-    extends Rule[LogicalPlan] {
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.runtimeFilter.enabled", "false").toBoolean
@@ -77,9 +78,11 @@ case class GraftRuntimeFilter(spark: SparkSession)
           val (lks, rks) = keys.unzip
           var newLeft = left
           var newRight = right
-          if (canPruneLeft(joinType) && eligible(probe = left, build = right))
+          if (canPruneLeft(joinType) &&
+              eligible(probe = left, probeKeys = lks, build = right))
             newLeft = inject(left, lks, right, rks)
-          if (canPruneRight(joinType) && eligible(probe = right, build = left))
+          if (canPruneRight(joinType) &&
+              eligible(probe = right, probeKeys = rks, build = left))
             newRight = inject(right, rks, left, lks)
           if ((newLeft eq left) && (newRight eq right)) j
           else Join(newLeft, newRight, joinType, Some(cond), hint)
@@ -110,15 +113,9 @@ case class GraftRuntimeFilter(spark: SparkSession)
             a.deterministic && b.deterministic => (b, a)
     }
 
-  private def splitConjunctivePredicates(c: Expression): Seq[Expression] =
-    c match {
-      case And(l, r) =>
-        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
-
-  private def eligible(probe: LogicalPlan, build: LogicalPlan): Boolean =
-    !hasGraftFilter(probe) &&
+  private def eligible(probe: LogicalPlan, probeKeys: Seq[Expression],
+                       build: LogicalPlan): Boolean =
+    !hasGraftFilterOn(probe, probeKeys) &&
       build.stats.sizeInBytes <= maxBuildBytes &&
       probe.stats.sizeInBytes >= minProbeBytes &&
       !build.isStreaming && !probe.isStreaming &&
@@ -141,10 +138,25 @@ case class GraftRuntimeFilter(spark: SparkSession)
       case p => p.expressions.exists(e => !e.deterministic)
     }
 
-  private def hasGraftFilter(plan: LogicalPlan): Boolean =
+  /** Idempotence guard, keyed to the SPECIFIC probe keys: a star join
+    * fact JOIN dim1 JOIN dim2 must get one filter per dimension — a
+    * subtree-wide "any graft filter present" check would forfeit every
+    * join above the first. Matching Spark's InjectRuntimeFilter, the
+    * guard compares the injected probe-hash children semantically, so
+    * the fixed-point re-run of the batch skips re-injecting the same
+    * keys while different keys remain eligible.
+    */
+  private def hasGraftFilterOn(plan: LogicalPlan,
+                               probeKeys: Seq[Expression]): Boolean =
     plan.exists {
       case Filter(cond, _) =>
-        cond.exists(_.isInstanceOf[gexpr.BloomMightContainDump])
+        cond.exists {
+          case gexpr.BloomMightContainDump(_, h: XxHash64) =>
+            h.children.length == probeKeys.length &&
+              h.children.zip(probeKeys).forall {
+                case (a, b) => a.semanticEquals(b) }
+          case _ => false
+        }
       case _ => false
     }
 

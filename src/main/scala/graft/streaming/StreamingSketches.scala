@@ -140,11 +140,21 @@ object StreamingSketches {
   def streamingDedupVsCorpus[T](ds: Dataset[T], keyFn: T => String,
                                 corpus: BlockedBloomFilter,
                                 stateTtl: Option[java.time.Duration] = None)(
-      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    // broadcast ONCE for the query's lifetime: captured directly in the
+    // filter closure, the (potentially GB-sized) filter would be
+    // re-serialized into the task binaries of EVERY micro-batch
+    val bc = ds.sparkSession.sparkContext.broadcast(corpus)
     streamingDedup(
-      ds.filter((t: T) => !corpus.has(Hashing.fnv1a64(
-        keyFn(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)))),
+      ds.filter { (t: T) =>
+        val key = keyFn(t)
+        // null key: no corpus hit by definition — keep parity with
+        // streamingDedup alone, which groups null keys fine
+        key == null || !bc.value.has(Hashing.fnv1a64(
+          key.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      },
       keyFn, stateTtl)
+  }
 
   /** Build the corpus-key Bloom filter for [[streamingDedupVsCorpus]]
     * from a one-column DataFrame of key strings (distributed build,
@@ -175,10 +185,14 @@ object StreamingSketches {
   def streamingDecontaminate[T](ds: Dataset[T], textFn: T => String,
                                 evalFilter: BlockedBloomFilter,
                                 n: Int = 3, minOverlap: Int = 1)(
-      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    // broadcast once per query, not once per micro-batch task binary
+    // (see streamingDedupVsCorpus)
+    val bc = ds.sparkSession.sparkContext.broadcast(evalFilter)
     ds.filter((t: T) =>
-      graft.operators.Decontaminate.overlapCount(textFn(t), n, evalFilter)
+      graft.operators.Decontaminate.overlapCount(textFn(t), n, bc.value)
         < minOverlap)
+  }
 
   /** Streaming quantiles of a numeric field per group via t-digest state.
     * Emits (group, n, p50, p99) per micro-batch.

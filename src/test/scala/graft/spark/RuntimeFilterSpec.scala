@@ -190,4 +190,28 @@ class RuntimeFilterSpec extends AnyFunSuite {
         .contains("graft_bloom_might_contain"))
     }
   }
+
+  test("star join: each dimension injects its own filter") {
+    withRule() {
+      // fact JOIN dim1 (on orderkey) JOIN dim2 (on partkey): the
+      // idempotence guard is keyed to the probe keys, so the second
+      // join must STILL get a filter — a subtree-wide guard would stop
+      // after the first dimension and forfeit the second's pruning
+      val dim2 = spark.read
+        .parquet("/root/testdata/sf0.001/part.parquet")
+        .filter(col("p_size") <= 5)
+      val plain = fact
+        .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(dim2, col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)), sum(col("l_quantity"))).head()
+      val starved = fact
+        .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(dim2, col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)), sum(col("l_quantity")))
+      val opt = starved.queryExecution.optimizedPlan.toString
+      val n = "graft_bloom_might_contain".r.findAllIn(opt).size
+      assert(n == 2, s"expected one filter per dimension, got $n:\n$opt")
+      assert(starved.head() == plain)
+    }
+  }
 }

@@ -113,4 +113,32 @@ class ShardedSpec extends AnyFunSuite {
       assert(filters(s).has(h))
     }
   }
+
+  test("shardedFilterOfRows: gaps become empty shards, ids respected") {
+    // row-form output drops empty shards and arrives unordered: the
+    // assembly MUST key on shard_id (a bare dump list would misroute
+    // probes). Build two shards locally, leave 1 and 2 empty.
+    val hs = (0 until 4000).map(i => Hashing.splitmix64(0xABCDEFL + i))
+    val byShard = hs.groupBy(h => sharded.shardOf(h, 4))
+    def shardDump(ks: Seq[Long]): Array[Byte] = {
+      val f = BlockedBloomFilter(1 << 16, 6)
+      ks.foreach(f.add)
+      BloomIO.dump(f)
+    }
+    // pass rows out of order on purpose
+    val f = sharded.shardedFilterOfRows(
+      Seq(3 -> shardDump(byShard(3)), 0 -> shardDump(byShard(0))), 4)
+    byShard(0).foreach(h => assert(f.has(h), "shard-0 key must hit"))
+    byShard(3).foreach(h => assert(f.has(h), "shard-3 key must hit"))
+    // keys of the EMPTY shards probe an empty filter: always false
+    byShard(1).foreach(h => assert(!f.has(h)))
+    byShard(2).foreach(h => assert(!f.has(h)))
+    intercept[IllegalArgumentException] {
+      sharded.shardedFilterOfRows(Seq(4 -> shardDump(Nil)), 4)
+    }
+    intercept[IllegalArgumentException] {
+      sharded.shardedFilterOfRows(
+        Seq(0 -> shardDump(Nil), 0 -> shardDump(Nil)), 4)
+    }
+  }
 }
