@@ -38,25 +38,55 @@ import graft.functions.{functions => F}
   */
 object SketchCheckpoint {
 
+  // ---- shared plumbing: one snapshot layout and lineage schema for
+  // every checkpoint flavor, so a schema or layout change lands once ----
+
+  /** Lineage columns attached to every partial row (build_ms is the
+    * executor-measured wall clock: first row folded -> final eval).
+    */
+  private def lineageAggs: Seq[Column] = Seq(
+    count(lit(1)).as("row_count"),
+    sum(col("n_tok")).as("token_count"),
+    graft.functions.catalyst.buildMillis().as("build_ms"))
+
+  private def writePartials(tokenDocs: DataFrame, groupCol: String,
+                            ckptDir: String, snapshotId: String,
+                            sketchAggs: Seq[Column])(
+                            post: DataFrame => DataFrame): Unit = {
+    val aggs = sketchAggs ++ lineageAggs
+    post(tokenDocs
+        .withColumn("part_id", spark_partition_id())
+        .groupBy(col(groupCol).as("group_key"), col("part_id"))
+        .agg(aggs.head, aggs.tail: _*))
+      .withColumn("snapshot_id", lit(snapshotId))
+      .write.mode("overwrite")
+      .parquet(s"$ckptDir/snapshot=$snapshotId")
+  }
+
+  private def snapshots(spark: SparkSession, ckptDir: String,
+                        snapshotIds: Seq[String]): DataFrame =
+    if (snapshotIds.isEmpty) spark.read.parquet(ckptDir)
+    else spark.read.parquet(
+      snapshotIds.map(id => s"$ckptDir/snapshot=$id"): _*)
+
+  private def resumeWith(partials: DataFrame,
+                         unionAggs: Seq[Column]): DataFrame = {
+    val aggs = unionAggs ++ Seq(
+      sum(col("row_count")).as("row_count"),
+      sum(col("token_count")).as("token_count"),
+      count(lit(1)).as("n_partials"))
+    partials.groupBy(col("group_key")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Build per-(group, partition) Bloom partials with lineage and write
     * them as a snapshot directory under `ckptDir`.
     */
   def writeBloomPartials(tokenDocs: DataFrame, groupCol: String,
                          capacity: Long, fpr: Double,
-                         ckptDir: String, snapshotId: String): Unit = {
-    tokenDocs
-      .withColumn("part_id", spark_partition_id())
-      .groupBy(col(groupCol).as("group_key"), col("part_id"))
-      .agg(
-        F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("sketch"),
-        count(lit(1)).as("row_count"),
-        sum(col("n_tok")).as("token_count"),
-        // executor-measured wall clock: first row folded -> final eval
-        graft.functions.catalyst.buildMillis().as("build_ms"))
-      .withColumn("snapshot_id", lit(snapshotId))
-      .write.mode("overwrite")
-      .parquet(s"$ckptDir/snapshot=$snapshotId")
-  }
+                         ckptDir: String, snapshotId: String): Unit =
+    writePartials(tokenDocs, groupCol, ckptDir, snapshotId,
+      Seq(F.bloom_agg_tokens(col("tokens"), capacity, fpr)
+        .as("sketch")))(identity)
 
   /** Read one or more snapshots of partials and union them into final
     * per-group sketches. Partials from different snapshots combine as
@@ -67,16 +97,8 @@ object SketchCheckpoint {
                   capacity: Long, fpr: Double,
                   snapshotIds: Seq[String] = Nil): DataFrame = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr)
-    val partials =
-      if (snapshotIds.isEmpty) spark.read.parquet(ckptDir)
-      else spark.read.parquet(
-        snapshotIds.map(id => s"$ckptDir/snapshot=$id"): _*)
-    partials.groupBy(col("group_key"))
-      .agg(
-        F.bloom_union_agg(col("sketch"), nbits, k).as("sketch"),
-        sum(col("row_count")).as("row_count"),
-        sum(col("token_count")).as("token_count"),
-        count(lit(1)).as("n_partials"))
+    resumeWith(snapshots(spark, ckptDir, snapshotIds),
+      Seq(F.bloom_union_agg(col("sketch"), nbits, k).as("sketch")))
   }
 
   /** Lineage/metrics view of a checkpoint directory. */
@@ -103,24 +125,15 @@ object SketchCheckpoint {
                          capacity: Long, fpr: Double,
                          ckptDir: String, snapshotId: String,
                          p: Int = 14, depth: Int = 5,
-                         width: Int = 65536): Unit = {
-    tokenDocs
-      .withColumn("part_id", spark_partition_id())
-      .groupBy(col(groupCol).as("group_key"), col("part_id"))
-      .agg(
-        F.sketch_panel_agg(col("tokens"), capacity, fpr, p, depth, width)
-          .as("panel"),
-        count(lit(1)).as("row_count"),
-        sum(col("n_tok")).as("token_count"),
-        graft.functions.catalyst.buildMillis().as("build_ms"))
-      .select(col("group_key"), col("part_id"),
+                         width: Int = 65536): Unit =
+    writePartials(tokenDocs, groupCol, ckptDir, snapshotId,
+      Seq(F.sketch_panel_agg(col("tokens"), capacity, fpr, p, depth, width)
+        .as("panel"))) { df =>
+      df.select(col("group_key"), col("part_id"),
         col("panel.bloom").as("bloom"), col("panel.hll").as("hll"),
         col("panel.cms").as("cms"),
         col("row_count"), col("token_count"), col("build_ms"))
-      .withColumn("snapshot_id", lit(snapshotId))
-      .write.mode("overwrite")
-      .parquet(s"$ckptDir/snapshot=$snapshotId")
-  }
+    }
 
   /** Union panel partials back into per-group sketches (any snapshot
     * subset covering the input exactly once).
@@ -130,18 +143,10 @@ object SketchCheckpoint {
                   p: Int = 14, depth: Int = 5, width: Int = 65536,
                   snapshotIds: Seq[String] = Nil): DataFrame = {
     val (nbits, k) = BloomConfig.optimize(capacity, fpr)
-    val partials =
-      if (snapshotIds.isEmpty) spark.read.parquet(ckptDir)
-      else spark.read.parquet(
-        snapshotIds.map(id => s"$ckptDir/snapshot=$id"): _*)
-    partials.groupBy(col("group_key"))
-      .agg(
-        F.bloom_union_agg(col("bloom"), nbits, k).as("bloom"),
-        F.hll_union_agg(col("hll"), p).as("hll"),
-        F.cms_union_agg(col("cms"), depth, width).as("cms"),
-        sum(col("row_count")).as("row_count"),
-        sum(col("token_count")).as("token_count"),
-        count(lit(1)).as("n_partials"))
+    resumeWith(snapshots(spark, ckptDir, snapshotIds), Seq(
+      F.bloom_union_agg(col("bloom"), nbits, k).as("bloom"),
+      F.hll_union_agg(col("hll"), p).as("hll"),
+      F.cms_union_agg(col("cms"), depth, width).as("cms")))
   }
 
   /** Two-phase skew-safe aggregation helper: salt the group key, build
