@@ -324,6 +324,13 @@ object catalyst {
     }
 
     def insert(s: Double, id: Long): Unit = {
+      // reject undefined scores outright: a stored NaN never compares
+      // better-or-worse, so it could become an unevictable `worst` and
+      // freeze the whole buffer. A NaN cosine (NaN/Inf input vector) is
+      // not a meaningful neighbor; excluding it keeps the buffer total
+      // -ordered (documented deviation from the window form, whose
+      // NaN-is-largest ordering would rank garbage first).
+      if (java.lang.Double.isNaN(s)) return
       if (size < k) {
         scores(size) = s; ids(size) = id; size += 1
         if (size == k) recomputeWorst()
@@ -345,7 +352,9 @@ object catalyst {
     * job. This aggregate keeps a k-entry buffer per group per partition
     * (map-side combine), so only k rows per (query, partition) reach the
     * exchange. Emits array<struct<id, score>> best-first; ties break on
-    * the lower id, matching the window form exactly.
+    * the lower id, matching the window form exactly — except NaN
+    * scores, which are EXCLUDED (the window's NaN-is-largest ordering
+    * would rank undefined cosines above every real neighbor).
     */
   case class TopKByScoreAggregate(
       score: Expression, id: Expression, k: Int,

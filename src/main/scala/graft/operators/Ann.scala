@@ -46,6 +46,7 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
+    requireSameDim(queries, corpus, embCol)
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).as("q_emb"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -58,8 +59,38 @@ object Ann {
   /** Embedding dimensionality of a table (one-row driver lookup; pass
     * `dim` explicitly in pipelines that already know it).
     */
-  def dimOf(df: DataFrame, embCol: String = "embedding"): Int =
-    df.select(col(embCol)).head().getSeq[Float](0).length
+  def dimOf(df: DataFrame, embCol: String = "embedding"): Int = {
+    val rows = df.select(col(embCol)).limit(1).collect()
+    require(rows.nonEmpty,
+      s"cannot infer embedding dim: table has no rows (column $embCol)")
+    require(!rows(0).isNullAt(0),
+      s"cannot infer embedding dim: first $embCol is null")
+    rows(0).getSeq[Float](0).length
+  }
+
+  /** One banding parameterization shared by [[lshTopK]] and
+    * [[lshBucketStats]] — the no-silent-cap accounting only holds if
+    * the stats count exactly the buckets the search builds.
+    */
+  private def bandParams(corpus: DataFrame, nbits: Int, numBands: Int,
+                         embCol: String, dim: Int): (Int, Int) = {
+    require(nbits % numBands == 0, "nbits must divide into bands")
+    (nbits / numBands, if (dim > 0) dim else dimOf(corpus, embCol))
+  }
+
+  /** Loud dim check: the cosine kernels compute over the common PREFIX
+    * of mismatched vectors (min-length loop), which returns plausible
+    * but wrong neighbors with no error — so operators taking two tables
+    * verify their first rows agree before doing any work.
+    */
+  private def requireSameDim(queries: DataFrame, corpus: DataFrame,
+                             embCol: String): Unit = {
+    val qd = dimOf(queries, embCol)
+    val cd = dimOf(corpus, embCol)
+    require(qd == cd,
+      s"embedding dim mismatch: queries=$qd corpus=$cd — cosine over " +
+        "the common prefix would silently return wrong neighbors")
+  }
 
   /** Sign-random-projection signature + banded candidate join + exact
     * re-rank. Recall rises with numBands; neighbors colliding in no band
@@ -77,9 +108,8 @@ object Ann {
               embCol: String = "embedding",
               dim: Int = -1,
               maxBucket: Int = 0): DataFrame = {
-    require(nbits % numBands == 0, "nbits must divide into bands")
-    val bitsPerBand = nbits / numBands
-    val d = if (dim > 0) dim else dimOf(corpus, embCol)
+    requireSameDim(queries, corpus, embCol)
+    val (bitsPerBand, d) = bandParams(corpus, nbits, numBands, embCol, dim)
     def banded(df: DataFrame, role: String) =
       df.select(col(idCol).as(s"${role}_id"), col(embCol).as(s"${role}_emb"),
           explode(F.lsh_band_keys(col(embCol), numBands, bitsPerBand, d))
@@ -156,6 +186,7 @@ object Ann {
               embCol: String = "embedding",
               centroids: Array[Array[Double]] = null): DataFrame = {
     import graft.functions.{expressions => E}
+    requireSameDim(queries, corpus, embCol)
     val cents =
       if (centroids != null) centroids
       else ivfCentroids(corpus, nlist, iters, idCol, embCol)
@@ -249,9 +280,18 @@ object Ann {
     import graft.functions.{expressions => E}
     val spark = queries.sparkSession
     val cents = readIvfCentroids(spark, dir)
+    require(dimOf(queries, embCol) == cents(0).length,
+      s"query dim ${dimOf(queries, embCol)} != stored quantizer dim " +
+        s"${cents(0).length} at $dir")
+    // PERSIST the probe frame: it is evaluated twice (the probed-cl
+    // collect below and the candidate join) — uncached, a
+    // non-deterministic queries input (sample, unordered limit) could
+    // probe clusters the isin() filter already pruned, silently losing
+    // neighbors
     val q = queries.select(col(idCol).as("query_id"),
-      col(embCol).as("q_emb"),
-      explode(E.ivf_probes(col(embCol), cents, nprobe)).as("cl"))
+        col(embCol).as("q_emb"),
+        explode(E.ivf_probes(col(embCol), cents, nprobe)).as("cl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded driver collect: <= nlist distinct probe values
     val probed = q.select(col("cl")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -274,9 +314,7 @@ object Ann {
                      embCol: String = "embedding",
                      dim: Int = -1,
                      maxBucket: Int = 0): DataFrame = {
-    require(nbits % numBands == 0, "nbits must divide into bands")
-    val bitsPerBand = nbits / numBands
-    val d = if (dim > 0) dim else dimOf(corpus, embCol)
+    val (bitsPerBand, d) = bandParams(corpus, nbits, numBands, embCol, dim)
     corpus
       .select(explode(F.lsh_band_keys(col(embCol), numBands, bitsPerBand, d))
         .as("bucket"))

@@ -20,11 +20,6 @@ import graft.core.Hashing
   */
 object Multimodal {
 
-  val mediaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("media", BinaryType, nullable = true),
-    StructField("media_type", StringType, nullable = false)))
-
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -86,11 +81,15 @@ object Multimodal {
   /** Deterministic frame sampling for "video" rows: pick every k-th frame
     * index — shows the explode-side plumbing for per-frame features.
     */
-  def sampleFrames(decoded: DataFrame, stride: Int = 5): DataFrame =
+  def sampleFrames(decoded: DataFrame, stride: Int = 5): DataFrame = {
+    // fail at the API boundary, not with a codegen-deep sequence() error
+    // at action time
+    require(stride > 0, s"stride must be positive, got $stride")
     decoded.filter(col("media_type") === "fake/video")
       .select(col("doc_id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride)))
           .as("frame_idx"))
+  }
 
   /** Resize planning: output dims fitting maxDim with aspect preserved —
     * pure column arithmetic (the metadata half of a resize; the byte
@@ -116,8 +115,11 @@ object Multimodal {
     var norm = 0.0
     var d = 0
     while (d < dim) {
+      // nested mixing, NOT docId*31+frameIdx: the linear form collides
+      // ((doc,31) == (doc+1,0)), yielding byte-identical embeddings for
+      // distinct frames once frame_idx reaches 31
       val v = Hashing.toUnitDouble(
-        Hashing.at(docId * 31 + frameIdx, d)) - 0.5
+        Hashing.at(Hashing.at(docId, frameIdx), d)) - 0.5
       out(d) = v.toFloat
       norm += v * v
       d += 1

@@ -525,6 +525,29 @@ class OperatorSpec extends AnyFunSuite {
       dflt.filter(col("source") === "a").isEmpty)
   }
 
+  test("top-k buffer excludes NaN scores; dim mismatch fails loudly") {
+    import graft.functions.{functions => F}
+    // a NaN-scored row must not enter (or freeze) the per-group buffer
+    val scored = Seq(
+      (1L, Double.NaN, 100L), (1L, 0.9, 2L), (1L, 0.8, 3L),
+      (1L, 0.95, 4L), (1L, 0.7, 5L))
+      .toDF("query_id", "cosine", "neighbor_id")
+    val top = scored.groupBy(col("query_id"))
+      .agg(F.topk_by_score(col("cosine"), col("neighbor_id"), 3).as("t"))
+      .select(explode(col("t.id")).as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(4L, 2L, 3L), s"NaN must be excluded: $top")
+    // queries at a different dim than the corpus: loud error, not a
+    // silent prefix-cosine answer
+    val c = (0L until 10L).map(i => (i, Array.fill(8)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array.fill(4)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(q, c, 3)
+    }
+    assert(e.getMessage.contains("dim mismatch"), e.getMessage)
+  }
+
   test("persisted eval index answers identically to the direct path") {
     import graft.operators.Decontaminate
     val evalDocs = Seq((100L, "alpha beta gamma delta"),
