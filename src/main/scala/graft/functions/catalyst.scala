@@ -42,6 +42,25 @@ object catalyst {
     protected def updateArray(buffer: B, arr: ArrayData): Unit
   }
 
+  /** Scalar-input sibling of [[TokenArrayAggregate]]: BinaryType wire
+    * output, non-null, null input rows skipped — the shared scaffolding
+    * of every single-value sketch aggregate, so null semantics cannot
+    * drift between them. (The per-token hash loops in the array
+    * aggregates stay hand-written per class on purpose: a shared
+    * per-element callback would be megamorphic in the hottest loop.)
+    */
+  abstract class ScalarAggregate[B] extends TypedImperativeAggregate[B]
+      with UnaryLike[Expression] {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    final override def update(buffer: B, input: InternalRow): B = {
+      val v = child.eval(input)
+      if (v != null) updateValue(buffer, v)
+      buffer
+    }
+    protected def updateValue(buffer: B, v: Any): Unit
+  }
+
   /** Blocked-Bloom build over array<int> token columns. */
   case class BloomTokensAggregate(
       child: Expression, nbits: Long, k: Int,
@@ -76,18 +95,12 @@ object catalyst {
   case class BloomHashAggregate(
       child: Expression, nbits: Long, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[BlockedBloomFilter]
-      with UnaryLike[Expression] {
+      extends ScalarAggregate[BlockedBloomFilter] {
     override def prettyName: String = "bloom_agg_hash"
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     def createAggregationBuffer(): BlockedBloomFilter =
       BlockedBloomFilter(nbits, k)
-    override def update(b: BlockedBloomFilter, input: InternalRow): BlockedBloomFilter = {
-      val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Long])
-      b
-    }
+    protected def updateValue(b: BlockedBloomFilter, v: Any): Unit =
+      b.add(v.asInstanceOf[Long])
     def merge(b: BlockedBloomFilter, o: BlockedBloomFilter): BlockedBloomFilter =
       b.union(o)
     def eval(b: BlockedBloomFilter): Any = BloomIO.dump(b)
@@ -166,17 +179,11 @@ object catalyst {
   case class HllHashAggregate(
       child: Expression, p: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[HyperLogLog]
-      with UnaryLike[Expression] {
+      extends ScalarAggregate[HyperLogLog] {
     override def prettyName: String = "hll_agg_hash"
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     def createAggregationBuffer(): HyperLogLog = HyperLogLog(p)
-    override def update(b: HyperLogLog, input: InternalRow): HyperLogLog = {
-      val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Long])
-      b
-    }
+    protected def updateValue(b: HyperLogLog, v: Any): Unit =
+      b.add(v.asInstanceOf[Long])
     def merge(b: HyperLogLog, o: HyperLogLog): HyperLogLog = b.merge(o)
     def eval(b: HyperLogLog): Any = b.serialize()
     def serialize(b: HyperLogLog): Array[Byte] = b.serialize()
@@ -222,17 +229,11 @@ object catalyst {
   case class CmsHashAggregate(
       child: Expression, depth: Int, width: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[CountMinSketch]
-      with UnaryLike[Expression] {
+      extends ScalarAggregate[CountMinSketch] {
     override def prettyName: String = "cms_agg_hash"
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     def createAggregationBuffer(): CountMinSketch = CountMinSketch(depth, width)
-    override def update(b: CountMinSketch, input: InternalRow): CountMinSketch = {
-      val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Long])
-      b
-    }
+    protected def updateValue(b: CountMinSketch, v: Any): Unit =
+      b.add(v.asInstanceOf[Long])
     def merge(b: CountMinSketch, o: CountMinSketch): CountMinSketch = b.merge(o)
     def eval(b: CountMinSketch): Any = b.serialize()
     def serialize(b: CountMinSketch): Array[Byte] = b.serialize()
@@ -250,16 +251,11 @@ object catalyst {
   case class TDigestAggregate(
       child: Expression, compression: Double,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+      extends ScalarAggregate[TDigest] {
     override def prettyName: String = "tdigest_agg"
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     def createAggregationBuffer(): TDigest = TDigest(compression)
-    override def update(b: TDigest, input: InternalRow): TDigest = {
-      val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Double])
-      b
-    }
+    protected def updateValue(b: TDigest, v: Any): Unit =
+      b.add(v.asInstanceOf[Double])
     def merge(b: TDigest, o: TDigest): TDigest = b.merge(o)
     def eval(b: TDigest): Any = b.serialize()
     def serialize(b: TDigest): Array[Byte] = b.serialize()
@@ -276,16 +272,11 @@ object catalyst {
   case class KllAggregate(
       child: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KllSketch] with UnaryLike[Expression] {
+      extends ScalarAggregate[KllSketch] {
     override def prettyName: String = "kll_agg"
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     def createAggregationBuffer(): KllSketch = KllSketch(k)
-    override def update(b: KllSketch, input: InternalRow): KllSketch = {
-      val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Double])
-      b
-    }
+    protected def updateValue(b: KllSketch, v: Any): Unit =
+      b.add(v.asInstanceOf[Double])
     def merge(b: KllSketch, o: KllSketch): KllSketch = b.merge(o)
     def eval(b: KllSketch): Any = b.serialize()
     def serialize(b: KllSketch): Array[Byte] = b.serialize()
