@@ -36,6 +36,8 @@ object BloomIO {
     HeaderLen.toLong * (1L + f.numBlocks)
 
   def dump(f: BlockedBloomFilter, comment: String = ""): Array[Byte] = {
+    require(dumpSize(f) <= Int.MaxValue,
+      s"dump of ${dumpSize(f)} bytes exceeds a byte array; use dumpTo")
     val out = new ByteArrayOutputStream(dumpSize(f).toInt)
     dumpTo(out, f, comment)
     out.toByteArray

@@ -143,6 +143,16 @@ object HyperLogLog {
     require(p >= 4 && p <= 18, s"HLL precision $p out of range [4,18]")
     require(bytes.length == 4 + (1 << p), "truncated HLL sketch")
     val regs = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+    // register range check: a byte of 0x80 reads as -128 and any value
+    // beyond 64-p+1 is impossible from add(); unchecked, estimate()
+    // indexes its histogram out of bounds long after load
+    val maxReg = 64 - p + 1
+    var i = 0
+    while (i < regs.length) {
+      require(regs(i) >= 0 && regs(i) <= maxReg,
+        s"corrupt HLL sketch: register $i = ${regs(i)}")
+      i += 1
+    }
     new HyperLogLog(p, regs)
   }
 

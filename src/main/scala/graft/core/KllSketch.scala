@@ -65,17 +65,7 @@ final class KllSketch private (
   private def compact(): Unit = {
     var lvl = 0
     while (lvl < levels.length) {
-      if (levels(lvl).length >= capacity(lvl)) {
-        if (lvl + 1 == levels.length) levels += new ArrayBuffer[Double]
-        val items = levels(lvl)
-        val sorted = items.toArray
-        java.util.Arrays.sort(sorted)
-        val offset = if (nextBit()) 1 else 0
-        val promote = levels(lvl + 1)
-        var i = offset
-        while (i < sorted.length) { promote += sorted(i); i += 2 }
-        items.clear()
-      }
+      if (levels(lvl).length >= capacity(lvl)) compactLevel(lvl)
       lvl += 1
     }
   }
@@ -106,14 +96,23 @@ final class KllSketch private (
     this
   }
 
+  /** Promote every other item of an EVEN prefix (random offset) at
+    * doubled weight; an odd buffer keeps its largest item at this
+    * level. Compacting an odd count would transfer len±1 units of
+    * weight (promoting ceil or floor of len/2 items at weight 2),
+    * breaking the sum(2^lvl · len) == count invariant that rank() and
+    * quantile() divide by — KLL compacts an even number by definition.
+    */
   private def compactLevel(lvl: Int): Unit = {
     if (lvl + 1 == levels.length) levels += new ArrayBuffer[Double]
     val sorted = levels(lvl).toArray
     java.util.Arrays.sort(sorted)
+    val even = sorted.length - (sorted.length & 1)
     val offset = if (nextBit()) 1 else 0
     var i = offset
-    while (i < sorted.length) { levels(lvl + 1) += sorted(i); i += 2 }
+    while (i < even) { levels(lvl + 1) += sorted(i); i += 2 }
     levels(lvl).clear()
+    if (even < sorted.length) levels(lvl) += sorted(sorted.length - 1)
   }
 
   /** All retained (item, weight) pairs sorted by item. */

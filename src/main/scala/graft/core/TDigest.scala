@@ -229,6 +229,11 @@ object TDigest {
     val mn = bb.getDouble; val mx = bb.getDouble
     val n = bb.getInt
     require(n >= 0 && bytes.length == 40 + 16L * n, "corrupt t-digest sketch")
+    // enforce the constructor's bound: compression=0 collapses every
+    // compress() into one centroid (silently constant quantiles) and
+    // NaN disables compression entirely (unbounded growth)
+    require(compression >= 20 && !compression.isNaN,
+      s"corrupt t-digest sketch: compression $compression")
     val means = new Array[Double](n); val weights = new Array[Double](n)
     var i = 0
     while (i < n) { means(i) = bb.getDouble; i += 1 }

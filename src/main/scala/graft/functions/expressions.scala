@@ -207,11 +207,6 @@ object expressions {
       copy(left = l, right = r)
   }
 
-  /** Deterministic tokenizer (string -> array<int>), the native form of
-    * TokenDocs.tokenize — inside codegen, no udf dispatch. NULL text
-    * tokenizes to the EMPTY array (TokenDocs.tokenize(null) contract),
-    * so n_tok/size stay non-null downstream.
-    */
   /** Distinct word n-grams of a text column, array<string> — native
     * because the higher-order-function formulation re-evaluates the
     * tokenize subtree per window (see kernels.wordNgrams).
@@ -244,6 +239,11 @@ object expressions {
       copy(child = c)
   }
 
+  /** Deterministic tokenizer (string -> array<int>), the native form of
+    * TokenDocs.tokenize — inside codegen, no udf dispatch. NULL text
+    * tokenizes to the EMPTY array (TokenDocs.tokenize(null) contract),
+    * so n_tok/size stay non-null downstream.
+    */
   case class Tokenize(child: Expression) extends UnaryExpression {
     override def prettyName: String = "graft_tokenize"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -428,6 +428,9 @@ object expressions {
     */
   case class SimhashBuckets(child: Expression, maxHamming: Int)
       extends UnaryExpression {
+    // plan-time, for all construction paths (Column API + SQL registry)
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0,31], got $maxHamming")
     override def prettyName: String = "simhash_buckets"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
@@ -511,12 +514,21 @@ object expressions {
   }
 
   object IvfAssign {
+    /** Centroid-side cosine. Distinct from kernels.cosineF on purpose in
+      * ONE way only: a zero-norm vector scores -2.0 (below every real
+      * cosine) so assignment still picks deterministically rather than
+      * treating a degenerate vector as similarity 0. Dim mismatch is a
+      * hard error — a prefix-cosine would assign to plausible but wrong
+      * centroids silently (operators guard this too; the kernel check
+      * covers the SQL surface and direct expression use).
+      */
     private[expressions] def cosine(x: Array[Float],
                                     c: Array[Double]): Double = {
-      val n = math.min(x.length, c.length)
+      require(x.length == c.length,
+        s"vector dim ${x.length} != centroid dim ${c.length}")
       var dot = 0.0; var nx = 0.0; var nc = 0.0
       var i = 0
-      while (i < n) {
+      while (i < x.length) {
         val xi = x(i).toDouble
         dot += xi * c(i); nx += xi * xi; nc += c(i) * c(i)
         i += 1
@@ -530,6 +542,9 @@ object expressions {
     */
   case class IvfProbes(child: Expression, centroids: Array[Array[Double]],
                        nprobe: Int) extends UnaryExpression {
+    // nprobe=0 would probe nothing: every search silently returns zero
+    // neighbors — fail at plan time instead
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     override def prettyName: String = "ivf_probes"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -580,23 +595,32 @@ object expressions {
   def word_ngrams(c: Column, n: Int): Column =
     catalyst.aggColExpr(WordNgrams(catalyst.expr(c.cast("string")), n))
 
+  // token/hash array kernels read getInt/getLong positionally — coerce
+  // like the float wrappers below, or a mistyped array column (e.g.
+  // tokens stored as array<bigint>) reads at the wrong stride: silent
+  // garbage, not an error
+  private def intArr(c: Column): Expression =
+    catalyst.expr(c.cast("array<int>"))
+  private def longArr(c: Column): Expression =
+    catalyst.expr(c.cast("array<bigint>"))
+
   def minhash_signature(c: Column, numPerms: Int): Column =
-    catalyst.aggColExpr(MinhashSignature(catalyst.expr(c), numPerms))
+    catalyst.aggColExpr(MinhashSignature(intArr(c), numPerms))
 
   def minhash_bands(c: Column, numBands: Int, rowsPerBand: Int): Column =
-    catalyst.aggColExpr(MinhashBands(catalyst.expr(c), numBands, rowsPerBand))
+    catalyst.aggColExpr(MinhashBands(longArr(c), numBands, rowsPerBand))
 
   def simhash64(c: Column): Column =
-    catalyst.aggColExpr(Simhash64(catalyst.expr(c)))
+    catalyst.aggColExpr(Simhash64(intArr(c)))
 
   def token_shingles(c: Column, n: Int): Column =
-    catalyst.aggColExpr(TokenShingles(catalyst.expr(c), n))
+    catalyst.aggColExpr(TokenShingles(intArr(c), n))
 
   def simhash64_hashes(c: Column): Column =
-    catalyst.aggColExpr(Simhash64Hashes(catalyst.expr(c)))
+    catalyst.aggColExpr(Simhash64Hashes(longArr(c)))
 
   def minhash_signature_hashes(c: Column, numPerms: Int): Column =
-    catalyst.aggColExpr(MinhashSignatureHashes(catalyst.expr(c), numPerms))
+    catalyst.aggColExpr(MinhashSignatureHashes(longArr(c), numPerms))
 
   def hamming64(a: Column, b: Column): Column =
     catalyst.aggColExpr(Hamming64(

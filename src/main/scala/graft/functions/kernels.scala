@@ -90,6 +90,12 @@ object kernels {
   def minhashBands(sig: ArrayData, numBands: Int,
                    rowsPerBand: Int): ArrayData = {
     val s = sig.toLongArray()
+    // bands past the signature's end would hash an EMPTY window — one
+    // constant key shared by every document, an O(n^2) candidate
+    // explosion in the LSH self-join with no error
+    require(numBands.toLong * rowsPerBand <= s.length,
+      s"numBands*rowsPerBand = ${numBands * rowsPerBand} exceeds " +
+        s"signature length ${s.length}")
     val out = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {

@@ -190,6 +190,27 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(kll.rank(x) - x) < 0.02, s"KLL rank($x)=${kll.rank(x)}")
   }
 
+  test("KLL retained weight equals count exactly (odd compactions)") {
+    // k=200 yields odd level capacities (ceil(200*(2/3)^d)); compacting
+    // an odd buffer must leave one item behind, or total weight drifts
+    // +-1 per compaction and rank(max) wanders off 1.0. rank at +inf
+    // counts every retained item once at its weight, so it equals 1.0
+    // IFF sum(2^lvl * len) == n.
+    for (n <- Seq(1000, 12345, 99999, 200000)) {
+      val kll = KllSketch(200)
+      var i = 0
+      while (i < n) { kll.add(Hashing.toUnitDouble(Hashing.at(7, i))); i += 1 }
+      assert(kll.rank(Double.MaxValue) == 1.0,
+        s"n=$n: total weight ${kll.rank(Double.MaxValue) * n} != $n")
+    }
+    // and across merges
+    val a = KllSketch(200); val b = KllSketch(200)
+    (0 until 33333).foreach(i => a.add(Hashing.toUnitDouble(Hashing.at(8, i))))
+    (0 until 44444).foreach(i => b.add(Hashing.toUnitDouble(Hashing.at(9, i))))
+    a.merge(b)
+    assert(a.rank(Double.MaxValue) == 1.0)
+  }
+
   test("KLL space stays sublinear") {
     val kll = KllSketch(200)
     var i = 0
