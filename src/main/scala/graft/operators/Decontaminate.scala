@@ -102,21 +102,24 @@ object Decontaminate {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     val spark = train.sparkSession
     // ONE evaluation of the eval n-gram set feeds the count, the
-    // filter build, and the verify join (see filterFromNgrams)
+    // filter build, and the verify join (see filterFromNgrams).
+    // localCheckpoint, not Dataset.persist: the CacheManager holds
+    // persisted plans strongly until an explicit unpersist, which the
+    // lazy result cannot issue — a leaked eval-sized cache per call;
+    // checkpoint RDD blocks are ContextCleaner-reclaimed on GC, and the
+    // snapshot also guarantees the verify join reads EXACTLY the rows
+    // the filter was built from, even for nondeterministic eval inputs
     val evalNg = docNgrams(eval, n, textCol, idCol)
       .select(col("ng")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val probe = F.bloomProbeAuto(spark,
       filterFromNgrams(evalNg, fpr, expectedEvalNgrams))
     val cands = docNgrams(train, n, textCol, idCol)
       .filter(probe(F.fnv_hash64_native(col("ng"))))
     // exact verify on the string: kills Bloom FPs AND hash collisions.
     // Candidate volume is fpr-bounded, so this join's shuffle is tiny;
-    // Catalyst/AQE picks broadcast when the eval set fits. evalNg's
-    // cache (materialized by the filter build above, so the verify join
-    // reads the SAME evaluation — the non-deterministic-input guard) is
-    // reclaimed by Spark's ContextCleaner once the returned frame is
-    // garbage-collected; the result stays lazy and plan-inspectable.
+    // Catalyst/AQE picks broadcast when the eval set fits. The result
+    // stays lazy and plan-inspectable.
     cands.join(evalNg, Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))

@@ -210,10 +210,15 @@ object Dedup {
       .select(col("doc_id"), col("fp"),
         explode(F.simhash_buckets(col("fp"), maxHamming)).as("bk"))
 
-  /** Bucket-size distribution of the simhash keys: (bk, bsz, dropped). */
+  /** Bucket-size distribution of the simhash keys: (bk, bsz, dropped).
+    * Pass the SAME ngram as the simhashPairs run being accounted —
+    * shingle fingerprints key different buckets than unigram ones, so
+    * a mismatched ngram reports drop stats for buckets the capped run
+    * never built.
+    */
   def simhashBucketStats(tokenDocs: DataFrame, maxHamming: Int,
-                         maxBucket: Int = 0): DataFrame =
-    simhashKeyed(tokenDocs, maxHamming)
+                         maxBucket: Int = 0, ngram: Int = 1): DataFrame =
+    simhashKeyed(tokenDocs, maxHamming, ngram)
       .groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
       .withColumn("dropped",
         if (maxBucket <= 0) lit(false) else col("bsz") > maxBucket)
@@ -297,9 +302,11 @@ object Dedup {
     * component, where the pairwise policy can keep several (see
     * [[nearDupDropIdsCC]]). Costs the CC rounds on top of the pair set.
     */
-  def dedupDocsCC(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def dedupDocsCC(docs: DataFrame, threshold: Double = 0.9,
+                  numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
-    val pairs = minhashLshPairs(docTokens(afterExact), threshold)
+    val pairs = minhashLshPairs(docTokens(afterExact), threshold,
+        numBands, rowsPerBand)
       .select(col("a"), col("b"))
     afterExact.join(nearDupDropIdsCC(pairs), Seq("doc_id"), "left_anti")
   }
@@ -378,15 +385,22 @@ object Dedup {
     }
     val mode = if (append) org.apache.spark.sql.SaveMode.Append
                else org.apache.spark.sql.SaveMode.Overwrite
-    afterExact
-      .select(col("doc_id"), md5(col("text")).as("content_md5"))
-      .write.mode(mode).parquet(s"$dir/digests")
-    val toks = docTokens(afterExact)
-    tokenSets(toks, ngram).write.mode(mode).parquet(s"$dir/toksets")
-    bandKeys(toks, numBands, rowsPerBand, ngram)
-      .write.mode(mode).parquet(s"$dir/bands")
-    val stats = afterExact
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
+    // four actions read afterExact (digests, toksets, bands, stats);
+    // all run inside this method, so an explicit persist+unpersist is
+    // safe and avoids four recomputations of the exact-tier anti-join
+    afterExact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats =
+      try {
+        afterExact
+          .select(col("doc_id"), md5(col("text")).as("content_md5"))
+          .write.mode(mode).parquet(s"$dir/digests")
+        val toks = docTokens(afterExact)
+        tokenSets(toks, ngram).write.mode(mode).parquet(s"$dir/toksets")
+        bandKeys(toks, numBands, rowsPerBand, ngram)
+          .write.mode(mode).parquet(s"$dir/bands")
+        afterExact
+          .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
+      } finally afterExact.unpersist()
     import spark.implicits._
     // an all-duplicates snapshot appends zero docs: record maxDocId -1
     // so the monotone check stays a no-op for it
@@ -407,11 +421,13 @@ object Dedup {
     * compose: index(s1) + incremental(s2, append) is a valid index for
     * incremental(s3).
     *
-    * Caching: the exact-tier survivor set is persisted (it feeds four
-    * plan branches). The append path releases it explicitly (the result
-    * is materialized before the index write anyway); the non-append
-    * path returns a lazy frame that reuses the cache, which Spark's
-    * ContextCleaner unpersists once the frame is garbage-collected.
+    * Caching: the exact-tier survivor set is localCheckpoint'ed (it
+    * feeds four plan branches); the checkpoint's RDD blocks are
+    * reclaimed by ContextCleaner once the returned frame is dropped.
+    * Dataset.persist is deliberately NOT used — the CacheManager holds
+    * persisted plans with strong references, so a lazily-returned
+    * result could never release it (one leaked snapshot-sized cache
+    * per call).
     */
   def dedupIncremental(newDocs: DataFrame, indexDir: String,
                        threshold: Double = 0.9,
@@ -438,15 +454,21 @@ object Dedup {
       .select(col("doc_id"))
     val notInCorpus = newDocs.join(dupOfCorpus, Seq("doc_id"), "left_anti")
     // exact tier (b): dedup the remaining new docs among themselves.
-    // PERSIST the survivors: they feed four downstream plan branches
-    // (toksets, band keys, within-new pairs, final keep join), and
-    // without the cache each branch would re-run the corpus-digest
-    // anti-join — an index-sized scan per branch. Snapshot-sized by
-    // contract, so MEMORY_AND_DISK is bounded; lineage is kept (unlike
-    // localCheckpoint) so executor loss recomputes instead of failing.
+    // localCheckpoint (NOT Dataset.persist) the survivors: they feed
+    // four downstream plan branches (toksets, band keys, within-new
+    // pairs, final keep join), and uncached each branch would re-run
+    // the corpus-digest anti-join — an index-sized scan per branch.
+    // Dataset.persist would register the plan in the session
+    // CacheManager, which holds it with STRONG references until an
+    // explicit unpersist — a leak per call in long-lived sessions,
+    // since the lazy result cannot release it. localCheckpoint stores
+    // RDD blocks that ContextCleaner reclaims once the result frame is
+    // garbage-collected, is snapshot-sized by contract, and cuts the
+    // plan away from the index files (required by the append path,
+    // whose index write would otherwise invalidate this subtree).
     val newExact = notInCorpus
       .join(exactDropIds(notInCorpus), Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val newToks = docTokens(newExact)
     val newSets = tokenSets(newToks, ngram)
@@ -462,35 +484,34 @@ object Dedup {
       verifyJaccard2(candVsCorpus, corpusSets, newSets, threshold)
         .select(col("b").as("doc_id")).distinct()
     // near-dup tier (b): within the new snapshot (same policy as batch:
-    // drop the larger id of every verified pair)
-    val dropWithin =
-      nearDupDropIds(newToks, threshold, numBands, rowsPerBand, ngram)
+    // drop the larger id of every verified pair). Built from the SAME
+    // newBands/newSets frames as tier (a) — calling nearDupDropIds here
+    // would tokenize and minhash the snapshot a second time
+    val candWithin = newBands.as("x")
+      .join(newBands.as("y"), col("x.band") === col("y.band") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val dropWithin = verifyJaccard2(candWithin, newSets, newSets, threshold)
+      .select(col("b").as("doc_id")).distinct()
 
     val kept = newExact
       .join(dropVsCorpus, Seq("doc_id"), "left_anti")
       .join(dropWithin, Seq("doc_id"), "left_anti")
     if (appendToIndex) {
-      // MATERIALIZE before extending the index: each append refreshes
-      // Spark's file index/caches for indexDir, so (a) a lazy RESULT
-      // evaluated afterwards would re-read the index with the new
-      // snapshot inside and drop every new doc as a duplicate of
-      // itself, and (b) the digests append would invalidate newExact
-      // mid-write and the bands/toksets appends would then evaluate it
-      // against the post-append digests — appending EMPTY state.
-      // localCheckpoint cuts both plans away from the index files
-      // (snapshot-sized, bounded).
+      // MATERIALIZE the result before extending the index: each append
+      // refreshes Spark's file index/caches for indexDir, so a lazy
+      // RESULT evaluated afterwards would re-read the index with the
+      // new snapshot inside and drop every new doc as a duplicate of
+      // itself. newExact is already checkpointed (no index-file
+      // lineage), so the appends cannot invalidate it mid-write.
       val materialized = kept.localCheckpoint()
-      val newExactM = newExact.localCheckpoint()
-      newExact.unpersist()
-      writeIndexState(newExactM, indexDir, numBands, rowsPerBand, ngram,
+      writeIndexState(newExact, indexDir, numBands, rowsPerBand, ngram,
         append = true)
       materialized
     } else kept
     // non-append path stays LAZY (composable, plan-inspectable — the
-    // PlanSpec index-only-scan assertion reads the returned plan); the
-    // survivor cache is released by Spark's ContextCleaner once the
-    // returned frame is dropped (persisted RDDs unpersist on GC), so
-    // repeated calls do not accumulate caches beyond live results
+    // PlanSpec index-only-scan assertion reads the returned plan)
   }
 
   // ----------------- connected-component clustering -----------------
@@ -603,6 +624,16 @@ object Dedup {
     val mode = if (append) org.apache.spark.sql.SaveMode.Append
                else org.apache.spark.sql.SaveMode.Overwrite
     val d = if (dim > 0) dim else Ann.dimOf(embeddings, embCol)
+    if (append) {
+      // validate the INFERRED dim too: with the default dim=-1 the
+      // require above is vacuous, and appending band keys computed
+      // under a different hyperplane set corrupts the index silently
+      val storedDim = spark.read.parquet(s"$dir/manifest")
+        .agg(max(col("dim"))).head().getInt(0)
+      require(storedDim == d,
+        s"embedding index at $dir holds dim=$storedDim vectors; cannot " +
+          s"append dim=$d")
+    }
     val v = embeddings.select(col(idCol).as("vid"), col(embCol).as("emb"))
     v.write.mode(mode).parquet(s"$dir/vectors")
     v.select(col("vid"),
@@ -640,6 +671,12 @@ object Dedup {
     require(newMinRow.getLong(0) > maxVid,
       s"incremental embedding dedup requires new ids above the indexed " +
         s"corpus (min new ${newMinRow.getLong(0)} <= max indexed $maxVid)")
+    // the cosine/band kernels compute over the common PREFIX of
+    // mismatched vectors — a snapshot from a different embedding model
+    // must fail here, not return plausible wrong similarities
+    val newDim = Ann.dimOf(newEmbs, embCol)
+    require(newDim == d,
+      s"snapshot embedding dim $newDim != index dim $d at $indexDir")
     val corpusVecs = spark.read.parquet(s"$indexDir/vectors")
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
     val newV = newEmbs.select(col(idCol).as("vid"), col(embCol).as("emb"))
@@ -654,8 +691,17 @@ object Dedup {
       .join(newV.select(col("vid").as("b"), col("emb").as("eb")), Seq("b"))
       .filter(F.cosine_sim(col("ea"), col("eb")) >= threshold)
       .select(col("b").as(idCol)).distinct()
-    val dropWithin = embDedupDropIds(newEmbs, threshold, numBands,
-      bitsPerBand, idCol, embCol)
+    // within-snapshot tier from the SAME newBands/newV frames as the
+    // corpus tier — embDedupDropIds would recompute the band keys
+    val candWithin = newBands.as("x")
+      .join(newBands.as("y"), col("x.band") === col("y.band") &&
+        col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b")).distinct()
+    val dropWithin = candWithin
+      .join(newV.select(col("vid").as("a"), col("emb").as("ea")), Seq("a"))
+      .join(newV.select(col("vid").as("b"), col("emb").as("eb")), Seq("b"))
+      .filter(F.cosine_sim(col("ea"), col("eb")) >= threshold)
+      .select(col("b").as(idCol)).distinct()
     // index composition appends ALL new vectors, not only kept ones: a
     // near-dup-dropped vector is still the smaller-id neighbor of later
     // snapshots' vectors under the batch policy (the text index keeps

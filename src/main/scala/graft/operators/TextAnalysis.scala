@@ -20,19 +20,26 @@ object TextAnalysis {
     * separated; SQL-replicable: see SparkEntry oracle).
     */
   def qualityMetrics(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    val nWords = size(filter(words, w => length(w) > 0))
-    val nChars = length(col("text"))
-    docs.select(
-      col("doc_id"),
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
-      round(nChars.cast("double") / nWords, 4).as("chars_per_word"),
-      size(array_distinct(filter(words, w => length(w) > 0)))
-        .as("n_distinct_words"),
-      round(size(filter(words, w => length(w) > 0)).cast("double") /
-        greatest(size(array_distinct(filter(words, w => length(w) > 0))),
-          lit(1)), 4).as("repetition_ratio"))
+    // bind the token array once (higher-order filter/split trees are
+    // not covered by codegen subexpression elimination — referencing
+    // them from several output columns re-splits the text per column)
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("__w"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("__w")).as("n_words"),
+        // whitespace-only text has n_words=0: emit null, not Infinity
+        // (Spark orders NaN/Inf above every real value, so a quality
+        // threshold filter would pass garbage docs)
+        when(size(col("__w")) > 0,
+          round(col("n_chars").cast("double") / size(col("__w")), 4))
+          .as("chars_per_word"),
+        size(array_distinct(col("__w"))).as("n_distinct_words"),
+        round(size(col("__w")).cast("double") /
+          greatest(size(array_distinct(col("__w"))), lit(1)), 4)
+          .as("repetition_ratio"))
   }
 
   /** Within-document repetition signals (the Gopher/CCNet-style
@@ -161,17 +168,23 @@ object TextAnalysis {
     * distinct tokens, token-length quantile inputs. Pure aggregation.
     */
   def tokenStats(tokenDocs: DataFrame): DataFrame =
-    tokenDocs
-      .select(col("source"), col("n_tok"), explode(col("tokens")).as("t"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("total_tokens"),
-        countDistinct(col("t")).as("distinct_tokens"))
+    tokenDocs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_n_tok"))
+      // LEFT join from the per-doc side: a source whose docs all have
+      // empty token arrays produces no exploded rows, and an inner
+      // join would silently drop it from the stats instead of
+      // reporting zero tokens
       .join(
-        tokenDocs.groupBy(col("source")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("sum_n_tok")),
-        Seq("source"))
-      .select(col("source"), col("n_docs"), col("total_tokens"),
-        col("distinct_tokens"), col("sum_n_tok"))
+        tokenDocs
+          .select(col("source"), explode(col("tokens")).as("t"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("total_tokens"),
+            countDistinct(col("t")).as("distinct_tokens")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        col("sum_n_tok"))
 }
