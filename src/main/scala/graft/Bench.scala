@@ -76,6 +76,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the single JSON result line is machine-parsed: a comma-decimal
+    // default locale (de-DE etc.) would render %.3f as "0,123" and break
+    // the parse — pin ROOT for every format call in this process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
@@ -309,6 +313,11 @@ object Bench {
       Dedup.minhashLshPairs(dedupDocs, 0.8, numBands = 16, rowsPerBand = 8)
         .count()
     }
+    // exact copies share every band key: all 500 planted pairs MUST be
+    // found — a recall regression must fail the bench, not publish a
+    // faster time
+    require(nDupPairs >= 500,
+      s"b5 found $nDupPairs pairs; the 500 planted exact copies must all be found")
     results += "b5_minhash_dedup_50k" -> dedupSec
     dedupDocs.unpersist()
 
@@ -351,8 +360,14 @@ object Bench {
       val (nBatch, tBatch) = time {
         Dedup.dedupDocs(corpus.union(snap), threshold = 0.8,
           numBands = 16, rowsPerBand = 8).count() }
-      require(nInc <= 4500 && nBatch >= 50000,
-        s"planted dups must be dropped: inc=$nInc batch=$nBatch")
+      // the 500 planted exact copies MUST drop in both modes (exact
+      // tier, deterministic): inc keeps at most the 4500 fresh docs,
+      // batch at most 55000-500; floors catch drop-everything bugs
+      require(nInc <= 4500 && nInc >= 4000,
+        s"b10 incremental kept $nInc of 4500 fresh docs (500 planted " +
+          "dups must drop; most fresh docs must survive)")
+      require(nBatch <= 54500 && nBatch >= 50000,
+        s"b10 batch kept $nBatch (500 planted dups must drop from 55000)")
       results += "b10_dedup_index_build_50k" -> tIndex
       results += "b10_dedup_incremental_5k" -> tInc
       results += "b10_dedup_batch_55k" -> tBatch
@@ -393,7 +408,6 @@ object Bench {
 
     // ---- head-to-head vs Spark's built-in HLL++ on identical input ----
     val cmpDocs = TokenDocGen.generateDf(spark, 250000, 42L, cpus).persist()
-    val cmpTok = cmpDocs.agg(sum(col("n_tok"))).head().getLong(0)
     val flat = cmpDocs
       .select(col("source"), explode(col("tokens")).as("t")).persist()
     flat.count()
@@ -438,7 +452,15 @@ object Bench {
     val total = results.values.sum
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    // duplicate-JSON-key guard: if the scaling core counts collide with
+    // the full-width count (e.g. SPARK_GRAFT_CPUS=8 -> scaleHigh=8),
+    // json parsers keep the LAST key and silently replace the headline
+    // throughput — suffix the scaling keys in that case
+    def scaleKey(n: Int): String =
+      if (n == cpus) s"${n}_scaling" else n.toString
+    val scaleLowKey = scaleKey(scaleLow)
+    val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLow%d":$thrLow%.0f,"tokens_per_sec_$scaleHigh%d":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

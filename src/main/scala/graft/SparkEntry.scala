@@ -573,7 +573,9 @@ object SparkEntry {
     // true count + ceil(eps*N) (one-sided overcount only).
 
     "q28_heavy_hitters" -> ((s, dir) => {
-      val words = docWords(tbl(s, dir, "documents"))
+      // three actions read the explode (top-k, count, CMS build):
+      // cache it once like q29 does
+      val words = docWords(tbl(s, dir, "documents")).cache()
       val top = TextAnalysis.heavyHitters(words, "w", 20)
       val nTotal = words.count()
       val cmsBytes = words

@@ -13,10 +13,25 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // machine-parsed numbers must be locale-independent: a comma-decimal
+    // default locale would corrupt golden value strings and timings
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      // remove any STALE output first: if this query then fails, the
+      // compare must see a missing directory, not a previous run's
+      // green results
+      val qDir = new java.io.File(s"$outDir/$name")
+      if (qDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(qDir)
+      }
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -266,7 +266,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case (name, (usage, builder)) =>
         e.injectFunction((
           FunctionIdentifier(name),
-          new ExpressionInfo("graft", name),
+          // surface the usage string: DESCRIBE FUNCTION <name> shows it
+          new ExpressionInfo("graft", null, name, usage, ""),
           builder))
     }
     e.injectOptimizerRule(graft.plans.GraftRuntimeFilter(_))

@@ -25,8 +25,12 @@ object TokenDocs {
 
   def tokenize(text: String, vocab: Int = VocabSize): Array[Int] = {
     if (text == null) return Array.empty
-    // precompiled pattern: String.split would recompile the regex per row
-    val words = splitPattern.split(text.toLowerCase)
+    // precompiled pattern: String.split would recompile the regex per row.
+    // Locale.ROOT: default-locale lowercasing breaks the "pure function
+    // of the text" contract across JVMs (tr-TR maps I to dotless i,
+    // changing every token id on that executor)
+    val words = splitPattern.split(
+      text.toLowerCase(java.util.Locale.ROOT))
     val out = new Array[Int](words.length)
     var n = 0
     var i = 0
