@@ -103,4 +103,59 @@ class FacadeSpec extends AnyFunSuite {
         s"typed facade diverged from native aggregate for $k")
     }
   }
+
+  test("every typed Aggregator matches its core sketch bit-for-bit") {
+    // the facade classes are the Dataset-API surface; each must produce
+    // the SAME wire bytes as a direct core-class build over the same
+    // rows (divergence guard for the hand-written reduce loops)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    import graft.core._
+    val tokens = (0 until 400).map(i =>
+      Array.tabulate(20)(j => (i * 31 + j * 7) % 5000))
+    val hashes = tokens.flatten.map(Hashing.tokenHash(_)).toArray
+    val tokDs = spark.createDataset(tokens)
+    val hashDs = hashes.toSeq.toDS()
+    def one[B](ds: org.apache.spark.sql.Dataset[B],
+               agg: org.apache.spark.sql.expressions.Aggregator[B, _, Array[Byte]]): Array[Byte] =
+      ds.groupByKey(_ => 0).agg(agg.toColumn).collect().head._2
+    // Bloom: tokens / hash / union forms vs one core build
+    val coreBloom = BlockedBloomFilter(1 << 16, 5)
+    hashes.foreach(coreBloom.add)
+    val bloomDump = BloomIO.dump(coreBloom)
+    assert(java.util.Arrays.equals(
+      one(tokDs, new aggregators.BloomTokensAgg(1 << 16, 5)), bloomDump))
+    assert(java.util.Arrays.equals(
+      one(hashDs, new aggregators.BloomHashAgg(1 << 16, 5)), bloomDump))
+    assert(java.util.Arrays.equals(
+      one(Seq(bloomDump, bloomDump).toDS(),
+        new aggregators.BloomUnionAgg(1 << 16, 5)), bloomDump))
+    // HLL
+    val coreHll = HyperLogLog(12)
+    hashes.foreach(coreHll.add)
+    assert(java.util.Arrays.equals(
+      one(tokDs, new aggregators.HllTokensAgg(12)), coreHll.serialize()))
+    assert(java.util.Arrays.equals(
+      one(hashDs, new aggregators.HllHashAgg(12)), coreHll.serialize()))
+    // CMS
+    val coreCms = CountMinSketch(4, 1 << 12)
+    hashes.foreach(h => coreCms.add(h))
+    assert(java.util.Arrays.equals(
+      one(tokDs, new aggregators.CmsTokensAgg(4, 1 << 12)),
+      coreCms.serialize()))
+    assert(java.util.Arrays.equals(
+      one(hashDs, new aggregators.CmsHashAgg(4, 1 << 12)),
+      coreCms.serialize()))
+    // t-digest / KLL merges are order-sensitive, so compare estimates
+    // (rank-level agreement), not bytes
+    val vals = (0 until 4000).map(i => Hashing.toUnitDouble(Hashing.at(3, i)))
+    val tdBytes = one(vals.toDS(), new aggregators.TDigestAgg(100.0))
+    assert(math.abs(TDigest.deserialize(tdBytes).quantile(0.5) - 0.5) < 0.05)
+    val kllBytes = one(vals.toDS(), new aggregators.KllAgg(200))
+    assert(math.abs(KllSketch.deserialize(kllBytes).quantile(0.5) - 0.5) < 0.05)
+  }
 }
