@@ -233,6 +233,12 @@ object Bench {
     // probe drops ~99% of fact rows BEFORE the join shuffle
     var b9ShuffleTrials = List.empty[Double]
     var b9RtTrials = List.empty[Double]
+    var b10IncTrials = List.empty[Double]
+    var b10BatchTrials = List.empty[Double]
+    var b11Trials = List.empty[Double]
+    var b7OursTokensTrials = List.empty[Double]
+    var b7OursExplodedTrials = List.empty[Double]
+    var b7BuiltinTrials = List.empty[Double]
     locally {
       val dim = spark.range(0, 10, 1, 1)
         .select((col("id") * 100).as("k")) // 10 of 1000 key values
@@ -355,11 +361,26 @@ object Bench {
         .createTempDirectory("graft-bench-dedup-idx").toString
       val (_, tIndex) = time {
         Dedup.writeDedupIndex(corpus, idxDir, numBands = 16, rowsPerBand = 8) }
-      val (nInc, tInc) = time {
-        Dedup.dedupIncremental(snap, idxDir, threshold = 0.8).count() }
-      val (nBatch, tBatch) = time {
-        Dedup.dedupDocs(corpus.union(snap), threshold = 0.8,
-          numBands = 16, rowsPerBand = 8).count() }
+      // INTERLEAVED trials (the b9 treatment, VERDICT r03 next-round #8):
+      // the flagship incremental-vs-batch ratio had single official
+      // trials spanning 10.5x-14.3x across runs on co-tenant noise; all
+      // trials are published so the ratio is auditable
+      var nInc = 0L; var nBatch = 0L
+      val incTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val batchTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 3).foreach { _ =>
+        val (ni, ti) = time {
+          Dedup.dedupIncremental(snap, idxDir, threshold = 0.8).count() }
+        val (nb, tb) = time {
+          Dedup.dedupDocs(corpus.union(snap), threshold = 0.8,
+            numBands = 16, rowsPerBand = 8).count() }
+        nInc = ni; nBatch = nb
+        incTrials += ti; batchTrials += tb
+      }
+      val tInc = incTrials.min
+      val tBatch = batchTrials.min
+      b10IncTrials = incTrials.toList
+      b10BatchTrials = batchTrials.toList
       // the 500 planted exact copies MUST drop in both modes (exact
       // tier, deterministic): inc keeps at most the 4500 fresh docs,
       // batch at most 55000-500; floors catch drop-everything bugs
@@ -392,9 +413,18 @@ object Bench {
       val train = toText(TokenDocGen.generateDf(spark, 200000, 21L, cpus))
         .union(planted).persist()
       val nPlanted = planted.count(); train.count(); evalDocs.count()
-      val (nFlag, tDecon) = time {
-        graft.operators.Decontaminate
-          .contaminated(train, evalDocs, n = 8).count() }
+      // published trials (VERDICT r03 next-round #8): single official
+      // runs spanned 4.6-10.7 s on co-tenant noise
+      var nFlag = 0L
+      val deconTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 3).foreach { _ =>
+        val (nf, td) = time {
+          graft.operators.Decontaminate
+            .contaminated(train, evalDocs, n = 8).count() }
+        nFlag = nf; deconTrials += td
+      }
+      val tDecon = deconTrials.min
+      b11Trials = deconTrials.toList
       val nPlantedFlagged = graft.operators.Decontaminate
         .contaminated(train.filter(col("doc_id") >= 300000L), evalDocs,
           n = 8).count()
@@ -411,22 +441,38 @@ object Bench {
     val flat = cmpDocs
       .select(col("source"), explode(col("tokens")).as("t")).persist()
     flat.count()
-    def best2(body: => Unit): Double = { body; (1 to 2).map(_ => time(body)._2).min }
-    val oursTokensSec = best2 {
+    def oursTokensJob(): Unit =
       cmpDocs.groupBy(col("source"))
         .agg(F.hll_agg_tokens(col("tokens"), 14).as("h"))
-        .select(sum(length(col("h")))).head()
-    }
-    val oursFlatSec = best2 {
+        .select(sum(length(col("h")))).head(): Unit
+    def oursFlatJob(): Unit =
       flat.groupBy(col("source"))
         .agg(F.hll_agg_hash(F.token_hash64(col("t")), 14).as("h"))
-        .select(sum(length(col("h")))).head()
-    }
-    val builtinSec = best2 {
+        .select(sum(length(col("h")))).head(): Unit
+    def builtinJob(): Unit =
       flat.groupBy(col("source"))
         .agg(approx_count_distinct(col("t"), 0.01).as("c"))
-        .select(sum(col("c"))).head()
+        .select(sum(col("c"))).head(): Unit
+    // INTERLEAVED trials (the b9 treatment, VERDICT r03 next-round #3):
+    // single trials left the row-for-row ratio spanning 0.92x-6x across
+    // runs; five rounds of ours-tokens / ours-exploded / builtin back to
+    // back make co-tenant drift hit every variant alike, and the trial
+    // lists are published so the ratio is auditable
+    oursTokensJob(); oursFlatJob(); builtinJob() // warm all three
+    val oursTokensTrials = scala.collection.mutable.ArrayBuffer[Double]()
+    val oursFlatTrials = scala.collection.mutable.ArrayBuffer[Double]()
+    val builtinTrials = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to 5).foreach { _ =>
+      oursTokensTrials += time(oursTokensJob())._2
+      oursFlatTrials += time(oursFlatJob())._2
+      builtinTrials += time(builtinJob())._2
     }
+    val oursTokensSec = oursTokensTrials.min
+    val oursFlatSec = oursFlatTrials.min
+    val builtinSec = builtinTrials.min
+    b7OursTokensTrials = oursTokensTrials.toList
+    b7OursExplodedTrials = oursFlatTrials.toList
+    b7BuiltinTrials = builtinTrials.toList
     results += "b7_hll_ours_tokens" -> oursTokensSec
     results += "b7_hll_ours_exploded" -> oursFlatSec
     results += "b7_hll_spark_builtin_exploded" -> builtinSec
@@ -461,6 +507,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

@@ -630,6 +630,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------- incremental dedup, CONNECTED-COMPONENT policy -------
+    //
+    // CC twin of q30: the corpus index (lower half) also persists its
+    // cluster labels; the new snapshot is CC-deduped against the index
+    // with append, which remaps labels merged by new-doc bridges. The
+    // kept UNION is then read back from the UPDATED INDEX STATE alone
+    // (digests minus non-representative cluster members) — including
+    // corpus docs retroactively dropped by a bridge — and the oracle
+    // recomputes a fresh batch CC dedup of the whole table in SQL, so a
+    // hash match proves incremental-CC == batch-CC end-to-end. The
+    // query also checks IN-ENGINE that the function's returned snapshot
+    // kept-set equals the index-derived one.
+
+    "q42_dedup_incremental_cc" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val snap1 = docs.filter(col("doc_id") <= mid)
+      val snap2 = docs.filter(col("doc_id") > mid)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q42-idx").toString
+      Dedup.writeDedupIndexCC(snap1, idx, threshold = 0.9)
+      val keptNew = Dedup.dedupIncrementalCC(snap2, idx, appendToIndex = true)
+      val digests = s.read.parquet(s"$idx/digests")
+      val labels = s.read.parquet(s"$idx/labels")
+      val keptIds = digests.select(col("doc_id")).join(
+        labels.filter(col("cluster_id") =!= col("doc_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val keptNewIds = keptNew.select(col("doc_id"))
+      val newFromIndex = keptIds.filter(col("doc_id") > mid)
+      val consistent =
+        keptNewIds.join(newFromIndex, Seq("doc_id"), "left_anti").isEmpty &&
+          newFromIndex.join(keptNewIds, Seq("doc_id"), "left_anti").isEmpty
+      keptIds.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("content_md5"),
+          when(col("doc_id") <= mid, 1L).otherwise(2L).as("snapshot"),
+          lit(consistent).as("incr_consistent"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------- connected-component near-dup clustering -------
     //
     // Cluster-level dedup over the verified near-dup pair set (same pair
@@ -883,6 +923,20 @@ object SparkEntry {
       Packing.packAssignments(tbl(s, dir, "documents"), seqLen = 512,
           weightCol = "n_chars", salt = "sp")
         .orderBy(col("doc_id"))
+    }),
+
+    // ------------- packing chunk manifest -------------
+    //
+    // The loader-facing view of q41's placement: each doc exploded into
+    // the chunks it covers with its half-open slice — docs spanning a
+    // boundary appear in both chunks. Exactly recomputable in SQL from
+    // the same window sums.
+
+    "q43_chunk_manifest" -> ((s, dir) => {
+      val assigns = Packing.packAssignments(tbl(s, dir, "documents"),
+        seqLen = 512, weightCol = "n_chars", salt = "sp")
+      Packing.chunkManifest(assigns, seqLen = 512, weightCol = "n_chars")
+        .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // ------------- within-doc repetition signals -------------
@@ -1271,14 +1325,37 @@ object SparkEntry {
     "q41_pack_assignments" ->
       """SELECT doc_id, source, n_chars, start_off,
         |  CAST(floor(start_off / 512) AS BIGINT) AS chunk_id,
-        |  start_off % 512 AS chunk_off
+        |  CAST(start_off % 512 AS BIGINT) AS chunk_off
         |FROM (
         |  SELECT doc_id, source, n_chars,
-        |    sum(n_chars) OVER (PARTITION BY source
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sp'), doc_id)
-        |      - n_chars AS start_off
+        |      - n_chars AS BIGINT) AS start_off
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q43_chunk_manifest" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sp'), doc_id)
+        |      - n_chars AS BIGINT) AS start_off
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, n_chars, start_off,
+        |    unnest(range(start_off // 512,
+        |      (start_off + n_chars - 1) // 512 + 1)) AS chunk_id
+        |  FROM a WHERE n_chars > 0)
+        |SELECT doc_id, source, chunk_id,
+        |  greatest(start_off, chunk_id * 512) - start_off AS doc_from,
+        |  least(start_off + n_chars, (chunk_id + 1) * 512) - start_off
+        |    AS doc_to,
+        |  greatest(start_off, chunk_id * 512) - chunk_id * 512
+        |    AS chunk_from,
+        |  least(start_off + n_chars, (chunk_id + 1) * 512)
+        |    - greatest(start_off, chunk_id * 512) AS slice_len
+        |FROM e
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q39_repetition" ->
       """WITH tok AS (
@@ -1329,6 +1406,49 @@ object SparkEntry {
     "q35_decontaminate" -> decontaminateOracle,
     // index-backed path computes the SAME answer from persisted state
     "q40_decontaminate_index" -> decontaminateOracle,
+
+    // fresh BATCH connected-component dedup of the whole table: exact
+    // tier, verified pair set over the survivors, recursive-CTE
+    // components, keep each component's min id
+    "q42_dedup_incremental_cc" ->
+      """WITH RECURSIVE
+        |keep1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM keep1)
+        |  WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT a, b FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = cnt.a
+        |  JOIN sizes sb ON sb.doc_id = cnt.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lab AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |drops AS (SELECT doc_id FROM lab WHERE cluster_id <> doc_id)
+        |SELECT k.doc_id, md5(k.text) AS content_md5,
+        |  CASE WHEN k.doc_id <=
+        |    (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) FROM documents)
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS snapshot,
+        |  true AS incr_consistent
+        |FROM keep1 k
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     "q31_dedup_cc_clusters" ->
       """WITH RECURSIVE

@@ -232,15 +232,92 @@ object Ann {
         E.ivf_assign(col(embCol), cents).as("cl"))
       .write.mode(SaveMode.Overwrite).partitionBy("cl")
       .parquet(s"$dir/lists")
+    // drift baseline: how well the quantizer fits the corpus AT BUILD
+    // TIME, measured over the persisted lists so the manifest describes
+    // exactly what is on disk
+    val base = assignedCosineStats(
+      spark.read.parquet(s"$dir/lists"), cents).head()
+    Seq((nlist, cents(0).length, base.getLong(0), base.getDouble(1),
+        base.getDouble(2)))
+      .toDF("nlist", "dim", "n_vecs", "mean_assigned_cosine",
+        "p10_assigned_cosine")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/manifest")
+  }
+
+  /** (n, mean, p10) of the cosine between each stored vector and its
+    * assigned centroid — the quantizer-fit statistic. One broadcast
+    * join against the tiny centroid table, one aggregation.
+    */
+  private def assignedCosineStats(lists: DataFrame,
+                                  cents: Array[Array[Double]]): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (v, c) => (c, v.map(_.toFloat)) }.toSeq
+      .toDF("cl", "__cent")
+    lists.join(broadcast(centDf), Seq("cl"))
+      .select(F.cosine_sim(col("c_emb"), col("__cent")).as("ac"))
+      .agg(count(lit(1)).as("n"), avg(col("ac")).as("mean_ac"),
+        percentile_approx(col("ac"), lit(0.1), lit(10000)).as("p10_ac"))
+  }
+
+  /** Quantizer-drift report for a persisted IVF index: the manifest's
+    * build-time assigned-cosine baseline vs the SAME statistic over the
+    * current lists (i.e. including everything appended since). A
+    * falling mean/p10 means appended vectors sit far from every
+    * centroid — recall will degrade with no other warning (appends land
+    * in SOME list regardless), which is exactly the silent degradation
+    * the engine's no-silent-caps rule forbids. Act on drift with
+    * [[rebuildIvfIndex]].
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val m = spark.read.parquet(s"$dir/manifest").head()
+    val cents = readIvfCentroids(spark, dir)
+    val now = assignedCosineStats(spark.read.parquet(s"$dir/lists"), cents)
+    now.select(
+      lit(m.getAs[Long]("n_vecs")).as("n_vecs_baseline"),
+      lit(m.getAs[Double]("mean_assigned_cosine")).as("mean_baseline"),
+      lit(m.getAs[Double]("p10_assigned_cosine")).as("p10_baseline"),
+      col("n").as("n_vecs_now"), col("mean_ac").as("mean_now"),
+      col("p10_ac").as("p10_now"),
+      (lit(m.getAs[Double]("mean_assigned_cosine")) - col("mean_ac"))
+        .as("mean_drift"),
+      (lit(m.getAs[Double]("p10_assigned_cosine")) - col("p10_ac"))
+        .as("p10_drift"))
+  }
+
+  /** Re-train the quantizer over everything the index currently holds
+    * and rewrite the index — the answer to [[ivfIndexStats]] drift.
+    * With `outDir` set, the rebuilt index is written there from a lazy
+    * scan of the old lists (the 100-TB path: no copy of the corpus is
+    * pinned anywhere, and the old index stays live until the swap).
+    * In place (outDir null/equal), the corpus must be pinned with
+    * localCheckpoint first — rewriting lists/ under a lazy plan that
+    * reads lists/ would corrupt the index — so prefer outDir once the
+    * corpus outgrows executor storage.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, nlist: Int, iters: Int = 3,
+                      outDir: String = null): Unit = {
+    val corpus = spark.read.parquet(s"$dir/lists")
+      .select(col("neighbor_id").as("vec_id"), col("c_emb").as("embedding"))
+    if (outDir == null || outDir == dir)
+      writeIvfIndex(corpus.localCheckpoint(), dir, nlist, iters)
+    else
+      writeIvfIndex(corpus, outDir, nlist, iters)
   }
 
   /** Append new vectors to an existing IVF index: assign them with the
     * STORED quantizer (so old and new rows are bucketed identically) and
     * append into the per-centroid partitions — incremental ingestion
     * without retraining or rewriting the corpus. The quantizer drifts
-    * from the true density as the corpus grows; retrain (writeIvfIndex)
-    * when recall degrades — the index records no statistics because
-    * recall is the observable that matters (q25/q32's gate).
+    * from the true density as the corpus grows — [[ivfIndexStats]]
+    * quantifies the drift against the manifest's build-time baseline
+    * (recall is the observable that matters, q25/q32's gate, but it
+    * needs ground truth; the assigned-cosine statistic needs none) and
+    * [[rebuildIvfIndex]] re-trains when it trips.
     */
   def appendToIvfIndex(newVecs: DataFrame, dir: String,
                        idCol: String = "vec_id",
@@ -283,15 +360,19 @@ object Ann {
     require(dimOf(queries, embCol) == cents(0).length,
       s"query dim ${dimOf(queries, embCol)} != stored quantizer dim " +
         s"${cents(0).length} at $dir")
-    // PERSIST the probe frame: it is evaluated twice (the probed-cl
-    // collect below and the candidate join) — uncached, a
-    // non-deterministic queries input (sample, unordered limit) could
-    // probe clusters the isin() filter already pruned, silently losing
-    // neighbors
+    // Pin the probe frame with an eager localCheckpoint: it is
+    // evaluated twice (the probed-cl collect below and the candidate
+    // join) — unpinned, a non-deterministic queries input (sample,
+    // unordered limit) could probe clusters the isin() filter already
+    // pruned, silently losing neighbors. localCheckpoint (not persist):
+    // the frame is bounded (queries x nprobe narrow rows), the RDD
+    // blocks are ContextCleaner-reclaimed once the lazy result is
+    // dropped, whereas a persist with no unpersist pins the plan in
+    // the CacheManager forever (one leak per call in long sessions).
     val q = queries.select(col(idCol).as("query_id"),
         col(embCol).as("q_emb"),
         explode(E.ivf_probes(col(embCol), cents, nprobe)).as("cl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // bounded driver collect: <= nlist distinct probe values
     val probed = q.select(col("cl")).distinct()
       .collect().map(_.getInt(0)).sorted

@@ -362,6 +362,63 @@ object Dedup {
     writeIndexState(afterExact, dir, numBands, rowsPerBand, ngram, append)
   }
 
+  /** [[writeDedupIndex]] plus persisted CLUSTER LABELS: after the
+    * digest/band/tokset state is written, the within-corpus verified
+    * near-dup pairs are recomputed FROM THE PERSISTED STATE (no second
+    * tokenize/minhash pass) and their connected components stored as
+    * labels/ (doc_id, cluster_id = min component id; docs in no pair
+    * carry no row — implicit self-label) with the verify threshold in
+    * labels_meta/. This is the load-is-union resumability story applied
+    * to cluster membership: [[dedupIncrementalCC]] consumes the labels
+    * instead of re-running CC over the corpus, and its append path
+    * keeps them equal to a fresh batch run over the union.
+    */
+  def writeDedupIndexCC(docs: DataFrame, dir: String,
+                        threshold: Double = 0.9,
+                        numBands: Int = 32, rowsPerBand: Int = 4,
+                        ngram: Int = 1): Unit = {
+    writeDedupIndex(docs, dir, numBands, rowsPerBand, ngram)
+    val spark = docs.sparkSession
+    writeClusterLabels(spark, dir, threshold,
+      clusterPairsFromState(spark, dir, threshold))
+  }
+
+  /** Verified near-dup pairs recomputed from an index's persisted
+    * bands/ + toksets/ — one band self-join and one verify join over
+    * index columns only.
+    */
+  private def clusterPairsFromState(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    threshold: Double): DataFrame = {
+    val bands = spark.read.parquet(s"$dir/bands")
+    val sets = spark.read.parquet(s"$dir/toksets")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard2(cands, sets, sets, threshold).select(col("a"), col("b"))
+  }
+
+  private def writeClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, threshold: Double,
+                                 pairs: DataFrame): Unit = {
+    import spark.implicits._
+    nearDupClusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/labels")
+    Seq(threshold).toDF("threshold").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/labels_meta")
+  }
+
+  /** Verify threshold the index's cluster labels were built at. */
+  def readLabelsThreshold(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Double =
+    spark.read.parquet(s"$dir/labels_meta")
+      .agg(max(col("threshold"))).head().getDouble(0)
+
   /** (numBands, rowsPerBand, ngram, nDocs, maxDocId) of an index. */
   def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
                         dir: String): (Int, Int, Int, Long, Long) = {
@@ -431,12 +488,55 @@ object Dedup {
     */
   def dedupIncremental(newDocs: DataFrame, indexDir: String,
                        threshold: Double = 0.9,
-                       appendToIndex: Boolean = false): DataFrame = {
+                       appendToIndex: Boolean = false): DataFrame =
+    incrementalPairs(newDocs, indexDir, threshold) match {
+      case None => newDocs // empty snapshot
+      case Some(st) =>
+        // pairwise policy: drop the (always-new) larger endpoint of
+        // every verified pair, against the corpus and within the new
+        // snapshot alike
+        val dropVsCorpus =
+          st.pairsVsCorpus.select(col("b").as("doc_id")).distinct()
+        val dropWithin =
+          st.pairsWithin.select(col("b").as("doc_id")).distinct()
+        val kept = st.newExact
+          .join(dropVsCorpus, Seq("doc_id"), "left_anti")
+          .join(dropWithin, Seq("doc_id"), "left_anti")
+        if (appendToIndex) {
+          // MATERIALIZE the result before extending the index: each
+          // append refreshes Spark's file index/caches for indexDir, so
+          // a lazy RESULT evaluated afterwards would re-read the index
+          // with the new snapshot inside and drop every new doc as a
+          // duplicate of itself. newExact is already checkpointed (no
+          // index-file lineage), so the appends cannot invalidate it
+          // mid-write.
+          val materialized = kept.localCheckpoint()
+          writeIndexState(st.newExact, indexDir, st.numBands,
+            st.rowsPerBand, st.ngram, append = true)
+          materialized
+        } else kept
+        // non-append path stays LAZY (composable, plan-inspectable — the
+        // PlanSpec index-only-scan assertion reads the returned plan)
+    }
+
+  /** Shared state of the incremental-dedup variants: the exact-tier
+    * survivors of the new snapshot plus its VERIFIED near-dup pairs
+    * against the corpus index and within itself — everything up to the
+    * drop policy, which is where [[dedupIncremental]] (pairwise) and
+    * [[dedupIncrementalCC]] (connected components) diverge.
+    */
+  private case class IncrementalState(
+      newExact: DataFrame, newSets: DataFrame,
+      pairsVsCorpus: DataFrame, pairsWithin: DataFrame,
+      numBands: Int, rowsPerBand: Int, ngram: Int, maxIndexed: Long)
+
+  private def incrementalPairs(newDocs: DataFrame, indexDir: String,
+                               threshold: Double): Option[IncrementalState] = {
     val spark = newDocs.sparkSession
     val (numBands, rowsPerBand, ngram, _, maxIndexed) =
       readIndexManifest(spark, indexDir)
     val newMinRow = newDocs.agg(min(col("doc_id"))).head()
-    if (newMinRow.isNullAt(0)) return newDocs // empty snapshot
+    if (newMinRow.isNullAt(0)) return None // empty snapshot
     val newMin = newMinRow.getLong(0)
     require(newMin > maxIndexed,
       s"incremental dedup requires new doc_ids above the indexed corpus " +
@@ -480,11 +580,9 @@ object Dedup {
       .join(corpusBands.as("c"), col("n.band") === col("c.band"))
       .select(col("c.doc_id").as("a"), col("n.doc_id").as("b"))
       .distinct()
-    val dropVsCorpus =
+    val pairsVsCorpus =
       verifyJaccard2(candVsCorpus, corpusSets, newSets, threshold)
-        .select(col("b").as("doc_id")).distinct()
-    // near-dup tier (b): within the new snapshot (same policy as batch:
-    // drop the larger id of every verified pair). Built from the SAME
+    // near-dup tier (b): within the new snapshot. Built from the SAME
     // newBands/newSets frames as tier (a) — calling nearDupDropIds here
     // would tokenize and minhash the snapshot a second time
     val candWithin = newBands.as("x")
@@ -492,26 +590,139 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val dropWithin = verifyJaccard2(candWithin, newSets, newSets, threshold)
-      .select(col("b").as("doc_id")).distinct()
+    val pairsWithin = verifyJaccard2(candWithin, newSets, newSets, threshold)
+    Some(IncrementalState(newExact, newSets, pairsVsCorpus, pairsWithin,
+      numBands, rowsPerBand, ngram, maxIndexed))
+  }
 
-    val kept = newExact
-      .join(dropVsCorpus, Seq("doc_id"), "left_anti")
-      .join(dropWithin, Seq("doc_id"), "left_anti")
-    if (appendToIndex) {
-      // MATERIALIZE the result before extending the index: each append
-      // refreshes Spark's file index/caches for indexDir, so a lazy
-      // RESULT evaluated afterwards would re-read the index with the
-      // new snapshot inside and drop every new doc as a duplicate of
-      // itself. newExact is already checkpointed (no index-file
-      // lineage), so the appends cannot invalidate it mid-write.
-      val materialized = kept.localCheckpoint()
-      writeIndexState(newExact, indexDir, numBands, rowsPerBand, ngram,
-        append = true)
-      materialized
-    } else kept
-    // non-append path stays LAZY (composable, plan-inspectable — the
-    // PlanSpec index-only-scan assertion reads the returned plan)
+  /** Verified near-dup HITS of a docs frame against a persisted corpus
+    * index: (doc_id, corpus_id, jaccard) for every (doc, indexed doc)
+    * pair at or above the threshold — the screen tier of
+    * [[dedupIncremental]] as a standalone, STREAMING-SAFE plan. Band
+    * params come from the index manifest, and corpus state is read as
+    * static tables, so on a streaming `docs` the whole thing is a chain
+    * of stateless stream-static equi-joins (no watermark, no state
+    * store, any output mode): the doc's tokset rides THROUGH the band
+    * explode precisely so the verify step never needs a second
+    * (stream-stream) join back to the snapshot. A (doc, corpus) pair
+    * sharing several bands emits one hit per shared band — dedupe
+    * downstream where distinctness is stateless (foreachBatch, or the
+    * batch caller's .distinct()).
+    */
+  def nearDupHitsVsIndex(docs: DataFrame, indexDir: String,
+                         threshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
+    val (numBands, rowsPerBand, ngram, _, _) =
+      readIndexManifest(spark, indexDir)
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("corpus_id"), col("band"))
+    val corpusSets = spark.read.parquet(s"$indexDir/toksets")
+      .select(col("doc_id").as("corpus_id"), col("tokset").as("ctokset"),
+        col("set_size").as("csz"))
+    val toks = docTokens(docs)
+    val elems =
+      if (ngram == 1) col("tokens")
+      else graft.functions.expressions.token_shingles(col("tokens"), ngram)
+    val sigExpr =
+      if (ngram == 1)
+        F.minhash_signature(numBands * rowsPerBand)(col("tokens"))
+      else graft.functions.expressions.minhash_signature_hashes(
+        graft.functions.expressions.token_shingles(col("tokens"), ngram),
+        numBands * rowsPerBand)
+    val withSets = toks
+      .select(col("doc_id"), array_distinct(elems).as("tokset"),
+        sigExpr.as("sig"))
+      .withColumn("set_size", size(col("tokset")))
+      .select(col("doc_id"), col("tokset"), col("set_size"),
+        explode(F.minhash_bands(numBands, rowsPerBand)(col("sig")))
+          .as("band"))
+    withSets.join(corpusBands, Seq("band"))
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn("common",
+        size(array_intersect(col("tokset"), col("ctokset"))))
+      .withColumn("jaccard",
+        col("common") / (col("set_size") + col("csz") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Incremental dedup with the CONNECTED-COMPONENT drop policy — the
+    * snapshot twin of [[dedupDocsCC]], consuming the cluster labels a
+    * [[writeDedupIndexCC]] index persists (threshold comes from
+    * labels_meta; passing one would invite a silent mismatch with the
+    * stored clustering).
+    *
+    * The corpus endpoint of every verified cross pair is CONTRACTED to
+    * its stored component label, so CC runs over the quotient graph:
+    * new docs plus the (few) corpus labels they touch — never the
+    * corpus pair set. Because labels are component-minimum corpus ids
+    * and the monotone-id precondition puts every corpus id below every
+    * new id, a new doc survives iff it is the minimum of its quotient
+    * component — exactly batch [[dedupDocsCC]] over the union,
+    * restricted to the snapshot.
+    *
+    * With `appendToIndex` the digest/band/tokset state is extended as
+    * in [[dedupIncremental]] AND the labels are brought to what a fresh
+    * batch run over the union would produce: labels merged by a
+    * new-doc bridge (A1~new~A2 across two corpus components) are
+    * remapped to the final component minimum, and new component members
+    * get rows. A corpus doc whose label stops being itself under such a
+    * merge is a RETROACTIVE drop — visible in the updated labels
+    * (cluster_id != doc_id), never silent.
+    */
+  def dedupIncrementalCC(newDocs: DataFrame, indexDir: String,
+                         appendToIndex: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val threshold = readLabelsThreshold(spark, indexDir)
+    incrementalPairs(newDocs, indexDir, threshold) match {
+      case None => newDocs // empty snapshot
+      case Some(st) =>
+        val labels = spark.read.parquet(s"$indexDir/labels")
+        val contracted = st.pairsVsCorpus.select(col("a"), col("b"))
+          .join(labels.select(col("doc_id").as("a"),
+            col("cluster_id").as("alab")), Seq("a"), "left")
+          .select(coalesce(col("alab"), col("a")).as("a"), col("b"))
+          .distinct() // two same-label corpus docs near one new doc
+        val edges = contracted.union(st.pairsWithin.select(col("a"), col("b")))
+        val cc = nearDupClusters(edges)
+        // mixed components carry a corpus label (< every new id), so
+        // their new members all fail the min test; new-only components
+        // keep exactly their min id
+        val drops = cc.filter(col("cluster_id") =!= col("id") &&
+            col("id") > lit(st.maxIndexed))
+          .select(col("id").as("doc_id"))
+        val kept = st.newExact.join(drops, Seq("doc_id"), "left_anti")
+        if (appendToIndex) {
+          // same materialize-before-append discipline as
+          // dedupIncremental; cc is already checkpointed by
+          // nearDupClusters, so drops cannot see the appended state
+          val materialized = kept.localCheckpoint()
+          val ccCorpus = cc.filter(col("id") <= lit(st.maxIndexed))
+          // existing rows whose label merged into a smaller one
+          val remap = ccCorpus
+            .select(col("id").as("oldlab"), col("cluster_id").as("newlab"))
+          val remapped = labels.as("l")
+            .join(remap, col("l.cluster_id") === col("oldlab"), "left")
+            .select(col("l.doc_id"),
+              coalesce(col("newlab"), col("l.cluster_id")).as("cluster_id"))
+          // corpus singletons first clustered by a new cross pair have
+          // no stored row yet
+          val newCorpusRows = ccCorpus
+            .select(col("id").as("doc_id"), col("cluster_id"))
+            .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          val newSnapshotRows = cc.filter(col("id") > lit(st.maxIndexed))
+            .select(col("id").as("doc_id"), col("cluster_id"))
+          // cut lineage off labels/ BEFORE overwriting it
+          val newLabels = remapped.union(newCorpusRows)
+            .union(newSnapshotRows).localCheckpoint()
+          writeIndexState(st.newExact, indexDir, st.numBands,
+            st.rowsPerBand, st.ngram, append = true)
+          newLabels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$indexDir/labels")
+          materialized
+        } else kept
+    }
   }
 
   // ----------------- connected-component clustering -----------------

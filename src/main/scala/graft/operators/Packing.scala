@@ -45,6 +45,40 @@ object Packing {
         (col("start_off") % seqLen).as("chunk_off"))
   }
 
+  /** Chunk manifest — what a loader actually reads: each document of a
+    * [[packAssignments]] output exploded into the chunks it covers,
+    * with the half-open slice taken from the doc (`doc_from`/`doc_to`)
+    * and where it lands in the chunk (`chunk_from`); a doc spanning a
+    * boundary appears once per covered chunk and its slice lengths sum
+    * to its weight. Pure narrow arithmetic + a native sequence/explode,
+    * no extra shuffle beyond the assignment's own window: the manifest
+    * inherits the assignment partitioning. Empty docs (weight 0) cover
+    * no chunk and emit no row (the when() guard — sequence() DESCENDS
+    * for stop < start, it does not return empty).
+    */
+  def chunkManifest(assignments: DataFrame, seqLen: Long,
+                    weightCol: String = "n_tok",
+                    idCol: String = "doc_id",
+                    strataCol: String = "source"): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val w = col(weightCol).cast("long")
+    val start = col("start_off")
+    // same floor-division form as packAssignments, so chunk ids agree
+    val firstChunk = (start / seqLen).cast("bigint")
+    val lastChunk = ((start + w - lit(1L)) / seqLen).cast("bigint")
+    val gfrom = greatest(start, col("chunk_id") * seqLen)
+    val gto = least(start + col("__w"), (col("chunk_id") + lit(1L)) * seqLen)
+    assignments
+      .select(col(idCol), col(strataCol), start, w.as("__w"),
+        explode(when(w > lit(0L), sequence(firstChunk, lastChunk)))
+          .as("chunk_id"))
+      .select(col(idCol), col(strataCol), col("chunk_id"),
+        (gfrom - start).as("doc_from"),
+        (gto - start).as("doc_to"),
+        (gfrom - col("chunk_id") * seqLen).as("chunk_from"),
+        (gto - gfrom).as("slice_len"))
+  }
+
   /** Per-stratum chunk inventory: how many full chunks a pack yields
     * and the leftover tokens in the final partial chunk.
     */

@@ -143,8 +143,26 @@ object StreamingSketches {
       implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     // broadcast ONCE for the query's lifetime: captured directly in the
     // filter closure, the (potentially GB-sized) filter would be
-    // re-serialized into the task binaries of EVERY micro-batch
-    val bc = ds.sparkSession.sparkContext.broadcast(corpus)
+    // re-serialized into the task binaries of EVERY micro-batch.
+    // LIFETIME: this convenience form owns no handle, so the broadcast
+    // blocks live until the SparkContext stops. A long-lived session
+    // constructing many queries should use [[streamingDedupVsCorpusBc]]
+    // and destroy() the handle once the streaming query terminates.
+    streamingDedupVsCorpusBc(ds, keyFn,
+      ds.sparkSession.sparkContext.broadcast(corpus), stateTtl)
+  }
+
+  /** Caller-owned-broadcast form of [[streamingDedupVsCorpus]]: pass the
+    * filter pre-broadcast and `bc.destroy()` it after
+    * `query.awaitTermination()` — the only way to reclaim the blocks
+    * before the context stops, since the streaming query re-reads the
+    * broadcast every micro-batch while it runs.
+    */
+  def streamingDedupVsCorpusBc[T](
+      ds: Dataset[T], keyFn: T => String,
+      bc: org.apache.spark.broadcast.Broadcast[BlockedBloomFilter],
+      stateTtl: Option[java.time.Duration] = None)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     streamingDedup(
       ds.filter { (t: T) =>
         val key = keyFn(t)
@@ -155,6 +173,30 @@ object StreamingSketches {
       },
       keyFn, stateTtl)
   }
+
+  /** Streaming NEAR-dup screen against a persisted dedup index
+    * ([[graft.operators.Dedup.writeDedupIndex]]): emits a verified hit
+    * row (doc_id, corpus_id, jaccard) for every stream doc within the
+    * threshold of an indexed corpus doc — the streaming twin of
+    * [[graft.operators.Dedup.dedupIncremental]]'s corpus tier, and the
+    * exact-Jaccard upgrade of [[streamingDedupVsCorpus]]'s
+    * exact-content Bloom screen. Entirely STATELESS: the plan is a
+    * chain of stream-static equi-joins (band keys, then the tokset
+    * verify) against the index tables, so it needs no watermark or
+    * state store and works in any output mode; within-stream dups are
+    * the existing [[streamingDedup]] state's job. Pair hits repeat once
+    * per shared band — dedupe in foreachBatch if exact-once flags are
+    * needed. Index appends are picked up per micro-batch re-scan only
+    * if the file source lists per batch; for a long-lived query,
+    * restart it after [[graft.operators.Dedup.dedupIncremental]]
+    * appends (documented operational contract, matching the batch
+    * snapshot discipline).
+    */
+  def streamingDedupNearDup(docs: org.apache.spark.sql.DataFrame,
+                            indexDir: String,
+                            threshold: Double = 0.9):
+      org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.nearDupHitsVsIndex(docs, indexDir, threshold)
 
   /** Build the corpus-key Bloom filter for [[streamingDedupVsCorpus]]
     * from a one-column DataFrame of key strings (distributed build,
@@ -187,8 +229,23 @@ object StreamingSketches {
                                 n: Int = 3, minOverlap: Int = 1)(
       implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     // broadcast once per query, not once per micro-batch task binary
-    // (see streamingDedupVsCorpus)
-    val bc = ds.sparkSession.sparkContext.broadcast(evalFilter)
+    // (see streamingDedupVsCorpus). LIFETIME: lives until the context
+    // stops — long-lived sessions should use
+    // [[streamingDecontaminateBc]] and destroy() the handle when the
+    // query terminates.
+    streamingDecontaminateBc(ds, textFn,
+      ds.sparkSession.sparkContext.broadcast(evalFilter), n, minOverlap)
+  }
+
+  /** Caller-owned-broadcast form of [[streamingDecontaminate]]:
+    * `bc.destroy()` after the streaming query terminates to reclaim the
+    * filter blocks.
+    */
+  def streamingDecontaminateBc[T](
+      ds: Dataset[T], textFn: T => String,
+      bc: org.apache.spark.broadcast.Broadcast[BlockedBloomFilter],
+      n: Int = 3, minOverlap: Int = 1)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     ds.filter((t: T) =>
       graft.operators.Decontaminate.overlapCount(textFn(t), n, bc.value)
         < minOverlap)

@@ -196,4 +196,82 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(!incS3.contains(23L), "exact dup of original corpus content")
     assert(incS3.contains(21L) && incS3.contains(24L))
   }
+
+  // ---- connected-component policy fixtures ----
+  //
+  // corpus: two labeled 2-doc components {a1,a2} and {b1,b2}
+  // (J(a1,b1)=90/110=0.818 < 0.9 — separate), a chain anchor, and a
+  // unique doc; snapshot: a BRIDGE doc near both a1 and b1
+  // (J=95/105=0.905 each) that merges the two corpus components —
+  // batch CC then keeps only a1 and RETROACTIVELY drops b1 — plus a
+  // boundary-spanning chain chA(corpus)~chB(new)~chC(new) with
+  // J(chA,chC)=0.818 < 0.9, and a unique new doc.
+  private val wbase = words(1 to 90)
+  private val ccCorpus = Seq(
+    doc(0L, wbase ++ words(1 to 10, "y")),                    // a1
+    doc(1L, words(1 to 89) ++ words(1 to 10, "y") ++ Seq("va")), // a2 ~ a1
+    doc(2L, wbase ++ words(1 to 10, "z")),                    // b1
+    doc(3L, words(1 to 89) ++ words(1 to 10, "z") ++ Seq("vb")), // b2 ~ b1
+    doc(4L, words(200 to 299, "c")),                          // chA
+    doc(5L, words(400 to 450, "u")))                          // unique
+  private val ccSnap = Seq(
+    doc(10L, wbase ++ words(1 to 5, "y") ++ words(1 to 5, "z")), // bridge
+    doc(11L, words(200 to 294, "c") ++ words(1 to 5, "x")),   // chB ~ chA
+    doc(12L, words(200 to 289, "c") ++ words(1 to 10, "x")),  // chC ~ chB only
+    doc(13L, words(500 to 520, "n")))                         // unique new
+
+  test("incremental CC == batch CC over union (chain, bridge, retro-drop)") {
+    val dir = Files.createTempDirectory("graft-dedup-cc-idx").toString
+    Dedup.writeDedupIndexCC(df(ccCorpus), dir, threshold = 0.9)
+    val incKept = keptIds(
+      Dedup.dedupIncrementalCC(df(ccSnap), dir, appendToIndex = true))
+    val batchUnion = keptIds(Dedup.dedupDocsCC(df(ccCorpus ++ ccSnap)))
+    // snapshot side: the function's result == batch restricted to new ids
+    assert(incKept == batchUnion.filter(_ >= 10L),
+      s"inc=$incKept batchUnion=$batchUnion")
+    // the whole chain collapses onto its corpus anchor
+    assert(!incKept.contains(11L) && !incKept.contains(12L))
+    assert(!incKept.contains(10L), "bridge doc joins the merged component")
+    assert(incKept.contains(13L))
+    // union side from the UPDATED index state alone: digests minus
+    // non-representative cluster members == fresh batch CC over union
+    val digests = spark.read.parquet(s"$dir/digests").select("doc_id")
+    val labels = spark.read.parquet(s"$dir/labels")
+    val keptFromIndex = keptIds(digests.join(
+      labels.filter(col("cluster_id") =!= col("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti"))
+    assert(keptFromIndex == batchUnion,
+      s"index=$keptFromIndex batchUnion=$batchUnion")
+    // the retro-drop: b1 was kept by the corpus-only run but loses its
+    // representative status once the bridge merges {a..} and {b..}
+    val corpusOnly = keptIds(Dedup.dedupDocsCC(df(ccCorpus)))
+    assert(corpusOnly.contains(2L) && !keptFromIndex.contains(2L),
+      s"corpusOnly=$corpusOnly index=$keptFromIndex")
+    // labels now point the whole merged component at a1
+    val merged = labels.filter(col("doc_id").isin(1L, 2L, 3L, 10L))
+      .select("cluster_id").as[Long].collect().toSet
+    assert(merged == Set(0L), s"merged labels=$merged")
+  }
+
+  test("incremental CC composes across appends; labels-less index rejected") {
+    val dir = Files.createTempDirectory("graft-dedup-cc-idx2").toString
+    Dedup.writeDedupIndexCC(df(ccCorpus), dir, threshold = 0.9)
+    Dedup.dedupIncrementalCC(df(ccSnap), dir, appendToIndex = true)
+    // snapshot 3: a near-dup of the (dropped) chain doc chC — batch CC
+    // merges it into the chA component; the index path must agree via
+    // the appended bands + remapped labels
+    val s3cc = Seq(
+      doc(20L, words(200 to 289, "c") ++ words(3 to 12, "x")), // ~ chC
+      doc(21L, words(600 to 640, "g")))                        // unique
+    val inc3 = keptIds(Dedup.dedupIncrementalCC(df(s3cc), dir))
+    val batchAll = keptIds(Dedup.dedupDocsCC(df(ccCorpus ++ ccSnap ++ s3cc)))
+    assert(inc3 == batchAll.filter(_ >= 20L), s"inc3=$inc3 all=$batchAll")
+    assert(!inc3.contains(20L) && inc3.contains(21L))
+    // an index written without labels cannot serve the CC policy
+    val plainDir = Files.createTempDirectory("graft-dedup-plain-idx").toString
+    Dedup.writeDedupIndex(df(ccCorpus), plainDir)
+    intercept[Exception] {
+      Dedup.dedupIncrementalCC(df(ccSnap), plainDir).collect()
+    }
+  }
 }

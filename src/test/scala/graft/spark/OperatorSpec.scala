@@ -292,11 +292,17 @@ class OperatorSpec extends AnyFunSuite {
     // centroid round-trip: the persisted quantizer equals the trained one
     val cents = Ann.readIvfCentroids(spark, dir)
     assert(cents.length == 4 && cents.head.length == 8)
+    // leak check: searchIvfIndex pins its probe frame via
+    // localCheckpoint, which must NOT register anything in the
+    // session CacheManager (the r3 persist-without-unpersist leak)
+    spark.catalog.clearCache()
     val fromIndex = Ann.searchIvfIndex(qs, dir, 3, nprobe = 2)
     val direct = Ann.ivfTopK(qs, emb, 3, nlist = 4, nprobe = 2,
       centroids = cents)
     assert(fromIndex.collect().toSet == direct.collect().toSet,
       "index search must equal the recompute-per-search path")
+    assert(org.apache.spark.sql.graftglue.testglue.cacheManagerIsEmpty(spark),
+      "searchIvfIndex must leave no CacheManager entry behind")
     // the scan must be PRUNED: partition filters on cl (descend into
     // the executed AQE stages to find the parquet scan)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -314,6 +320,57 @@ class OperatorSpec extends AnyFunSuite {
       s"lists scan must carry partition filters:\n${scan.head}")
     assert(scan.head.metadata("PartitionFilters").contains("cl"),
       scan.head.metadata("PartitionFilters"))
+  }
+
+  test("IVF drift: off-distribution appends trip the stat, rebuild heals") {
+    val mk = (c: Int, m: Int, seed: Int) => {
+      val base = Array.tabulate(8)(d =>
+        if (d == 2 * c || d == 2 * c + 1) 1.0f else 0.0f)
+      base.zipWithIndex.map { case (v, d) =>
+        v + 0.02f * graft.core.Hashing.toUnitDouble(
+          graft.core.Hashing.at(seed, (c * 100 + m) * 8 + d)).toFloat }
+    }
+    val initial = (for { c <- 0 until 4; m <- 0 until 10 }
+      yield ((c * 100 + m).toLong, mk(c, m, 79))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-drift").toString
+    Ann.writeIvfIndex(initial, dir, nlist = 4, iters = 3)
+    val base = Ann.ivfIndexStats(spark, dir).head()
+    // freshly built: current == baseline, zero drift
+    assert(math.abs(base.getAs[Double]("mean_drift")) < 1e-12)
+    assert(base.getAs[Double]("mean_baseline") > 0.95,
+      s"clustered fixture should fit its quantizer: $base")
+    // append OFF-DISTRIBUTION vectors: mass on dims the quantizer has
+    // no centroid near (all-dims-equal direction, cosine ~0.5 to every
+    // axis-pair centroid)
+    val off = (0 until 40).map { i =>
+      ((1000 + i).toLong, Array.tabulate(8)(d =>
+        1.0f + 0.02f * graft.core.Hashing.toUnitDouble(
+          graft.core.Hashing.at(81, i * 8 + d)).toFloat))
+    }.toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(off, dir)
+    val drifted = Ann.ivfIndexStats(spark, dir).head()
+    assert(drifted.getAs[Double]("mean_drift") > 0.05,
+      s"off-distribution appends must trip the drift stat: $drifted")
+    assert(drifted.getAs[Long]("n_vecs_now") == 80L)
+    // ...while recall on the ORIGINAL queries still holds — drift is
+    // invisible to a recall gate that has no queries in the new region,
+    // which is why the index carries its own statistic
+    val qs = initial.filter(col("vec_id") % 100 === 0)
+    val found = Ann.searchIvfIndex(qs, dir, 3, nprobe = 2)
+    val direct = Ann.ivfTopK(qs, initial.union(off), 3, nlist = 4,
+      nprobe = 2, centroids = Ann.readIvfCentroids(spark, dir))
+    assert(found.collect().toSet == direct.collect().toSet)
+    // in-place rebuild with capacity for the new mode: fit is restored
+    // and the manifest baseline is re-established
+    Ann.rebuildIvfIndex(spark, dir, nlist = 5, iters = 4)
+    val healed = Ann.ivfIndexStats(spark, dir).head()
+    assert(math.abs(healed.getAs[Double]("mean_drift")) < 1e-12)
+    assert(healed.getAs[Double]("mean_now") >
+      drifted.getAs[Double]("mean_now") + 0.02,
+      s"rebuild must improve quantizer fit: $healed vs $drifted")
+    assert(healed.getAs[Long]("n_vecs_now") == 80L,
+      "in-place rebuild must preserve every vector")
   }
 
   test("IVF index append: new vectors searchable, assignment consistent") {
@@ -629,6 +686,44 @@ class OperatorSpec extends AnyFunSuite {
     for (src <- Seq("a", "b")) {
       val (tot, full, tail) = st(src)
       assert(full * 64 + tail == tot)
+    }
+  }
+
+  test("chunk manifest: full chunks exactly covered, slices tile docs") {
+    import graft.operators.Packing
+    val df = ((0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", 5L + (i % 11)))
+      :+ ((200L, "a", 0L))) // empty doc: must emit no chunk row
+      .toDF("doc_id", "source", "n_tok")
+    val asg = Packing.packAssignments(df, seqLen = 64, salt = "e1")
+    val man = Packing.chunkManifest(asg, seqLen = 64).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(!man.exists(_._1 == 200L), "empty doc emitted a chunk row")
+    // per doc: slices are in-order, contiguous, and tile [0, w)
+    val weights = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    man.groupBy(_._1).foreach { case (id, rows) =>
+      val s = rows.sortBy(_._3)
+      assert(s.head._4 == 0L, s"doc $id slice must start at 0")
+      assert(s.last._5 == weights(id), s"doc $id slice must end at weight")
+      s.sliding(2).filter(_.length == 2).foreach { case Array(p, q) =>
+        assert(q._3 == p._3 + 1 && q._4 == p._5,
+          s"doc $id slices not contiguous") }
+      // only the first covered chunk is entered mid-chunk
+      assert(s.tail.forall(_._6 == 0L))
+      s.foreach(r => assert(r._7 == r._5 - r._4))
+    }
+    // per chunk: every FULL chunk's slice lengths sum to exactly seqLen
+    val bySrc = man.groupBy(r => (r._2, r._3))
+    val totals = df.filter(col("n_tok") > 0).groupBy("source")
+      .agg(sum("n_tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case ((src, chunk), rows) =>
+      val full = (chunk + 1) * 64 <= totals(src)
+      val got = rows.map(_._7).sum
+      if (full) assert(got == 64L, s"chunk ($src, $chunk) holds $got")
+      else assert(got == totals(src) - chunk * 64,
+        s"tail chunk ($src, $chunk) holds $got")
     }
   }
 

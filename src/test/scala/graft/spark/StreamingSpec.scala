@@ -263,4 +263,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last.getAs[Double]("p50") - 0.5) < 0.02)
     assert(math.abs(last.getAs[Double]("p99") - 0.99) < 0.005)
   }
+
+  test("streaming near-dup screen flags indexed near-dups per micro-batch") {
+    import spark.implicits._
+    def words(r: Range, p: String): Seq[String] = r.map(i => s"$p$i")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-neardup-idx").toString
+    val corpus = Seq(
+      (0L, words(1 to 40, "w").mkString(" "), "s"),
+      (1L, words(200 to 240, "v").mkString(" "), "s"),
+      (2L, words(300 to 350, "p").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    graft.operators.Dedup.writeDedupIndex(corpus, dir)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val hits = StreamingSketches.streamingDedupNearDup(
+      stream.toDS().toDF("doc_id", "text", "source"), dir, threshold = 0.9)
+    assert(hits.isStreaming, "the screen must stay a streaming plan")
+    val q = hits.writeStream.format("memory").queryName("neardup_hits")
+      .outputMode(OutputMode.Append()) // stateless: append works
+      .start()
+    // batch 1: one near-dup of corpus doc 0 (J = 38/42 = 0.9048), one
+    // fresh doc; batch 2: one near-dup of corpus doc 1 (J = 39/43 =
+    // 0.907), one fresh doc
+    val b1 = Seq(
+      (10L, (words(1 to 38, "w") ++ Seq("x1", "x2")).mkString(" "), "s"),
+      (11L, words(500 to 540, "q").mkString(" "), "s"))
+    val b2 = Seq(
+      (12L, (words(200 to 238, "v") ++ Seq("y1", "y2")).mkString(" "), "s"),
+      (13L, words(600 to 640, "r").mkString(" "), "s"))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      val after1 = spark.sql(
+        "SELECT DISTINCT doc_id, corpus_id FROM neardup_hits")
+        .as[(Long, Long)].collect().toSet
+      assert(after1 == Set((10L, 0L)),
+        s"batch-1 planted near-dup must be flagged in its batch: $after1")
+      stream.addData(b2); q.processAllAvailable()
+      val after2 = spark.sql(
+        "SELECT DISTINCT doc_id, corpus_id FROM neardup_hits")
+        .as[(Long, Long)].collect().toSet
+      assert(after2 == Set((10L, 0L), (12L, 1L)), s"$after2")
+    } finally q.stop()
+    // exact-Jaccard values, not just candidacy
+    val j = spark.sql("SELECT DISTINCT doc_id, jaccard FROM neardup_hits")
+      .as[(Long, Double)].collect().toMap
+    assert(j(10L) == 0.9048 && j(12L) == 0.907, s"$j")
+    // batch parity: the flagged set == what dedupIncremental drops for
+    // the same snapshot against the same index (no exact/within-snapshot
+    // dups planted, so its drops are exactly the corpus near-dup tier)
+    val snap = (b1 ++ b2).toDF("doc_id", "text", "source")
+    val kept = graft.operators.Dedup.dedupIncremental(snap, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L),
+      s"streaming flags {10,12}; batch must drop the same: kept=$kept")
+  }
 }
