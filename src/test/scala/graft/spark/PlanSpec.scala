@@ -109,6 +109,44 @@ class PlanSpec extends AnyFunSuite {
       s"scans must come from the index:\n$locs")
   }
 
+  test("incremental CC dedup never touches corpus files (deleted post-index)") {
+    import spark.implicits._
+    // the CC variant materializes through localCheckpoints, so the final
+    // plan alone cannot witness its reads; instead DELETE the corpus
+    // after indexing — any code path that rescanned it would throw
+    val corpusRoot = java.nio.file.Files
+      .createTempDirectory("graft-plan-cc-corpus")
+    val corpusDir = corpusRoot.toString + "/docs"
+    // alphanumeric-only words: the tokenizer splits on '-', so "c1-w2"
+    // style words would alias across docs and near-dup the whole corpus
+    ((0L until 40L).map(i =>
+        (i, (1 to 25).map(w => s"c${i}w$w").mkString(" "), "s"))
+      :+ ((40L, (1 to 30).map(w => s"hw$w").mkString(" "), "s")))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(corpusDir)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-plan-cc-idx").toString
+    graft.operators.Dedup.writeDedupIndexCC(
+      spark.read.parquet(corpusDir), idxDir)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(corpusRoot.toFile)
+    // snapshot: one verified near-dup of corpus doc 40 (J = 29/31) —
+    // forces the vs-corpus band join AND tokset verify — plus fresh docs
+    val snap = Seq(
+      (100L, ((1 to 29).map(w => s"hw$w") :+ "zz1").mkString(" "), "s"),
+      (101L, (1 to 25).map(w => s"fw$w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.operators.Dedup
+      .dedupIncrementalCC(snap, idxDir, appendToIndex = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(101L)),
+      s"near-dup of indexed doc must drop via index-only reads: " +
+        kept.mkString(","))
+  }
+
   test("sharded probe is native codegen, plan-embedded and broadcast") {
     import graft.functions.sharded
     val shards = Array.fill(4)(BlockedBloomFilter.optimized(1000, 0.01))
