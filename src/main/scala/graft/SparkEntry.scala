@@ -939,6 +939,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ------------- Gopher quality-rule battery -------------
+    //
+    // The standard pre-training filter set (word-count bounds, mean
+    // word length, symbol ratio, bullet/ellipsis lines, alphabetic-word
+    // fraction, stopword presence) as one codegen projection; signals,
+    // per-rule inputs and the composite keep are all exactly
+    // SQL-recomputable.
+
+    "q44_gopher_quality" -> ((s, dir) => {
+      TextAnalysis.gopherQualityFlags(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- within-doc repetition signals -------------
 
     "q39_repetition" -> ((s, dir) => {
@@ -1332,6 +1345,56 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sp'), doc_id)
         |      - n_chars AS BIGINT) AS start_off
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q44_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
+        |    string_split(text, chr(10)) AS ll
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(wl) AS INT) AS n_words,
+        |  round(CASE WHEN len(wl) > 0 THEN
+        |    CAST(list_sum(list_transform(wl, x -> len(x))) AS DOUBLE)
+        |      / len(wl) END, 4) AS mean_word_len,
+        |  round(CASE WHEN len(wl) > 0 THEN
+        |    CAST(len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(wl) END, 4) AS frac_alpha_words,
+        |  round(CASE WHEN len(wl) > 0 THEN
+        |    CAST((len(text) - len(replace(text, '#', '')))
+        |      + (len(text) - len(replace(text, '...', ''))) / 3
+        |      AS DOUBLE) / len(wl) END, 4) AS symbol_ratio,
+        |  CAST(len(list_intersect(
+        |    list_distinct(list_transform(wl, x -> lower(x))),
+        |    ['the','be','to','of','and','that','have','with']))
+        |    AS INT) AS n_stop_hits,
+        |  round(CAST(len(list_filter(ll, x -> starts_with(x, '- ')
+        |      OR starts_with(x, '* '))) AS DOUBLE) / len(ll), 4)
+        |    AS frac_bullet_lines,
+        |  round(CAST(len(list_filter(ll, x -> ends_with(x, '...')))
+        |      AS DOUBLE) / len(ll), 4) AS frac_ellipsis_lines,
+        |  coalesce(len(wl) BETWEEN 50 AND 100000
+        |    AND (CASE WHEN len(wl) > 0 THEN
+        |      round(CAST(list_sum(list_transform(wl, x -> len(x)))
+        |        AS DOUBLE) / len(wl), 4) END) BETWEEN 3 AND 10
+        |    AND (CASE WHEN len(wl) > 0 THEN
+        |      round(CAST((len(text) - len(replace(text, '#', '')))
+        |        + (len(text) - len(replace(text, '...', ''))) / 3
+        |        AS DOUBLE) / len(wl), 4) END) <= 0.1
+        |    AND round(CAST(len(list_filter(ll, x -> starts_with(x, '- ')
+        |      OR starts_with(x, '* '))) AS DOUBLE) / len(ll), 4) <= 0.9
+        |    AND round(CAST(len(list_filter(ll, x -> ends_with(x, '...')))
+        |      AS DOUBLE) / len(ll), 4) <= 0.3
+        |    AND (CASE WHEN len(wl) > 0 THEN
+        |      round(CAST(len(list_filter(wl, x ->
+        |        regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(wl), 4) END) >= 0.8
+        |    AND len(list_intersect(
+        |      list_distinct(list_transform(wl, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) >= 2,
+        |    false) AS keep
+        |FROM w
         |ORDER BY doc_id""".stripMargin,
 
     "q43_chunk_manifest" ->

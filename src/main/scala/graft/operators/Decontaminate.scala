@@ -186,6 +186,58 @@ object Decontaminate {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
+  /** Append new eval documents to a persisted index — the eval-set
+    * twin of dedup-index appends, for the real operational case of a
+    * benchmark suite growing after the index was built. N-grams the
+    * index has never seen are appended to ngrams/, and the filter is
+    * extended by LOAD-IS-UNION (the reference's resumability contract,
+    * /root/reference/io.go:156-178): a filter of only the fresh
+    * n-grams at the STORED (nbits, k) unions associatively into the
+    * loaded one, equal to a fresh build over the n-gram union at those
+    * parameters. If the grown n-gram count no longer fits the original
+    * sizing at the manifest's fpr, the union would silently exceed the
+    * bound — the filter is instead REBUILT from the full stored n-gram
+    * table at the new size (no-silent-degradation; the n/fpr contract
+    * in the manifest stays true either way).
+    */
+  def appendToEvalIndex(newEval: DataFrame, dir: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    val spark = newEval.sparkSession
+    val mf = spark.read.parquet(s"$dir/manifest").head()
+    val n = mf.getAs[Int]("n")
+    val fpr = mf.getAs[Double]("fpr")
+    val stored = spark.read.parquet(s"$dir/ngrams")
+    // n-grams genuinely new to the index, pinned (localCheckpoint)
+    // BEFORE ngrams/ is appended to — the frame reads that directory
+    val fresh = docNgrams(newEval, n, textCol, idCol)
+      .select(col("ng")).distinct()
+      .join(stored, Seq("ng"), "left_anti")
+      .localCheckpoint()
+    val nFresh = fresh.count()
+    if (nFresh == 0L) return
+    val existing = loadEvalFilter(spark, dir)
+    val total = stored.count() + nFresh
+    val (needBits, _) = graft.core.BloomConfig.optimize(total, fpr)
+    val unionFits = needBits <= existing.numBits
+    fresh.write.mode("append").parquet(s"$dir/ngrams")
+    val filter =
+      if (unionFits) {
+        val dump = fresh
+          .agg(graft.functions.catalyst.aggCol(
+            graft.functions.catalyst.BloomHashAggregate(
+              graft.functions.catalyst.expr(
+                F.fnv_hash64_native(col("ng"))),
+              existing.numBits, existing.k)).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        existing.union(BloomIO.load(dump))
+      } else
+        filterFromNgrams(spark.read.parquet(s"$dir/ngrams"), fpr, total)
+    val out = hadoopFs(spark, dir).create(filterPath(dir), true)
+    try out.write(BloomIO.dump(filter, comment = "graft/v1 eval-ngrams"))
+    finally out.close()
+  }
+
   private def filterPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "filter.bloom")
 

@@ -42,6 +42,77 @@ object TextAnalysis {
           .as("repetition_ratio"))
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
+    * standard pre-training filter set): per-doc signal columns plus a
+    * boolean per rule and the composite `keep`. All pure codegen column
+    * expressions over ONE bound word/line split (HOF-lambda inputs are
+    * bound first — the O(len²) re-evaluation trap), exactly
+    * SQL-replicable, so the whole battery rides inside whatever scan is
+    * already reading the text: zero shuffle, zero extra pass at any
+    * corpus size. Rules on ratios compare the ROUNDED (4 dp) values so
+    * both engines decide boundaries identically; wordless docs fail
+    * `keep` outright rather than passing vacuous comparisons.
+    */
+  def gopherQualityFlags(docs: DataFrame,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletLineFrac: Double = 0.9,
+                         maxEllipsisLineFrac: Double = 0.3,
+                         minAlphaWordFrac: Double = 0.8,
+                         minStopwords: Int = 2,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val nw = col("n_words")
+    docs
+      .select(col(idCol), col(textCol).as("__t"),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("__w"),
+        split(col(textCol), "\n").as("__l"))
+      .select(col(idCol), col("__t"), col("__l"),
+        size(col("__w")).as("n_words"),
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w))
+          .as("__chars"),
+        size(filter(col("__w"), w => w.rlike("[A-Za-z]"))).as("__alpha"),
+        size(array_intersect(
+          array_distinct(transform(col("__w"), w => lower(w))),
+          array(stopwords.map(lit): _*))).as("n_stop_hits"))
+      .select(col(idCol), nw,
+        when(nw > 0, round(col("__chars").cast("double") / nw, 4))
+          .as("mean_word_len"),
+        when(nw > 0, round(col("__alpha").cast("double") / nw, 4))
+          .as("frac_alpha_words"),
+        // '#' and '...' occurrences per word (the Gopher symbol set,
+        // ASCII form) — counted by replace-shrinkage, identical
+        // non-overlapping semantics in both engines
+        when(nw > 0, round(
+          ((length(col("__t")) - length(regexp_replace(col("__t"),
+            "#", ""))) +
+            (length(col("__t")) - length(regexp_replace(col("__t"),
+              "\\.\\.\\.", ""))) / lit(3)).cast("double") / nw, 4))
+          .as("symbol_ratio"),
+        col("n_stop_hits"),
+        round(size(filter(col("__l"), l =>
+            l.startsWith("- ") || l.startsWith("* ")))
+          .cast("double") / size(col("__l")), 4).as("frac_bullet_lines"),
+        round(size(filter(col("__l"), l => l.endsWith("...")))
+          .cast("double") / size(col("__l")), 4)
+          .as("frac_ellipsis_lines"))
+      .withColumn("keep",
+        coalesce(
+          nw >= minWords && nw <= maxWords &&
+            col("mean_word_len") >= minMeanWordLen &&
+            col("mean_word_len") <= maxMeanWordLen &&
+            col("symbol_ratio") <= maxSymbolRatio &&
+            col("frac_bullet_lines") <= maxBulletLineFrac &&
+            col("frac_ellipsis_lines") <= maxEllipsisLineFrac &&
+            col("frac_alpha_words") >= minAlphaWordFrac &&
+            col("n_stop_hits") >= minStopwords,
+          lit(false)))
+  }
+
   /** Within-document repetition signals (the Gopher/CCNet-style
     * duplicate n-gram fractions used to drop boilerplate and spam):
     * dup_Ngram_frac = 1 - distinct-n-grams / total-n-grams. All pure

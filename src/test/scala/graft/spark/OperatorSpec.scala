@@ -629,6 +629,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(Decontaminate.overlapCount("nothing shared here", 3, f) == 0)
   }
 
+  test("eval index append: union path and rebuild path both == fresh build") {
+    import graft.operators.Decontaminate
+    val eval1 = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // 30 words -> 28 distinct 3-grams: enough to outgrow a one-block
+    // (512-bit) filter at fpr 1e-6 (~29 bits/key) in the rebuild case
+    val eval2 = Seq((101L, ("one two three four five" +:
+      (1 to 25).map(i => s"filler$i")).mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "xx alpha beta gamma yy"),
+      (1L, "one two three four five six"),
+      (2L, "nothing shared here at all")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // UNION path: the original sizing (1e5 expected) swallows the
+    // appended n-grams, so the filter is extended by load-is-union
+    val dirU = java.nio.file.Files
+      .createTempDirectory("graft-evalidx-append-u").toString
+    Decontaminate.writeEvalIndex(eval1, dirU, n = 3, fpr = 1e-6,
+      expectedEvalNgrams = 100000L)
+    val bitsBefore = Decontaminate.loadEvalFilter(spark, dirU).numBits
+    Decontaminate.appendToEvalIndex(eval2, dirU)
+    assert(Decontaminate.loadEvalFilter(spark, dirU).numBits == bitsBefore,
+      "within-capacity append must keep the stored sizing (union, not rebuild)")
+    assert(rows(Decontaminate.contaminatedVsIndex(train, dirU)) ==
+      rows(Decontaminate.contaminated(train, eval1.union(eval2), n = 3)))
+    // REBUILD path: a tightly-sized index (2 expected n-grams) cannot
+    // absorb the growth at its fpr — the filter must be rebuilt larger,
+    // never silently over-filled
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft-evalidx-append-r").toString
+    Decontaminate.writeEvalIndex(eval1, dirR, n = 3, fpr = 1e-6,
+      expectedEvalNgrams = 2L)
+    val bitsSmall = Decontaminate.loadEvalFilter(spark, dirR).numBits
+    Decontaminate.appendToEvalIndex(eval2, dirR)
+    assert(Decontaminate.loadEvalFilter(spark, dirR).numBits > bitsSmall,
+      "over-capacity append must rebuild at the new size")
+    assert(rows(Decontaminate.contaminatedVsIndex(train, dirR)) ==
+      rows(Decontaminate.contaminated(train, eval1.union(eval2), n = 3)))
+    // idempotence: appending already-indexed docs is a no-op
+    Decontaminate.appendToEvalIndex(eval2, dirU)
+    assert(rows(Decontaminate.contaminatedVsIndex(train, dirU)) ==
+      rows(Decontaminate.contaminated(train, eval1.union(eval2), n = 3)))
+  }
+
   test("row-local ngramsOf matches column docNgrams on random texts") {
     // batch q35 and streaming decontamination share one filter, so the
     // row-local and codegen n-gram paths MUST tokenize identically —
@@ -725,6 +769,38 @@ class OperatorSpec extends AnyFunSuite {
       else assert(got == totals(src) - chunk * 64,
         s"tail chunk ($src, $chunk) holds $got")
     }
+  }
+
+  test("gopher quality battery: each rule trips on its crafted doc") {
+    val good = "the of and " + (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, good),                                     // passes everything
+      (1L, "the of too short"),                       // word-count floor
+      (2L, "the of " + (1 to 60).map(i => s"$i$i$i").mkString(" ")),
+        // numeric words: frac_alpha 2/62 << 0.8
+      (3L, good + " " + "#" * 10),                    // symbol ratio 10/64
+      (4L, (1 to 20).map(i => s"- the of item$i extra$i more$i")
+        .mkString("\n")),                             // all-bullet lines
+      (5L, (1 to 10).map(i => s"the of line$i longer$i words$i here$i" +
+        (if (i <= 4) " trail..." else "")).mkString("\n")),
+        // 4/10 ellipsis lines > 0.3
+      (6L, ""),                                       // wordless
+      (7L, "the of " + Seq.fill(60)("ab").mkString(" ")))
+        // mean word length ~2.03 < 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val keeps = out.view.mapValues(_.getAs[Boolean]("keep")).toMap
+    assert(keeps == Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> false, 4L -> false, 5L -> false, 6L -> false, 7L -> false),
+      s"$keeps")
+    assert(out(0L).getAs[Int]("n_words") == 63)
+    assert(out(0L).getAs[Int]("n_stop_hits") == 3)
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(4L).getAs[Double]("frac_bullet_lines") == 1.0)
+    assert(out(5L).getAs[Double]("frac_ellipsis_lines") == 0.4)
+    assert(out(6L).isNullAt(out(6L).fieldIndex("mean_word_len")))
+    assert(out(7L).getAs[Double]("mean_word_len") < 3.0)
   }
 
   test("repetition metrics: planted duplicate n-gram fractions") {
