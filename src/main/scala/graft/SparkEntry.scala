@@ -693,6 +693,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------- incremental EMBEDDING dedup, CC policy -------
+    //
+    // vector twin of q42: the embedding index (lower half) persists its
+    // cosine-component labels; the upper half is CC-deduped against it
+    // with append (bridge merges remap labels), and the union kept set
+    // is read back from the UPDATED index state. Oracle = fresh batch
+    // CC over all embeddings via recursive CTE on the exact pair set
+    // (LSH completeness at 0.45 is the proven q23==q22 equality).
+
+    "q45_emb_dedup_incremental_cc" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val snap1 = emb.filter(col("vec_id") <= mid)
+      val snap2 = emb.filter(col("vec_id") > mid)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q45-idx").toString
+      Dedup.writeEmbDedupIndexCC(snap1, idx, threshold = 0.45)
+      val keptNew = Dedup.embDedupIncrementalCC(snap2, idx,
+        appendToIndex = true)
+      val labels = s.read.parquet(s"$idx/labels")
+      val keptIds = s.read.parquet(s"$idx/vectors")
+        .select(col("vid").as("vec_id"))
+        .join(labels.filter(col("cluster_id") =!= col("doc_id"))
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      val newFromIndex = keptIds.filter(col("vec_id") > mid)
+      val keptNewIds = keptNew.select(col("vec_id"))
+      val consistent =
+        keptNewIds.join(newFromIndex, Seq("vec_id"), "left_anti").isEmpty &&
+          newFromIndex.join(keptNewIds, Seq("vec_id"), "left_anti").isEmpty
+      keptIds.select(col("vec_id"),
+          when(col("vec_id") <= mid, 1L).otherwise(2L).as("snapshot"),
+          lit(consistent).as("incr_consistent"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ------- ANN: IVF (k-means inverted lists) -------
     //
     // Recall is data-dependent (these embeddings are near-uniform, the
@@ -1512,6 +1547,33 @@ object SparkEntry {
         |FROM keep1 k
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
+
+    "q45_emb_dedup_incremental_cc" ->
+      """WITH RECURSIVE
+        |jp AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lab AS (
+        |  SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |drops AS (SELECT vec_id FROM lab WHERE cluster_id <> vec_id)
+        |SELECT e.vec_id,
+        |  CASE WHEN e.vec_id <=
+        |    (SELECT CAST(floor(max(vec_id) / 2.0) AS BIGINT)
+        |     FROM embeddings)
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS snapshot,
+        |  true AS incr_consistent
+        |FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
 
     "q31_dedup_cc_clusters" ->
       """WITH RECURSIVE

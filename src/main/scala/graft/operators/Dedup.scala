@@ -415,9 +415,15 @@ object Dedup {
 
   /** Verify threshold the index's cluster labels were built at. */
   def readLabelsThreshold(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Double =
+                          dir: String): Double = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/labels_meta")
+    require(metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaDir),
+      s"dedup index at $dir carries no cluster labels — build it with " +
+        "writeDedupIndexCC to use the connected-component policy")
     spark.read.parquet(s"$dir/labels_meta")
       .agg(max(col("threshold"))).head().getDouble(0)
+  }
 
   /** (numBands, rowsPerBand, ngram, nDocs, maxDocId) of an index. */
   def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
@@ -678,51 +684,71 @@ object Dedup {
     incrementalPairs(newDocs, indexDir, threshold) match {
       case None => newDocs // empty snapshot
       case Some(st) =>
-        val labels = spark.read.parquet(s"$indexDir/labels")
-        val contracted = st.pairsVsCorpus.select(col("a"), col("b"))
-          .join(labels.select(col("doc_id").as("a"),
-            col("cluster_id").as("alab")), Seq("a"), "left")
-          .select(coalesce(col("alab"), col("a")).as("a"), col("b"))
-          .distinct() // two same-label corpus docs near one new doc
-        val edges = contracted.union(st.pairsWithin.select(col("a"), col("b")))
-        val cc = nearDupClusters(edges)
-        // mixed components carry a corpus label (< every new id), so
-        // their new members all fail the min test; new-only components
-        // keep exactly their min id
-        val drops = cc.filter(col("cluster_id") =!= col("id") &&
-            col("id") > lit(st.maxIndexed))
-          .select(col("id").as("doc_id"))
-        val kept = st.newExact.join(drops, Seq("doc_id"), "left_anti")
+        val (drops, newLabels) = ccOverIncrementalPairs(spark, indexDir,
+          st.pairsVsCorpus, st.pairsWithin, st.maxIndexed)
+        val kept = st.newExact
+          .join(drops.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left_anti")
         if (appendToIndex) {
           // same materialize-before-append discipline as
           // dedupIncremental; cc is already checkpointed by
           // nearDupClusters, so drops cannot see the appended state
           val materialized = kept.localCheckpoint()
-          val ccCorpus = cc.filter(col("id") <= lit(st.maxIndexed))
-          // existing rows whose label merged into a smaller one
-          val remap = ccCorpus
-            .select(col("id").as("oldlab"), col("cluster_id").as("newlab"))
-          val remapped = labels.as("l")
-            .join(remap, col("l.cluster_id") === col("oldlab"), "left")
-            .select(col("l.doc_id"),
-              coalesce(col("newlab"), col("l.cluster_id")).as("cluster_id"))
-          // corpus singletons first clustered by a new cross pair have
-          // no stored row yet
-          val newCorpusRows = ccCorpus
-            .select(col("id").as("doc_id"), col("cluster_id"))
-            .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          val newSnapshotRows = cc.filter(col("id") > lit(st.maxIndexed))
-            .select(col("id").as("doc_id"), col("cluster_id"))
           // cut lineage off labels/ BEFORE overwriting it
-          val newLabels = remapped.union(newCorpusRows)
-            .union(newSnapshotRows).localCheckpoint()
+          val pinnedLabels = newLabels.localCheckpoint()
           writeIndexState(st.newExact, indexDir, st.numBands,
             st.rowsPerBand, st.ngram, append = true)
-          newLabels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          pinnedLabels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$indexDir/labels")
           materialized
         } else kept
     }
+  }
+
+  /** The shared CC core of the incremental-CC variants (text docs and
+    * embeddings): contract the corpus endpoint of every verified cross
+    * pair to its stored component label, run [[nearDupClusters]] over
+    * the quotient graph (new ids + touched corpus labels only — never
+    * the corpus pair set), and derive
+    *  - `drops`: new ids that are not their component's minimum (mixed
+    *    components carry a corpus label below every new id under the
+    *    monotone-id precondition, so their new members all drop), and
+    *  - `newLabels`: the labels table as a fresh batch run over the
+    *    union would produce it — existing rows remapped where a new-doc
+    *    bridge merged two corpus components (a corpus doc losing its
+    *    representative status this way is a RETROACTIVE drop, visible,
+    *    never silent), plus rows for corpus singletons first clustered
+    *    by a cross pair and for new docs in components.
+    * Both frames key by `id`; callers rename to their id column.
+    */
+  private def ccOverIncrementalPairs(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      pairsVsCorpus: DataFrame, pairsWithin: DataFrame,
+      maxIndexed: Long): (DataFrame, DataFrame) = {
+    val labels = spark.read.parquet(s"$indexDir/labels")
+    val contracted = pairsVsCorpus.select(col("a"), col("b"))
+      .join(labels.select(col("doc_id").as("a"),
+        col("cluster_id").as("alab")), Seq("a"), "left")
+      .select(coalesce(col("alab"), col("a")).as("a"), col("b"))
+      .distinct() // two same-label corpus rows near one new row
+    val edges = contracted.union(pairsWithin.select(col("a"), col("b")))
+    val cc = nearDupClusters(edges)
+    val drops = cc.filter(col("cluster_id") =!= col("id") &&
+        col("id") > lit(maxIndexed))
+      .select(col("id"))
+    val ccCorpus = cc.filter(col("id") <= lit(maxIndexed))
+    val remap = ccCorpus
+      .select(col("id").as("oldlab"), col("cluster_id").as("newlab"))
+    val remapped = labels.as("l")
+      .join(remap, col("l.cluster_id") === col("oldlab"), "left")
+      .select(col("l.doc_id"),
+        coalesce(col("newlab"), col("l.cluster_id")).as("cluster_id"))
+    val newCorpusRows = ccCorpus
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newSnapshotRows = cc.filter(col("id") > lit(maxIndexed))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    (drops, remapped.union(newCorpusRows).union(newSnapshotRows))
   }
 
   // ----------------- connected-component clustering -----------------
@@ -870,7 +896,41 @@ object Dedup {
                           threshold: Double,
                           idCol: String = "vec_id",
                           embCol: String = "embedding",
-                          appendToIndex: Boolean = false): DataFrame = {
+                          appendToIndex: Boolean = false): DataFrame =
+    embIncrementalPairs(newEmbs, indexDir, threshold, idCol, embCol) match {
+      case None => newEmbs // empty snapshot
+      case Some(st) =>
+        val dropVsCorpus =
+          st.pairsVsCorpus.select(col("b").as(idCol)).distinct()
+        val dropWithin =
+          st.pairsWithin.select(col("b").as(idCol)).distinct()
+        val kept = newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
+          .join(dropWithin, Seq(idCol), "left_anti")
+        if (appendToIndex) {
+          // materialize BEFORE the append (see dedupIncremental: the
+          // write refreshes the index path, and a lazy result would
+          // re-read the index with the new vectors inside and drop
+          // them all)
+          val materialized = kept.localCheckpoint()
+          writeEmbDedupIndex(newEmbs, indexDir, st.numBands,
+            st.bitsPerBand, idCol, embCol, st.dim, append = true)
+          materialized
+        } else kept
+    }
+
+  /** Shared state of the embedding incremental variants — verified
+    * pairs vs the index and within the snapshot, up to the drop policy
+    * (pairwise in [[embDedupIncremental]], connected components in
+    * [[embDedupIncrementalCC]]).
+    */
+  private case class EmbIncrementalState(
+      pairsVsCorpus: DataFrame, pairsWithin: DataFrame,
+      numBands: Int, bitsPerBand: Int, dim: Int, maxVid: Long)
+
+  private def embIncrementalPairs(newEmbs: DataFrame, indexDir: String,
+                                  threshold: Double, idCol: String,
+                                  embCol: String):
+      Option[EmbIncrementalState] = {
     val spark = newEmbs.sparkSession
     val m = spark.read.parquet(s"$indexDir/manifest")
       .agg(max(col("num_bands")), max(col("bits_per_band")),
@@ -878,7 +938,7 @@ object Dedup {
     val (numBands, bitsPerBand, d, maxVid) =
       (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3))
     val newMinRow = newEmbs.agg(min(col(idCol))).head()
-    if (newMinRow.isNullAt(0)) return newEmbs
+    if (newMinRow.isNullAt(0)) return None
     require(newMinRow.getLong(0) > maxVid,
       s"incremental embedding dedup requires new ids above the indexed " +
         s"corpus (min new ${newMinRow.getLong(0)} <= max indexed $maxVid)")
@@ -894,40 +954,101 @@ object Dedup {
     val newBands = newV.select(col("vid"),
       explode(F.lsh_band_keys(col("emb"), numBands, bitsPerBand, d))
         .as("band"))
-    val dropVsCorpus = newBands.as("n")
+    val pairsVsCorpus = newBands.as("n")
       .join(corpusBands.as("c"), col("n.band") === col("c.band"))
       .select(col("c.vid").as("a"), col("n.vid").as("b")).distinct()
       .join(corpusVecs.select(col("vid").as("a"), col("emb").as("ea")),
         Seq("a"))
       .join(newV.select(col("vid").as("b"), col("emb").as("eb")), Seq("b"))
       .filter(F.cosine_sim(col("ea"), col("eb")) >= threshold)
-      .select(col("b").as(idCol)).distinct()
+      .select(col("a"), col("b"))
     // within-snapshot tier from the SAME newBands/newV frames as the
     // corpus tier — embDedupDropIds would recompute the band keys
-    val candWithin = newBands.as("x")
+    val pairsWithin = newBands.as("x")
       .join(newBands.as("y"), col("x.band") === col("y.band") &&
         col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("a"), col("y.vid").as("b")).distinct()
-    val dropWithin = candWithin
       .join(newV.select(col("vid").as("a"), col("emb").as("ea")), Seq("a"))
       .join(newV.select(col("vid").as("b"), col("emb").as("eb")), Seq("b"))
       .filter(F.cosine_sim(col("ea"), col("eb")) >= threshold)
-      .select(col("b").as(idCol)).distinct()
+      .select(col("a"), col("b"))
     // index composition appends ALL new vectors, not only kept ones: a
     // near-dup-dropped vector is still the smaller-id neighbor of later
     // snapshots' vectors under the batch policy (the text index keeps
     // exact-tier survivors for the same reason)
-    val kept = newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
-      .join(dropWithin, Seq(idCol), "left_anti")
-    if (appendToIndex) {
-      // materialize BEFORE the append (see dedupIncremental: the write
-      // refreshes the index path, and a lazy result would re-read the
-      // index with the new vectors inside and drop them all)
-      val materialized = kept.localCheckpoint()
-      writeEmbDedupIndex(newEmbs, indexDir, numBands, bitsPerBand,
-        idCol, embCol, d, append = true)
-      materialized
-    } else kept
+    Some(EmbIncrementalState(pairsVsCorpus, pairsWithin,
+      numBands, bitsPerBand, d, maxVid))
+  }
+
+  /** Cluster-policy drop set over embedding near-dup pairs — the vector
+    * twin of [[nearDupDropIdsCC]] (one kept vector per cosine-connected
+    * component).
+    */
+  def embDedupDropIdsCC(embeddings: DataFrame, threshold: Double,
+                        numBands: Int = 64, bitsPerBand: Int = 4,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding"): DataFrame =
+    nearDupDropIdsCC(
+      embeddingNearDupPairsLsh(embeddings, threshold, numBands,
+        bitsPerBand, idCol, embCol).select(col("a"), col("b")))
+      .withColumnRenamed("doc_id", idCol)
+
+  /** [[writeEmbDedupIndex]] plus persisted cluster labels (stored under
+    * labels/ with the shared (doc_id, cluster_id) schema — values are
+    * vector ids), recomputed from the persisted bands/vectors state.
+    * Enables [[embDedupIncrementalCC]].
+    */
+  def writeEmbDedupIndexCC(embeddings: DataFrame, dir: String,
+                           threshold: Double,
+                           numBands: Int = 64, bitsPerBand: Int = 4,
+                           idCol: String = "vec_id",
+                           embCol: String = "embedding",
+                           dim: Int = -1): Unit = {
+    writeEmbDedupIndex(embeddings, dir, numBands, bitsPerBand, idCol,
+      embCol, dim)
+    val spark = embeddings.sparkSession
+    val bands = spark.read.parquet(s"$dir/bands")
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    val pairs = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band") &&
+        col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b")).distinct()
+      .join(vecs.select(col("vid").as("a"), col("emb").as("ea")), Seq("a"))
+      .join(vecs.select(col("vid").as("b"), col("emb").as("eb")), Seq("b"))
+      .filter(F.cosine_sim(col("ea"), col("eb")) >= threshold)
+      .select(col("a"), col("b"))
+    writeClusterLabels(spark, dir, threshold, pairs)
+  }
+
+  /** Incremental embedding dedup with the CONNECTED-COMPONENT drop
+    * policy — the vector twin of [[dedupIncrementalCC]]: same label
+    * contraction, same quotient-graph CC, same append-time label remap
+    * (retroactive corpus drops visible in labels, never silent).
+    * Threshold comes from the index's labels_meta.
+    */
+  def embDedupIncrementalCC(newEmbs: DataFrame, indexDir: String,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            appendToIndex: Boolean = false): DataFrame = {
+    val spark = newEmbs.sparkSession
+    val threshold = readLabelsThreshold(spark, indexDir)
+    embIncrementalPairs(newEmbs, indexDir, threshold, idCol, embCol) match {
+      case None => newEmbs // empty snapshot
+      case Some(st) =>
+        val (drops, newLabels) = ccOverIncrementalPairs(spark, indexDir,
+          st.pairsVsCorpus, st.pairsWithin, st.maxVid)
+        val kept = newEmbs.join(drops.withColumnRenamed("id", idCol),
+          Seq(idCol), "left_anti")
+        if (appendToIndex) {
+          val materialized = kept.localCheckpoint()
+          val pinnedLabels = newLabels.localCheckpoint()
+          writeEmbDedupIndex(newEmbs, indexDir, st.numBands,
+            st.bitsPerBand, idCol, embCol, st.dim, append = true)
+          pinnedLabels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$indexDir/labels")
+          materialized
+        } else kept
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with

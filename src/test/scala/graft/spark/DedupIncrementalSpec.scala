@@ -181,6 +181,61 @@ class DedupIncrementalSpec extends AnyFunSuite {
       s"z must be dropped via the DROPPED-but-indexed y: $inc3")
   }
 
+  test("embedding incremental CC == batch CC (bridge merges corpus clusters)") {
+    def vec(base: Int, salt: Int): Array[Float] = {
+      val v = Array.tabulate(8)(d =>
+        (if (d == base % 8) 10f else 0f) +
+          0.05f * graft.core.Hashing.toUnitDouble(
+            graft.core.Hashing.at(base * 1000 + salt, d)).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def rot(theta: Double): Array[Float] = {
+      val v = new Array[Float](8)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat
+      v
+    }
+    val theta = math.acos(0.93)
+    // corpus: two 2-vector components {0,1} and {2,3} at cos(2θ)=0.73
+    // apart (< 0.9), plus a singleton
+    val corpus = Seq(
+      (0L, rot(0)), (1L, rot(0.02)),
+      (2L, rot(2 * theta)), (3L, rot(2 * theta + 0.02)),
+      (4L, vec(5, 0))).toDF("vec_id", "embedding")
+    // snapshot: vid 10 BRIDGES both corpus components (cos 0.93 to
+    // each side); 11 is fresh; 12 is a within-new near-dup of 11
+    val snap = Seq(
+      (10L, rot(theta)), (11L, vec(7, 0)), (12L, vec(7, 3)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-emb-cc-idx").toString
+    Dedup.writeEmbDedupIndexCC(corpus, dir, threshold = 0.9)
+    val incKept = Dedup.embDedupIncrementalCC(snap, dir,
+        appendToIndex = true)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val union = corpus.union(snap)
+    val batchKept = union
+      .join(Dedup.embDedupDropIdsCC(union, 0.9), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(incKept == batchKept.filter(_ >= 10L),
+      s"inc=$incKept batch=$batchKept")
+    // union kept from the UPDATED index state == fresh batch CC —
+    // including the RETRO-DROP of vid 2, kept by the corpus-only run
+    // but merged under label 0 by the bridge
+    val labels = spark.read.parquet(s"$dir/labels")
+    val keptFromIndex = spark.read.parquet(s"$dir/vectors")
+      .select(col("vid").as("vec_id"))
+      .join(labels.filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .as[Long].collect().sorted.toSeq
+    assert(keptFromIndex == batchKept,
+      s"index=$keptFromIndex batch=$batchKept")
+    val corpusOnlyKept = corpus
+      .join(Dedup.embDedupDropIdsCC(corpus, 0.9), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(corpusOnlyKept.contains(2L) && !keptFromIndex.contains(2L),
+      s"corpusOnly=$corpusOnlyKept index=$keptFromIndex")
+  }
+
   test("appendToIndex composes: snapshot3 against index(s1)+append(s2)") {
     val dir = Files.createTempDirectory("graft-dedup-idx2").toString
     Dedup.writeDedupIndex(df(s1), dir)

@@ -147,6 +147,33 @@ class PlanSpec extends AnyFunSuite {
         kept.mkString(","))
   }
 
+  test("gopher battery and chunk manifest keep their zero-extra-shuffle claims") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = (0L until 50L)
+      .map(i => (i, s"the of doc$i " + (1 to 60).map(w => s"w$w$i")
+        .mkString(" "), "s" + (i % 3), 50L + i))
+      .toDF("doc_id", "text", "source", "n_chars")
+    // the battery is one projection: NO exchange anywhere in its plan
+    val gq = graft.operators.TextAnalysis.gopherQualityFlags(docs)
+    val gqShuffles = gq.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s }
+    assert(gqShuffles.isEmpty,
+      s"gopher battery must not shuffle:\n${gq.queryExecution.executedPlan}")
+    // the manifest inherits packAssignments' single stratum-window
+    // exchange and adds none of its own
+    def countShuffles(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s }.size
+    val asg = graft.operators.Packing.packAssignments(
+      docs, seqLen = 64, weightCol = "n_chars", salt = "e1")
+    val man = graft.operators.Packing.chunkManifest(
+      asg, seqLen = 64, weightCol = "n_chars")
+    assert(countShuffles(man) == countShuffles(asg),
+      s"chunk manifest must add no exchange:\n" +
+        man.queryExecution.executedPlan)
+  }
+
   test("sharded probe is native codegen, plan-embedded and broadcast") {
     import graft.functions.sharded
     val shards = Array.fill(4)(BlockedBloomFilter.optimized(1000, 0.01))
