@@ -68,9 +68,13 @@ object TextAnalysis {
       "with")
     val nw = col("n_words")
     docs
-      .select(col(idCol), col(textCol).as("__t"),
-        filter(split(col(textCol), " "), w => length(w) > 0).as("__w"),
-        split(col(textCol), "\n").as("__l"))
+      // null text counts as empty (size(split(null)) is -1, which would
+      // leak a nonsense n_words and diverge from any SQL recompute)
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .select(col(idCol), col("__t"),
+        filter(split(col("__t"), " "), w => length(w) > 0).as("__w"),
+        split(col("__t"), "\n").as("__l"))
       .select(col(idCol), col("__t"), col("__l"),
         size(col("__w")).as("n_words"),
         aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w))

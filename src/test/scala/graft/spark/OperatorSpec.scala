@@ -785,15 +785,18 @@ class OperatorSpec extends AnyFunSuite {
         (if (i <= 4) " trail..." else "")).mkString("\n")),
         // 4/10 ellipsis lines > 0.3
       (6L, ""),                                       // wordless
-      (7L, "the of " + Seq.fill(60)("ab").mkString(" ")))
+      (7L, "the of " + Seq.fill(60)("ab").mkString(" ")),
         // mean word length ~2.03 < 3
+      (8L, null))                                     // null text == empty
       .toDF("doc_id", "text")
     val out = TextAnalysis.gopherQualityFlags(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val keeps = out.view.mapValues(_.getAs[Boolean]("keep")).toMap
     assert(keeps == Map(0L -> true, 1L -> false, 2L -> false,
-      3L -> false, 4L -> false, 5L -> false, 6L -> false, 7L -> false),
-      s"$keeps")
+      3L -> false, 4L -> false, 5L -> false, 6L -> false, 7L -> false,
+      8L -> false), s"$keeps")
+    assert(out(8L).getAs[Int]("n_words") == 0,
+      "null text must count as empty, not size(-1)")
     assert(out(0L).getAs[Int]("n_words") == 63)
     assert(out(0L).getAs[Int]("n_stop_hits") == 3)
     assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
