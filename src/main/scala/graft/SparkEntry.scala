@@ -974,6 +974,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ------------- one-call corpus profile -------------
+    //
+    // The per-source dashboard: exact doc/token/dup counts, exact token
+    // median, HLL distinct gated against the exact count, Gopher keep
+    // rate — three aggregations joined on the source key.
+
+    "q46_corpus_profile" -> ((s, dir) => {
+      TextAnalysis.corpusProfile(tbl(s, dir, "documents"))
+        .orderBy(col("source"))
+    }),
+
     // ------------- Gopher quality-rule battery -------------
     //
     // The standard pre-training filter set (word-count bounds, mean
@@ -1381,6 +1392,56 @@ object SparkEntry {
         |      - n_chars AS BIGINT) AS start_off
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q46_corpus_profile" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
+        |    string_split(text, chr(10)) AS ll
+        |  FROM documents),
+        |k AS (
+        |  SELECT source,
+        |    coalesce(len(wl) BETWEEN 50 AND 100000
+        |      AND (CASE WHEN len(wl) > 0 THEN
+        |        round(CAST(list_sum(list_transform(wl, x -> len(x)))
+        |          AS DOUBLE) / len(wl), 4) END) BETWEEN 3 AND 10
+        |      AND (CASE WHEN len(wl) > 0 THEN
+        |        round(CAST((len(text) - len(replace(text, '#', '')))
+        |          + (len(text) - len(replace(text, '...', ''))) / 3
+        |          AS DOUBLE) / len(wl), 4) END) <= 0.1
+        |      AND round(CAST(len(list_filter(ll, x ->
+        |        starts_with(x, '- ') OR starts_with(x, '* ')))
+        |        AS DOUBLE) / len(ll), 4) <= 0.9
+        |      AND round(CAST(len(list_filter(ll, x -> ends_with(x, '...')))
+        |        AS DOUBLE) / len(ll), 4) <= 0.3
+        |      AND (CASE WHEN len(wl) > 0 THEN
+        |        round(CAST(len(list_filter(wl, x ->
+        |          regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |          / len(wl), 4) END) >= 0.8
+        |      AND len(list_intersect(
+        |        list_distinct(list_transform(wl, x -> lower(x))),
+        |        ['the','be','to','of','and','that','have','with'])) >= 2,
+        |      false) AS keep
+        |  FROM w),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(wl)) AS BIGINT) AS n_tokens,
+        |    round(median(CAST(len(wl) AS DOUBLE)), 2) AS p50_ntok
+        |  FROM w GROUP BY source),
+        |dist AS (
+        |  SELECT source, count(DISTINCT t) AS distinct_tokens FROM (
+        |    SELECT source, unnest(wl) AS t FROM w) GROUP BY source),
+        |dups AS (
+        |  SELECT source, count(*) - count(DISTINCT md5(text)) AS dup_docs
+        |  FROM documents GROUP BY source),
+        |keeps AS (
+        |  SELECT source, round(avg(CAST(keep AS DOUBLE)), 4) AS keep_rate
+        |  FROM k GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_tokens, b.p50_ntok,
+        |  d.distinct_tokens, true AS hll_ok, du.dup_docs, ke.keep_rate
+        |FROM base b JOIN dist d USING (source) JOIN dups du USING (source)
+        |JOIN keeps ke USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q44_gopher_quality" ->
       """WITH w AS (

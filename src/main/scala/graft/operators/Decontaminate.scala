@@ -220,7 +220,6 @@ object Decontaminate {
     val total = stored.count() + nFresh
     val (needBits, _) = graft.core.BloomConfig.optimize(total, fpr)
     val unionFits = needBits <= existing.numBits
-    fresh.write.mode("append").parquet(s"$dir/ngrams")
     val filter =
       if (unionFits) {
         val dump = fresh
@@ -232,10 +231,17 @@ object Decontaminate {
           .head().getAs[Array[Byte]]("sk")
         existing.union(BloomIO.load(dump))
       } else
-        filterFromNgrams(spark.read.parquet(s"$dir/ngrams"), fpr, total)
+        filterFromNgrams(stored.select(col("ng")).union(fresh), fpr, total)
+    // WRITE ORDER is the crash-recovery contract: filter first, n-grams
+    // second. A failure in between leaves the fresh n-grams missing
+    // from ngrams/, so a RE-RUN of the same append still sees them as
+    // fresh and heals both files; the opposite order would hit the
+    // nFresh==0 early return above with a stale filter — permanent
+    // false negatives for the new eval docs.
     val out = hadoopFs(spark, dir).create(filterPath(dir), true)
     try out.write(BloomIO.dump(filter, comment = "graft/v1 eval-ngrams"))
     finally out.close()
+    fresh.write.mode("append").parquet(s"$dir/ngrams")
   }
 
   private def filterPath(dir: String) =

@@ -42,6 +42,44 @@ object TextAnalysis {
           .as("repetition_ratio"))
   }
 
+  /** One-call corpus profile — the dashboard a pipeline runs before
+    * touching anything: per source, exact doc/token/dup counts, the
+    * exact token-count median, the HLL distinct estimate gated against
+    * the exact count, and the Gopher keep rate. Three aggregations
+    * (doc-level, token-level distinct, quality) joined on the tiny
+    * source key — the sketch panel rides the same shuffle as the exact
+    * counts, and everything else is codegen projections, so the whole
+    * profile costs one pass over text plus one token explode at any
+    * corpus size.
+    */
+  def corpusProfile(docs: DataFrame, hllP: Int = 14): DataFrame = {
+    val F = graft.functions.functions
+    val toks = graft.sources.TokenDocs.fromDocuments(docs)
+    val base = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      round(median(col("n_tok")), 2).as("p50_ntok"),
+      F.hll_agg_tokens(col("tokens"), hllP).as("__hll"))
+    val dist = toks.select(col("source"), explode(col("tokens")).as("t"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("t")).as("distinct_tokens"))
+    val dups = docs.groupBy(col("source")).agg(
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+    val keeps = gopherQualityFlags(docs)
+      .select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("keep").cast("double")), 4).as("keep_rate"))
+    val bound = 3 * 1.04 / math.sqrt((1L << hllP).toDouble)
+    base.join(dist, Seq("source")).join(dups, Seq("source"))
+      .join(keeps, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p50_ntok"), col("distinct_tokens"),
+        (abs(F.hll_estimate(col("__hll")) / col("distinct_tokens") - 1)
+          < lit(bound)).as("hll_ok"),
+        col("dup_docs"), col("keep_rate"))
+  }
+
   /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
     * standard pre-training filter set): per-doc signal columns plus a
     * boolean per rule and the composite `keep`. All pure codegen column
