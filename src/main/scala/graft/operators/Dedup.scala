@@ -358,6 +358,7 @@ object Dedup {
   def writeDedupIndex(docs: DataFrame, dir: String,
                       numBands: Int = 32, rowsPerBand: Int = 4,
                       ngram: Int = 1, append: Boolean = false): Unit = {
+    if (append) requireNoLabels(docs.sparkSession, dir)
     val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
     writeIndexState(afterExact, dir, numBands, rowsPerBand, ngram, append)
   }
@@ -413,12 +414,29 @@ object Dedup {
       .parquet(s"$dir/labels_meta")
   }
 
+  /** True iff `dir` holds a CC-labeled index (labels_meta present). */
+  def hasClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/labels_meta")
+    metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(metaDir)
+  }
+
+  /** A pairwise-policy append on a CC-labeled index would leave the
+    * stored labels missing the new snapshot — every later CC call would
+    * silently cluster against stale state. Fail loudly instead.
+    */
+  private def requireNoLabels(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Unit =
+    require(!hasClusterLabels(spark, dir),
+      s"index at $dir carries cluster labels; append through the CC " +
+        "path (dedupIncrementalCC / embDedupIncrementalCC) so the " +
+        "labels stay consistent with the appended state")
+
   /** Verify threshold the index's cluster labels were built at. */
   def readLabelsThreshold(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Double = {
-    val metaDir = new org.apache.hadoop.fs.Path(s"$dir/labels_meta")
-    require(metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(metaDir),
+    require(hasClusterLabels(spark, dir),
       s"dedup index at $dir carries no cluster labels — build it with " +
         "writeDedupIndexCC to use the connected-component policy")
     spark.read.parquet(s"$dir/labels_meta")
@@ -509,6 +527,7 @@ object Dedup {
           .join(dropVsCorpus, Seq("doc_id"), "left_anti")
           .join(dropWithin, Seq("doc_id"), "left_anti")
         if (appendToIndex) {
+          requireNoLabels(newDocs.sparkSession, indexDir)
           // MATERIALIZE the result before extending the index: each
           // append refreshes Spark's file index/caches for indexDir, so
           // a lazy RESULT evaluated afterwards would re-read the index
@@ -907,6 +926,7 @@ object Dedup {
         val kept = newEmbs.join(dropVsCorpus, Seq(idCol), "left_anti")
           .join(dropWithin, Seq(idCol), "left_anti")
         if (appendToIndex) {
+          requireNoLabels(newEmbs.sparkSession, indexDir)
           // materialize BEFORE the append (see dedupIncremental: the
           // write refreshes the index path, and a lazy result would
           // re-read the index with the new vectors inside and drop

@@ -328,5 +328,12 @@ class DedupIncrementalSpec extends AnyFunSuite {
     intercept[Exception] {
       Dedup.dedupIncrementalCC(df(ccSnap), plainDir).collect()
     }
+    // ...and a PAIRWISE append on a CC-labeled index must fail loudly:
+    // it would leave the labels missing the snapshot, silently staling
+    // every later CC call
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(df(s3cc), dir, appendToIndex = true)
+    }
+    assert(e.getMessage.contains("cluster labels"), e.getMessage)
   }
 }

@@ -337,7 +337,7 @@ class OperatorSpec extends AnyFunSuite {
     Ann.writeIvfIndex(initial, dir, nlist = 4, iters = 3)
     val base = Ann.ivfIndexStats(spark, dir).head()
     // freshly built: current == baseline, zero drift
-    assert(math.abs(base.getAs[Double]("mean_drift")) < 1e-12)
+    assert(math.abs(base.getAs[Double]("mean_drift")) < 1e-6)
     assert(base.getAs[Double]("mean_baseline") > 0.95,
       s"clustered fixture should fit its quantizer: $base")
     // append OFF-DISTRIBUTION vectors: mass on dims the quantizer has
@@ -365,7 +365,7 @@ class OperatorSpec extends AnyFunSuite {
     // and the manifest baseline is re-established
     Ann.rebuildIvfIndex(spark, dir, nlist = 5, iters = 4)
     val healed = Ann.ivfIndexStats(spark, dir).head()
-    assert(math.abs(healed.getAs[Double]("mean_drift")) < 1e-12)
+    assert(math.abs(healed.getAs[Double]("mean_drift")) < 1e-6)
     assert(healed.getAs[Double]("mean_now") >
       drifted.getAs[Double]("mean_now") + 0.02,
       s"rebuild must improve quantizer fit: $healed vs $drifted")

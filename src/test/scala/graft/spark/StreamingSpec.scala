@@ -264,6 +264,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last.getAs[Double]("p99") - 0.99) < 0.005)
   }
 
+  test("gopher battery runs unchanged on a stream (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val good = "the of and " + (1 to 60).map(i => s"word$i").mkString(" ")
+    // the SAME operator as batch q44 — a pure projection needs no
+    // stream-specific variant, which is the point of building it as
+    // codegen columns rather than an aggregation
+    val flagged = graft.operators.TextAnalysis.gopherQualityFlags(
+      stream.toDS().toDF("doc_id", "text"))
+    assert(flagged.isStreaming)
+    val q = flagged.select("doc_id", "keep").writeStream
+      .format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((0L, good), (1L, "the of too short")))
+      q.processAllAvailable()
+      val keeps = spark.sql("SELECT doc_id, keep FROM gopher_stream")
+        .as[(Long, Boolean)].collect().toMap
+      assert(keeps == Map(0L -> true, 1L -> false), s"$keeps")
+    } finally q.stop()
+  }
+
   test("streaming near-dup screen flags indexed near-dups per micro-batch") {
     import spark.implicits._
     def words(r: Range, p: String): Seq[String] = r.map(i => s"$p$i")
