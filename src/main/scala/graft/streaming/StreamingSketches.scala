@@ -174,6 +174,43 @@ object StreamingSketches {
       keyFn, stateTtl)
   }
 
+  /** Event-time WINDOWED per-source sketch panel with a watermark —
+    * the second streaming form next to [[perSourceSketches]]'s keyed
+    * running state: `groupBy(window(ts), source)` with the native
+    * sketch aggregates inside, so Spark's streaming-aggregation state
+    * store holds the serialized partial sketches per open window and
+    * the watermark bounds state (windows older than the delay finalize,
+    * emit once in Append mode, and are dropped from the store). The
+    * sketch buffers are the same TypedImperativeAggregates as batch, so
+    * a finalized window's panel equals the batch build over exactly
+    * that window's rows — asserted in StreamingSpec. Works unchanged on
+    * a batch frame (withWatermark is a no-op there).
+    *
+    * @param docs (eventTimeCol: timestamp, source, tokens, n_tok)
+    */
+  def windowedSourceSketches(docs: org.apache.spark.sql.DataFrame,
+                             eventTimeCol: String,
+                             windowDuration: String,
+                             watermarkDelay: String,
+                             capacity: Long, fpr: Double,
+                             hllP: Int = 14):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val F = graft.functions.functions
+    docs.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration), col("source"))
+      .agg(F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("bloom"),
+        F.hll_agg_tokens(col("tokens"), hllP).as("hll"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("source"),
+        col("n_docs"), col("n_tokens"),
+        round(F.bloom_cardinality(col("bloom")), 2)
+          .as("bloom_distinct_est"),
+        round(F.hll_estimate(col("hll")), 2).as("hll_distinct_est"))
+  }
+
   /** Streaming NEAR-dup screen against a persisted dedup index
     * ([[graft.operators.Dedup.writeDedupIndex]]): emits a verified hit
     * row (doc_id, corpus_id, jaccard) for every stream doc within the

@@ -264,6 +264,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(last.getAs[Double]("p99") - 0.99) < 0.005)
   }
 
+  test("watermarked windowed sketches: finalized window == batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    def row(min: Int, src: String, lo: Int, hi: Int) =
+      (ts(min), src, (lo to hi).toArray, hi - lo + 1)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Array[Int], Int)]
+    val windows = StreamingSketches.windowedSourceSketches(
+      stream.toDS().toDF("ts", "source", "tokens", "n_tok"),
+      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01)
+    val q = windows.writeStream.format("memory").queryName("win_sketches")
+      .outputMode(OutputMode.Append()).start()
+    // window A = [10:00, 10:10): rows arrive across TWO micro-batches,
+    // so the serialized sketch state must accumulate in the store
+    val a1 = Seq(row(1, "s0", 1, 40), row(4, "s0", 21, 60))
+    val a2 = Seq(row(7, "s0", 41, 80))
+    try {
+      stream.addData(a1); q.processAllAvailable()
+      stream.addData(a2 :+ row(29, "s0", 500, 510)); q.processAllAvailable()
+      // nothing final yet: watermark only advances at batch end, so one
+      // more batch is needed before [10:00,10:10) emits
+      stream.addData(Seq(row(31, "s0", 600, 610))); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql(
+      """SELECT * FROM win_sketches
+        |WHERE win_start = '2026-01-01 10:00:00'""".stripMargin).collect()
+    assert(out.length == 1, s"window A must finalize exactly once: " +
+      spark.sql("SELECT * FROM win_sketches").collect().mkString(", "))
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3 && r.getAs[Long]("n_tokens") == 120)
+    // batch parity: the same operator over a STATIC frame of window-A
+    // rows yields identical panel values (same aggregates, same bits)
+    val batch = StreamingSketches.windowedSourceSketches(
+      (a1 ++ a2).toDF("ts", "source", "tokens", "n_tok"),
+      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01)
+      .collect().head
+    assert(r.getAs[Double]("bloom_distinct_est") ==
+      batch.getAs[Double]("bloom_distinct_est"))
+    assert(r.getAs[Double]("hll_distinct_est") ==
+      batch.getAs[Double]("hll_distinct_est"))
+    // 80 distinct tokens in window A: estimates in a sane band
+    assert(math.abs(r.getAs[Double]("hll_distinct_est") - 80) < 8,
+      r.toString)
+  }
+
   test("gopher battery runs unchanged on a stream (stateless projection)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
