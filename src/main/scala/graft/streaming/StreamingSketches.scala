@@ -199,16 +199,20 @@ object StreamingSketches {
     val F = graft.functions.functions
     docs.withWatermark(eventTimeCol, watermarkDelay)
       .groupBy(window(col(eventTimeCol), windowDuration), col("source"))
-      .agg(F.bloom_agg_tokens(col("tokens"), capacity, fpr).as("bloom"),
-        F.hll_agg_tokens(col("tokens"), hllP).as("hll"),
+      // the FUSED panel: one buffer and one token traversal per open
+      // window in the state store instead of one per sketch —
+      // byte-identical to the standalone aggregates (q07's
+      // panel_eq_separate), so the batch-parity contract is unchanged
+      .agg(F.sketch_panel_agg(col("tokens"), capacity, fpr, hllP)
+          .as("panel"),
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("source"),
         col("n_docs"), col("n_tokens"),
-        round(F.bloom_cardinality(col("bloom")), 2)
+        round(F.bloom_cardinality(col("panel.bloom")), 2)
           .as("bloom_distinct_est"),
-        round(F.hll_estimate(col("hll")), 2).as("hll_distinct_est"))
+        round(F.hll_estimate(col("panel.hll")), 2).as("hll_distinct_est"))
   }
 
   /** Streaming NEAR-dup screen against a persisted dedup index
