@@ -48,8 +48,8 @@ object TextAnalysis {
     * the exact count, and the Gopher keep rate. Three aggregations
     * (doc-level, token-level distinct, quality) joined on the tiny
     * source key — the sketch panel rides the same shuffle as the exact
-    * counts, and everything else is codegen projections, so the whole
-    * profile costs one pass over text plus one token explode at any
+    * counts, and everything else is native column expressions, so the
+    * whole profile costs one pass over text plus one token explode at any
     * corpus size.
     */
   def corpusProfile(docs: DataFrame, hllP: Int = 14): DataFrame = {
@@ -82,8 +82,9 @@ object TextAnalysis {
 
   /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
     * standard pre-training filter set): per-doc signal columns plus a
-    * boolean per rule and the composite `keep`. All pure codegen column
-    * expressions over ONE bound word/line split (HOF-lambda inputs are
+    * boolean per rule and the composite `keep`. All native column
+    * expressions (no UDF anywhere; the higher-order lambdas are
+    * Catalyst HOFs) over ONE bound word/line split (HOF-lambda inputs are
     * bound first — the O(len²) re-evaluation trap), exactly
     * SQL-replicable, so the whole battery rides inside whatever scan is
     * already reading the text: zero shuffle, zero extra pass at any
