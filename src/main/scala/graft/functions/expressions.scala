@@ -239,6 +239,37 @@ object expressions {
       copy(child = c)
   }
 
+  /** All Gopher quality-rule raw signals (string -> array<long> of 9,
+    * see kernels.gopherSignals) in one codegen kernel call — the
+    * battery's per-doc work is one text pass instead of a dozen
+    * CodegenFallback higher-order-function evaluations. Null text
+    * behaves as empty (0 words, 1 line).
+    */
+  case class GopherSignals(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_gopher_signals"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      kernels.gopherSignals(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val tpe = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |$tpe ${ev.value} = graft.functions.kernels.gopherSignals(
+              |  ${c.isNull} ? null : ${c.value});
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): GopherSignals =
+      copy(child = c)
+  }
+
   /** Deterministic tokenizer (string -> array<int>), the native form of
     * TokenDocs.tokenize — inside codegen, no udf dispatch. NULL text
     * tokenizes to the EMPTY array (TokenDocs.tokenize(null) contract),
@@ -594,6 +625,9 @@ object expressions {
 
   def word_ngrams(c: Column, n: Int): Column =
     catalyst.aggColExpr(WordNgrams(catalyst.expr(c.cast("string")), n))
+
+  def gopher_signals(c: Column): Column =
+    catalyst.aggColExpr(GopherSignals(catalyst.expr(c.cast("string"))))
 
   // token/hash array kernels read getInt/getLong positionally — coerce
   // like the float wrappers below, or a mistyped array column (e.g.

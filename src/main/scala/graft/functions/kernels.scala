@@ -66,6 +66,103 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  private val gopherStopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** All Gopher quality-rule raw signals in ONE pass over the text —
+    * the native kernel behind TextAnalysis.gopherQualityFlags. Returns
+    * nine longs:
+    * [n_words, sum_word_codepoints, n_alpha_words, n_distinct_stopwords,
+    *  n_lines, n_bullet_lines, n_ellipsis_lines, n_hash_chars,
+    *  n_ellipsis_occurrences].
+    * Semantics are EXACTLY those of the column formulation the q44
+    * oracle replicates: words = non-empty runs between single spaces
+    * (a newline inside a word stays in the word), lines = '\n' splits
+    * with trailing empties kept (Spark split limit=-1 semantics),
+    * word lengths in code points, stopwords matched ASCII-case-
+    * insensitively (the targets are ASCII; a non-ASCII char can never
+    * lowercase-match them in either engine), '...' counted
+    * non-overlapping left-to-right like regexp_replace. Null text ==
+    * empty text (0 words, 1 line).
+    */
+  def gopherSignals(text: UTF8String): ArrayData = {
+    val s = if (text == null) "" else text.toString
+    val L = s.length
+    var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
+    val stopSeen = new Array[Boolean](gopherStopwords.length)
+    var i = 0
+    var wStart = 0
+    while (i <= L) {
+      if (i == L || s.charAt(i) == ' ') {
+        if (i > wStart) {
+          nWords += 1
+          sumLen += s.codePointCount(wStart, i)
+          var j = wStart
+          var alpha = false
+          while (j < i && !alpha) {
+            val c = s.charAt(j)
+            if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+              alpha = true
+            j += 1
+          }
+          if (alpha) nAlpha += 1
+          val wl = i - wStart
+          var k = 0
+          while (k < gopherStopwords.length) {
+            val sw = gopherStopwords(k)
+            if (!stopSeen(k) && sw.length == wl) {
+              var m = 0
+              var ok = true
+              while (m < wl && ok) {
+                var c = s.charAt(wStart + m)
+                if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+                if (c != sw.charAt(m)) ok = false
+                m += 1
+              }
+              if (ok) stopSeen(k) = true
+            }
+            k += 1
+          }
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    var nStop = 0L
+    i = 0
+    while (i < stopSeen.length) { if (stopSeen(i)) nStop += 1; i += 1 }
+    var nLines = 1L; var nBullet = 0L; var nEllLines = 0L
+    var lStart = 0
+    i = 0
+    while (i <= L) {
+      if (i == L || s.charAt(i) == '\n') {
+        val len = i - lStart
+        if (len >= 2 &&
+            (s.charAt(lStart) == '-' || s.charAt(lStart) == '*') &&
+            s.charAt(lStart + 1) == ' ')
+          nBullet += 1
+        if (len >= 3 && s.charAt(i - 1) == '.' && s.charAt(i - 2) == '.' &&
+            s.charAt(i - 3) == '.')
+          nEllLines += 1
+        if (i < L) nLines += 1
+        lStart = i + 1
+      }
+      i += 1
+    }
+    var nHash = 0L
+    i = 0
+    while (i < L) { if (s.charAt(i) == '#') nHash += 1; i += 1 }
+    var nEll = 0L
+    i = 0
+    while (i + 3 <= L) {
+      if (s.charAt(i) == '.' && s.charAt(i + 1) == '.' &&
+          s.charAt(i + 2) == '.') { nEll += 1; i += 3 }
+      else i += 1
+    }
+    new GenericArrayData(Array[Any](nWords, sumLen, nAlpha, nStop,
+      nLines, nBullet, nEllLines, nHash, nEll))
+  }
+
   def minhashSignature(tokens: ArrayData, numPerms: Int): ArrayData = {
     require(numPerms <= maxCachedPerms, s"numPerms > $maxCachedPerms")
     val sig = Array.fill(numPerms)(Long.MaxValue)

@@ -82,15 +82,18 @@ object TextAnalysis {
 
   /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
     * standard pre-training filter set): per-doc signal columns plus a
-    * boolean per rule and the composite `keep`. All native column
-    * expressions (no UDF anywhere; the higher-order lambdas are
-    * Catalyst HOFs) over ONE bound word/line split (HOF-lambda inputs are
-    * bound first — the O(len²) re-evaluation trap), exactly
-    * SQL-replicable, so the whole battery rides inside whatever scan is
-    * already reading the text: zero shuffle, zero extra pass at any
-    * corpus size. Rules on ratios compare the ROUNDED (4 dp) values so
-    * both engines decide boundaries identically; wordless docs fail
-    * `keep` outright rather than passing vacuous comparisons.
+    * boolean per rule and the composite `keep`. The raw signals come
+    * from ONE native codegen kernel call per row
+    * (`kernels.gopherSignals` — a single text pass; the earlier
+    * higher-order-function formulation paid a CodegenFallback
+    * evaluation per lambda per element), and everything derived from
+    * them is codegen arithmetic, exactly SQL-replicable: the battery
+    * rides inside whatever scan is already reading the text — zero
+    * shuffle, zero extra pass at any corpus size. Rules on ratios
+    * compare the ROUNDED (4 dp) values so both engines decide
+    * boundaries identically; wordless docs (including null text, which
+    * the kernel treats as empty) fail `keep` outright rather than
+    * passing vacuous comparisons.
     */
   def gopherQualityFlags(docs: DataFrame,
                          minWords: Int = 50, maxWords: Int = 100000,
@@ -103,45 +106,30 @@ object TextAnalysis {
                          minStopwords: Int = 2,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have",
-      "with")
     val nw = col("n_words")
+    // signal layout: see kernels.gopherSignals
+    val g = col("__g")
     docs
-      // null text counts as empty (size(split(null)) is -1, which would
-      // leak a nonsense n_words and diverge from any SQL recompute)
       .select(col(idCol),
-        coalesce(col(textCol), lit("")).as("__t"))
-      .select(col(idCol), col("__t"),
-        filter(split(col("__t"), " "), w => length(w) > 0).as("__w"),
-        split(col("__t"), "\n").as("__l"))
-      .select(col(idCol), col("__t"), col("__l"),
-        size(col("__w")).as("n_words"),
-        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w))
-          .as("__chars"),
-        size(filter(col("__w"), w => w.rlike("[A-Za-z]"))).as("__alpha"),
-        size(array_intersect(
-          array_distinct(transform(col("__w"), w => lower(w))),
-          array(stopwords.map(lit): _*))).as("n_stop_hits"))
+        graft.functions.expressions.gopher_signals(col(textCol)).as("__g"))
+      .select(col(idCol), g(0).cast("int").as("n_words"),
+        g(1).as("__chars"), g(2).as("__alpha"),
+        g(3).cast("int").as("n_stop_hits"),
+        g(4).as("__lines"), g(5).as("__bullet"), g(6).as("__elllines"),
+        (g(7) + g(8)).as("__symbols"))
       .select(col(idCol), nw,
         when(nw > 0, round(col("__chars").cast("double") / nw, 4))
           .as("mean_word_len"),
         when(nw > 0, round(col("__alpha").cast("double") / nw, 4))
           .as("frac_alpha_words"),
-        // '#' and '...' occurrences per word (the Gopher symbol set,
-        // ASCII form) — counted by replace-shrinkage, identical
-        // non-overlapping semantics in both engines
-        when(nw > 0, round(
-          ((length(col("__t")) - length(regexp_replace(col("__t"),
-            "#", ""))) +
-            (length(col("__t")) - length(regexp_replace(col("__t"),
-              "\\.\\.\\.", ""))) / lit(3)).cast("double") / nw, 4))
+        // '#' chars + non-overlapping '...' occurrences per word (the
+        // Gopher symbol set, ASCII form)
+        when(nw > 0, round(col("__symbols").cast("double") / nw, 4))
           .as("symbol_ratio"),
         col("n_stop_hits"),
-        round(size(filter(col("__l"), l =>
-            l.startsWith("- ") || l.startsWith("* ")))
-          .cast("double") / size(col("__l")), 4).as("frac_bullet_lines"),
-        round(size(filter(col("__l"), l => l.endsWith("...")))
-          .cast("double") / size(col("__l")), 4)
+        round(col("__bullet").cast("double") / col("__lines"), 4)
+          .as("frac_bullet_lines"),
+        round(col("__elllines").cast("double") / col("__lines"), 4)
           .as("frac_ellipsis_lines"))
       .withColumn("keep",
         coalesce(

@@ -804,6 +804,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(5L).getAs[Double]("frac_ellipsis_lines") == 0.4)
     assert(out(6L).isNullAt(out(6L).fieldIndex("mean_word_len")))
     assert(out(7L).getAs[Double]("mean_word_len") < 3.0)
+    // kernel edge semantics, pinned against the split()/regexp column
+    // formulation the q44 oracle replicates
+    val edges = Seq(
+      (0L, "a\nb c"),        // newline INSIDE a word: 2 words, 2 lines
+      (1L, "x y\n"),          // trailing \n: split keeps the empty line
+      (2L, "..... #"),        // 5 dots = ONE non-overlapping '...'
+      (3L, "- b\n* c\nd"))    // 2 of 3 bullet lines
+      .toDF("doc_id", "text")
+    val sig = edges.select(col("doc_id"),
+      graft.functions.expressions.gopher_signals(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == Seq(2L, 4L, 2L, 0L, 2L, 0L, 0L, 0L, 0L), s"$sig")
+    assert(sig(1L) == Seq(2L, 3L, 2L, 0L, 2L, 0L, 0L, 0L, 0L), s"$sig")
+    assert(sig(2L) == Seq(2L, 6L, 0L, 0L, 1L, 0L, 0L, 1L, 1L), s"$sig")
+    assert(sig(3L) == Seq(3L, 7L, 2L, 0L, 3L, 2L, 0L, 0L, 0L), s"$sig")
   }
 
   test("repetition metrics: planted duplicate n-gram fractions") {
