@@ -214,7 +214,14 @@ object sql {
       "graft_word_ngrams" -> (
         "(text, n) - distinct word n-grams, array<string>",
         (es: Seq[Expression]) => expressions.WordNgrams(
-          Cast(es.head, StringType), lng(es(1), "n").toInt)))
+          Cast(es.head, StringType), lng(es(1), "n").toInt)),
+      "graft_gopher_signals" -> (
+        "(text) - Gopher quality raw signals, array<long> of 9: " +
+          "[n_words, sum_word_codepoints, n_alpha_words, n_stopwords, " +
+          "n_lines, n_bullet_lines, n_ellipsis_lines, n_hash_chars, " +
+          "n_ellipsis_occurrences]",
+        (es: Seq[Expression]) => expressions.GopherSignals(
+          Cast(es.head, StringType))))
   }
 
   private def injectInto(registry:

@@ -52,6 +52,11 @@ class FacadeSpec extends AnyFunSuite {
         "SELECT graft_word_ngrams('a b c d a b', 2) AS g").head()
         .getSeq[String](0)
       assert(ng == Seq("a b", "b c", "c d", "d a"), ng)
+      // gopher signal kernel from SQL: same layout as the Column form
+      val gs = spark.sql(
+        "SELECT graft_gopher_signals('the of # ...') AS g").head()
+        .getSeq[Long](0)
+      assert(gs == Seq(4L, 9L, 2L, 2L, 1L, 0L, 1L, 1L, 1L), gs)
       // the scalar surface is codegen expressions, not UDFs
       val plan = spark.sql(
         "SELECT graft_simhash(graft_tokenize('x')) FROM t")
