@@ -181,6 +181,56 @@ class DedupIncrementalSpec extends AnyFunSuite {
       s"z must be dropped via the DROPPED-but-indexed y: $inc3")
   }
 
+  test("randomized: incremental CC == batch CC across random corpora/splits") {
+    // random near-dup structure: bases of 41 distinct words; variants
+    // perturb k in {0 (exact dup), 1 (J=40/42), 2 (J=39/43)} words, so
+    // components form random chains/stars across a random corpus/
+    // snapshot boundary — the fixture classes above are hand-picked
+    // instances of this space
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 3) {
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      for (b <- 0 until 10) {
+        val base = Array.tabulate(41)(w => s"t${trial}b${b}w$w")
+        texts += base.mkString(" ")
+        var cur = base
+        val nVar = 1 + rnd.nextInt(3)
+        for (v <- 0 until nVar) {
+          val k = rnd.nextInt(3)
+          val next = cur.clone()
+          var replaced = 0
+          while (replaced < k) {
+            val idx = rnd.nextInt(next.length)
+            next(idx) = s"t${trial}b${b}v${v}r$replaced"
+            replaced += 1
+          }
+          texts += next.mkString(" ")
+          cur = next
+        }
+      }
+      val docs = df(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "s" + (i % 3)) }.toSeq)
+      val n = texts.length
+      val mid = (n / 3 + rnd.nextInt(n / 2)).toLong
+      val snap1 = docs.filter(col("doc_id") <= mid)
+      val snap2 = docs.filter(col("doc_id") > mid)
+      val dir = Files.createTempDirectory(s"graft-cc-rand$trial").toString
+      Dedup.writeDedupIndexCC(snap1, dir, threshold = 0.9)
+      val incKept = keptIds(
+        Dedup.dedupIncrementalCC(snap2, dir, appendToIndex = true))
+      val batchKept = keptIds(Dedup.dedupDocsCC(docs))
+      assert(incKept == batchKept.filter(_ > mid),
+        s"trial $trial mid=$mid inc=$incKept batch=$batchKept")
+      val labels = spark.read.parquet(s"$dir/labels")
+      val keptFromIndex = keptIds(
+        spark.read.parquet(s"$dir/digests").select("doc_id").join(
+          labels.filter(col("cluster_id") =!= col("doc_id"))
+            .select("doc_id"), Seq("doc_id"), "left_anti"))
+      assert(keptFromIndex == batchKept,
+        s"trial $trial mid=$mid index=$keptFromIndex batch=$batchKept")
+    }
+  }
+
   test("embedding incremental CC == batch CC (bridge merges corpus clusters)") {
     def vec(base: Int, salt: Int): Array[Float] = {
       val v = Array.tabulate(8)(d =>

@@ -771,6 +771,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: chunk manifest tiles every doc and fills every chunk") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(424242L)
+    for (seqLen <- Seq(1L, 5L, 64L)) {
+      val df = (0L until 120L)
+        .map(i => (i, "s" + rnd.nextInt(3), rnd.nextInt(38).toLong))
+        .toDF("doc_id", "source", "n_tok")
+      val weights = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val asg = Packing.packAssignments(df, seqLen, salt = s"r$seqLen")
+      val man = Packing.chunkManifest(asg, seqLen).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      // per doc: slices tile [0, w) in chunk order
+      man.groupBy(_._1).foreach { case (id, rows) =>
+        val s = rows.sortBy(_._3)
+        assert(s.head._4 == 0L && s.last._5 == weights(id),
+          s"seqLen=$seqLen doc $id")
+        s.sliding(2).filter(_.length == 2).foreach { case Array(p, q) =>
+          assert(q._3 == p._3 + 1 && q._4 == p._5,
+            s"seqLen=$seqLen doc $id") }
+        s.foreach(r => assert(r._7 == r._5 - r._4 && r._7 >= 1 &&
+          r._7 <= seqLen && r._6 >= 0 && r._6 < seqLen))
+      }
+      // zero-weight docs emit nothing; everything else appears
+      assert(man.map(_._1).toSet ==
+        weights.filter(_._2 > 0).keySet, s"seqLen=$seqLen")
+      // per (source, chunk): full chunks hold exactly seqLen
+      val totalBySrc = df.groupBy("source").agg(sum("n_tok")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      man.groupBy(r => (r._2, r._3)).foreach { case ((src, chunk), rows) =>
+        val got = rows.map(_._7).sum
+        val full = (chunk + 1) * seqLen <= totalBySrc(src)
+        if (full) assert(got == seqLen, s"seqLen=$seqLen ($src,$chunk)=$got")
+        else assert(got == totalBySrc(src) - chunk * seqLen,
+          s"seqLen=$seqLen tail ($src,$chunk)=$got")
+      }
+    }
+  }
+
   test("gopher quality battery: each rule trips on its crafted doc") {
     val good = "the of and " + (1 to 60).map(i => s"word$i").mkString(" ")
     val docs = Seq(
