@@ -65,9 +65,9 @@ object TextAnalysis {
       .agg(countDistinct(col("t")).as("distinct_tokens"))
     val dups = docs.groupBy(col("source")).agg(
       (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
-    val keeps = gopherQualityFlags(docs)
-      .select(col("doc_id"), col("keep"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // the battery CARRIES source through its projection, so the keep
+    // rate aggregates straight off the scan — no corpus-sized join
+    val keeps = gopherQualityFlags(docs, carry = Seq("source"))
       .groupBy(col("source"))
       .agg(round(avg(col("keep").cast("double")), 4).as("keep_rate"))
     val bound = 3 * 1.04 / math.sqrt((1L << hllP).toDouble)
@@ -105,19 +105,21 @@ object TextAnalysis {
                          minAlphaWordFrac: Double = 0.8,
                          minStopwords: Int = 2,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         carry: Seq[String] = Nil): DataFrame = {
     val nw = col("n_words")
+    val carried = carry.map(col)
     // signal layout: see kernels.gopherSignals
     val g = col("__g")
     docs
-      .select(col(idCol),
-        graft.functions.expressions.gopher_signals(col(textCol)).as("__g"))
-      .select(col(idCol), g(0).cast("int").as("n_words"),
+      .select(col(idCol) +: carried :+
+        graft.functions.expressions.gopher_signals(col(textCol)).as("__g"): _*)
+      .select(col(idCol) +: carried ++: Seq(g(0).cast("int").as("n_words"),
         g(1).as("__chars"), g(2).as("__alpha"),
         g(3).cast("int").as("n_stop_hits"),
         g(4).as("__lines"), g(5).as("__bullet"), g(6).as("__elllines"),
-        (g(7) + g(8)).as("__symbols"))
-      .select(col(idCol), nw,
+        (g(7) + g(8)).as("__symbols")): _*)
+      .select(col(idCol) +: carried ++: Seq(nw,
         when(nw > 0, round(col("__chars").cast("double") / nw, 4))
           .as("mean_word_len"),
         when(nw > 0, round(col("__alpha").cast("double") / nw, 4))
@@ -130,7 +132,7 @@ object TextAnalysis {
         round(col("__bullet").cast("double") / col("__lines"), 4)
           .as("frac_bullet_lines"),
         round(col("__elllines").cast("double") / col("__lines"), 4)
-          .as("frac_ellipsis_lines"))
+          .as("frac_ellipsis_lines")): _*)
       .withColumn("keep",
         coalesce(
           nw >= minWords && nw <= maxWords &&
