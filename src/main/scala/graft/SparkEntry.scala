@@ -985,6 +985,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ------------- token counting (whitespace + BPE-ish) -------------
+    //
+    // Budget counts over raw text: whitespace tokens plus the BPE-style
+    // pre-tokenizer segmentation (alnum runs + one per other non-space
+    // char) — the count a byte-pair tokenizer subdivides. Both exactly
+    // recomputable in SQL (the segmentation rule is regex-expressible).
+
+    "q47_token_counts" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- Gopher quality-rule battery -------------
     //
     // The standard pre-training filter set (word-count bounds, mean
@@ -1391,6 +1403,21 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sp'), doc_id)
         |      - n_chars AS BIGINT) AS start_off
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS INT) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS BIGINT) AS seg_tokens,
+        |  round(CASE WHEN
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) > 0
+        |    THEN CAST(len(text) AS DOUBLE) /
+        |      len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))
+        |    END, 4) AS chars_per_seg_token
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q46_corpus_profile" ->

@@ -239,6 +239,33 @@ object expressions {
       copy(child = c)
   }
 
+  /** BPE-style pre-tokenizer token count (string -> long), see
+    * kernels.segTokenCount. Null text counts 0.
+    */
+  case class SegTokenCount(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_seg_token_count"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      kernels.segTokenCount(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |long ${ev.value} = graft.functions.kernels.segTokenCount(
+              |  ${c.isNull} ? null : ${c.value});
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): SegTokenCount =
+      copy(child = c)
+  }
+
   /** All Gopher quality-rule raw signals (string -> array<long> of 9,
     * see kernels.gopherSignals) in one codegen kernel call — the
     * battery's per-doc work is one text pass instead of a dozen
@@ -628,6 +655,9 @@ object expressions {
 
   def gopher_signals(c: Column): Column =
     catalyst.aggColExpr(GopherSignals(catalyst.expr(c.cast("string"))))
+
+  def seg_token_count(c: Column): Column =
+    catalyst.aggColExpr(SegTokenCount(catalyst.expr(c.cast("string"))))
 
   // token/hash array kernels read getInt/getLong positionally — coerce
   // like the float wrappers below, or a mistyped array column (e.g.

@@ -66,6 +66,39 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** BPE-style pre-tokenizer token count: each maximal ASCII
+    * alphanumeric run is one token and every other non-space character
+    * is its own token — the word/number/punctuation segmentation a
+    * byte-pair tokenizer starts from, as a cheap count for token-budget
+    * estimation over raw text. Deliberately regex-free and exactly
+    * equal to `len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))`
+    * (leftmost-first alternation), so a SQL engine can recompute it.
+    * Null text counts 0.
+    */
+  def segTokenCount(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val s = text.toString
+    val L = s.length
+    var n = 0L
+    var i = 0
+    var inRun = false
+    while (i < L) {
+      // advance by CODE POINT: a regex engine sees one astral char as
+      // one [^...] match, not two UTF-16 units
+      val cp = s.codePointAt(i)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      if (alnum) {
+        if (!inRun) { n += 1; inRun = true }
+      } else {
+        inRun = false
+        if (cp != ' ') n += 1
+      }
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
   private val gopherStopwords: Array[String] =
     Array("the", "be", "to", "of", "and", "that", "have", "with")
 

@@ -215,6 +215,11 @@ object sql {
         "(text, n) - distinct word n-grams, array<string>",
         (es: Seq[Expression]) => expressions.WordNgrams(
           Cast(es.head, StringType), lng(es(1), "n").toInt)),
+      "graft_seg_token_count" -> (
+        "(text) - BPE-style pre-tokenizer token count (alnum runs + " +
+          "one per other non-space char), long",
+        (es: Seq[Expression]) => expressions.SegTokenCount(
+          Cast(es.head, StringType))),
       "graft_gopher_signals" -> (
         "(text) - Gopher quality raw signals, array<long> of 9: " +
           "[n_words, sum_word_codepoints, n_alpha_words, n_stopwords, " +

@@ -146,6 +146,27 @@ object TextAnalysis {
           lit(false)))
   }
 
+  /** Per-document token counts for budget estimation over RAW text —
+    * whitespace tokens (the corpus tokenizer's unit) and the BPE-style
+    * pre-tokenizer segmentation count (`kernels.segTokenCount`: one
+    * token per maximal alphanumeric run, one per other non-space
+    * character — the segmentation a byte-pair tokenizer subdivides, so
+    * it upper-bounds words and lower-bounds BPE tokens). Both exactly
+    * SQL-recomputable; one projection, zero shuffle.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val seg = col("seg_tokens")
+    docs.select(col(idCol),
+        length(coalesce(col(textCol), lit(""))).as("n_chars"),
+        size(filter(split(coalesce(col(textCol), lit("")), " "),
+          w => length(w) > 0)).as("ws_tokens"),
+        graft.functions.expressions.seg_token_count(col(textCol))
+          .as("seg_tokens"))
+      .withColumn("chars_per_seg_token",
+        when(seg > 0, round(col("n_chars").cast("double") / seg, 4)))
+  }
+
   /** Within-document repetition signals (the Gopher/CCNet-style
     * duplicate n-gram fractions used to drop boilerplate and spam):
     * dup_Ngram_frac = 1 - distinct-n-grams / total-n-grams. All pure

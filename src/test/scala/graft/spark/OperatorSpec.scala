@@ -860,6 +860,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(sig(3L) == Seq(3L, 7L, 2L, 0L, 3L, 2L, 0L, 0L, 0L), s"$sig")
   }
 
+  test("token counts: BPE-ish segmentation vs whitespace on punctuated text") {
+    val docs = Seq(
+      (0L, "hello, world!"),   // seg: hello , world !  = 4; ws 2
+      (1L, "a1b2 x-y"),        // seg: a1b2 x - y       = 4; ws 2
+      (2L, "... #tag"),        // seg: . . . # tag      = 5; ws 2
+      (3L, "plain words here"),// seg == ws             = 3
+      (4L, ""),                // 0 / 0
+      (5L, null))              // null counts as empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(out == Map(0L -> (2, 4L), 1L -> (2, 4L), 2L -> (2, 5L),
+      3L -> (3, 3L), 4L -> (0, 0L), 5L -> (0, 0L)), s"$out")
+    // the kernel rule equals the regex it documents (DuckDB replays the
+    // regex side in the q47 oracle; here pin it against Java regex too)
+    val pat = java.util.regex.Pattern.compile("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")
+    for ((_, t) <- Seq((0L, "hello, world!"), (1L, "a1b2 x-y"),
+        (2L, "... #tag"), (3L, "plain words here"), (4L, ""))) {
+      val m = pat.matcher(t)
+      var c = 0L
+      while (m.find()) c += 1
+      assert(c == graft.functions.kernels.segTokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)), t)
+    }
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
