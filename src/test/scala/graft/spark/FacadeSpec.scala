@@ -57,6 +57,8 @@ class FacadeSpec extends AnyFunSuite {
         "SELECT graft_gopher_signals('the of # ...') AS g").head()
         .getSeq[Long](0)
       assert(gs == Seq(4L, 9L, 2L, 2L, 1L, 0L, 1L, 1L, 1L), gs)
+      assert(spark.sql("SELECT graft_seg_token_count('hello, world!') AS c")
+        .head().getLong(0) == 4L)
       // the scalar surface is codegen expressions, not UDFs
       val plan = spark.sql(
         "SELECT graft_simhash(graft_tokenize('x')) FROM t")
