@@ -371,6 +371,19 @@ class OperatorSpec extends AnyFunSuite {
       s"rebuild must improve quantizer fit: $healed vs $drifted")
     assert(healed.getAs[Long]("n_vecs_now") == 80L,
       "in-place rebuild must preserve every vector")
+    // rebuild-to-fresh-dir (the 100-TB path: lazy scan, no pinned copy)
+    // must produce an equivalent index: same vectors, fresh baseline,
+    // and searches that agree with the in-place rebuilt index
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-ivf-rebuild-out").toString
+    Ann.rebuildIvfIndex(spark, dir, nlist = 5, iters = 4, outDir = dir2)
+    val out2 = Ann.ivfIndexStats(spark, dir2).head()
+    assert(out2.getAs[Long]("n_vecs_now") == 80L)
+    assert(math.abs(out2.getAs[Double]("mean_drift")) < 1e-6)
+    val qs2 = initial.filter(col("vec_id") % 100 === 0)
+    assert(Ann.searchIvfIndex(qs2, dir2, 3, nprobe = 2).collect().toSet ==
+      Ann.searchIvfIndex(qs2, dir, 3, nprobe = 2).collect().toSet,
+      "out-of-place and in-place rebuilds must answer identically")
   }
 
   test("IVF index append: new vectors searchable, assignment consistent") {
