@@ -341,9 +341,10 @@ object Dedup {
   // tokset row per exact-survivor doc; incremental joins touch only the
   // index and the (small) new snapshot — the corpus text is never read.
   // All three joins are equi-joins on uniform keys (md5, band hash,
-  // doc_id); at scale write the band index bucketed by `band`
-  // (sources.BucketedTables) so repeated snapshots join exchange-free
-  // on the corpus side.
+  // doc_id); at scale use [[writeDedupIndexTables]] /
+  // [[dedupIncrementalTables]], which bucket each index table on
+  // exactly its join key so repeated snapshots join exchange-free on
+  // the corpus side (PlanSpec-asserted).
 
   /** Persist the dedup index of a corpus under `dir`:
     * digests/ (doc_id, content_md5), bands/ (doc_id, band) and
@@ -560,6 +561,24 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (numBands, rowsPerBand, ngram, _, maxIndexed) =
       readIndexManifest(spark, indexDir)
+    incrementalPairsFrom(newDocs,
+      spark.read.parquet(s"$indexDir/digests"),
+      spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/toksets"),
+      numBands, rowsPerBand, ngram, maxIndexed, threshold)
+  }
+
+  /** Core of [[incrementalPairs]] over already-loaded corpus state —
+    * shared by the directory index and the bucketed-table index.
+    */
+  private def incrementalPairsFrom(newDocs: DataFrame,
+                                   corpusDigests: DataFrame,
+                                   corpusBands: DataFrame,
+                                   corpusSets: DataFrame,
+                                   numBands: Int, rowsPerBand: Int,
+                                   ngram: Int, maxIndexed: Long,
+                                   threshold: Double):
+      Option[IncrementalState] = {
     val newMinRow = newDocs.agg(min(col("doc_id"))).head()
     if (newMinRow.isNullAt(0)) return None // empty snapshot
     val newMin = newMinRow.getLong(0)
@@ -567,9 +586,6 @@ object Dedup {
       s"incremental dedup requires new doc_ids above the indexed corpus " +
         s"(min new id $newMin <= max indexed id $maxIndexed); batch-equal " +
         s"results are only guaranteed for monotone snapshot ids")
-    val corpusDigests = spark.read.parquet(s"$indexDir/digests")
-    val corpusBands = spark.read.parquet(s"$indexDir/bands")
-    val corpusSets = spark.read.parquet(s"$indexDir/toksets")
 
     // exact tier (a): content already in the corpus -> drop
     val newDigests = newDocs
@@ -618,6 +634,76 @@ object Dedup {
     val pairsWithin = verifyJaccard2(candWithin, newSets, newSets, threshold)
     Some(IncrementalState(newExact, newSets, pairsVsCorpus, pairsWithin,
       numBands, rowsPerBand, ngram, maxIndexed))
+  }
+
+  /** The BUCKETED-TABLE form of the dedup index — the 100-TB layout the
+    * directory index's docs promise: digests bucketed by content_md5,
+    * bands by band, toksets by doc_id (each bucketed on exactly the key
+    * its incremental join probes), so every snapshot dedup run shuffles
+    * ONLY the snapshot side — the corpus side of all three joins reads
+    * its buckets in place, exchange-free (PlanSpec-asserted). The one
+    * corpus shuffle happens at THIS write and is amortized over every
+    * later snapshot. Tables are Spark managed tables
+    * `<prefix>_digests/_bands/_toksets/_manifest`.
+    */
+  def writeDedupIndexTables(docs: DataFrame, tablePrefix: String,
+                            numBuckets: Int,
+                            numBands: Int = 32, rowsPerBand: Int = 4,
+                            ngram: Int = 1): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats =
+      try {
+        graft.sources.BucketedTables.writeBucketed(
+          afterExact.select(col("doc_id"), md5(col("text")).as("content_md5")),
+          s"${tablePrefix}_digests", "content_md5", numBuckets)
+        val toks = docTokens(afterExact)
+        graft.sources.BucketedTables.writeBucketed(
+          tokenSets(toks, ngram), s"${tablePrefix}_toksets", "doc_id",
+          numBuckets)
+        graft.sources.BucketedTables.writeBucketed(
+          bandKeys(toks, numBands, rowsPerBand, ngram),
+          s"${tablePrefix}_bands", "band", numBuckets)
+        afterExact
+          .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
+      } finally afterExact.unpersist()
+    Seq((numBands, rowsPerBand, ngram, stats.getLong(0),
+        if (stats.isNullAt(1)) -1L else stats.getLong(1)))
+      .toDF("num_bands", "rows_per_band", "ngram", "n_docs", "max_doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tablePrefix}_manifest")
+  }
+
+  /** [[dedupIncremental]] against a bucketed-table index
+    * ([[writeDedupIndexTables]]): identical semantics and drop policy,
+    * but the corpus side of the digest/band/tokset joins is read
+    * pre-partitioned — zero corpus-side exchange per snapshot. Appends
+    * are not supported on the table layout (Spark cannot append into
+    * managed bucketed tables transactionally here); use the directory
+    * index for composing snapshots, or rebuild the tables.
+    */
+  def dedupIncrementalTables(newDocs: DataFrame, tablePrefix: String,
+                             threshold: Double = 0.9): DataFrame = {
+    val spark = newDocs.sparkSession
+    val m = spark.table(s"${tablePrefix}_manifest")
+      .agg(max(col("num_bands")), max(col("rows_per_band")),
+        max(col("ngram")), max(col("max_doc_id"))).head()
+    incrementalPairsFrom(newDocs,
+      spark.table(s"${tablePrefix}_digests"),
+      spark.table(s"${tablePrefix}_bands"),
+      spark.table(s"${tablePrefix}_toksets"),
+      m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3),
+      threshold) match {
+      case None => newDocs // empty snapshot
+      case Some(st) =>
+        st.newExact
+          .join(st.pairsVsCorpus.select(col("b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .join(st.pairsWithin.select(col("b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Verified near-dup HITS of a docs frame against a persisted corpus

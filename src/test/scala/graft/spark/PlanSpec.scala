@@ -304,6 +304,74 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed dedup index: corpus side of every join is exchange-free") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = ((0L until 30L).map(i =>
+          (i, (1 to 25).map(w => s"c${i}w$w").mkString(" "), "s"))
+        :+ ((30L, (1 to 30).map(w => s"hw$w").mkString(" "), "s")))
+        .toDF("doc_id", "text", "source")
+      graft.operators.Dedup.writeDedupIndexTables(corpus, "graft_dix", 8)
+      val snap = Seq(
+        (100L, ((1 to 29).map(w => s"hw$w") :+ "zz1").mkString(" "), "s"),
+        (101L, (1 to 25).map(w => s"fw$w").mkString(" "), "s"))
+        .toDF("doc_id", "text", "source")
+      val kept = graft.operators.Dedup
+        .dedupIncrementalTables(snap, "graft_dix")
+      kept.collect()
+      // same answer as the directory index
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-dix-dir").toString
+      graft.operators.Dedup.writeDedupIndex(corpus, dir)
+      assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+        graft.operators.Dedup.dedupIncremental(snap, dir)
+          .select("doc_id").as[Long].collect().sorted.toSeq)
+      // NO exchange anywhere above a bucketed corpus-table scan: the
+      // snapshot side shuffles to meet the buckets, the corpus does not
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val here = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case other => other +: other.children.flatMap(walk)
+        }
+        here
+      }
+      def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        walk(p).collect {
+          case f: FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("graft_dix"))
+              => f
+        }
+      val all = walk(kept.queryExecution.executedPlan)
+      assert(corpusScans(kept.queryExecution.executedPlan).nonEmpty,
+        "corpus table scans must be present")
+      // derived frames may reshuffle on new keys AFTER a join; the
+      // bucketing claim is that no exchange sits BETWEEN a corpus scan
+      // and the join that consumes it (the snapshot side, by contrast,
+      // must shuffle to meet the buckets)
+      def corpusScanBeforeJoin(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("graft_dix"))
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case a: AdaptiveSparkPlanExec => corpusScanBeforeJoin(a.executedPlan)
+        case q: QueryStageExec => corpusScanBeforeJoin(q.plan)
+        case other => other.children.exists(corpusScanBeforeJoin)
+      }
+      val shuffledCorpus = all.collect {
+        case s: ShuffleExchangeExec if corpusScanBeforeJoin(s.child) => s }
+      assert(shuffledCorpus.isEmpty,
+        s"corpus buckets must reach their join unshuffled:\n$shuffledCorpus")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("digests", "bands", "toksets", "manifest").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_dix_$t"))
+    }
+  }
+
   test("broadcast bloom probe stays inside codegen, no UDFs") {
     val f = BlockedBloomFilter.optimized(1000, 0.01)
     (0 until 1000).foreach(i => f.add(Hashing.tokenHash(i)))
