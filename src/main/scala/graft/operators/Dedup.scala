@@ -725,9 +725,35 @@ object Dedup {
     val spark = docs.sparkSession
     val (numBands, rowsPerBand, ngram, _, _) =
       readIndexManifest(spark, indexDir)
-    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    nearDupHitsFrom(docs,
+      spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/toksets"),
+      numBands, rowsPerBand, ngram, threshold)
+  }
+
+  /** [[nearDupHitsVsIndex]] against a bucketed-table index
+    * ([[writeDedupIndexTables]]) — on a stream, the static corpus side
+    * of both joins additionally arrives pre-partitioned on its key.
+    */
+  def nearDupHitsVsTables(docs: DataFrame, tablePrefix: String,
+                          threshold: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
+    val m = spark.table(s"${tablePrefix}_manifest")
+      .agg(max(col("num_bands")), max(col("rows_per_band")),
+        max(col("ngram"))).head()
+    nearDupHitsFrom(docs,
+      spark.table(s"${tablePrefix}_bands"),
+      spark.table(s"${tablePrefix}_toksets"),
+      m.getInt(0), m.getInt(1), m.getInt(2), threshold)
+  }
+
+  private def nearDupHitsFrom(docs: DataFrame, bands: DataFrame,
+                              sets: DataFrame, numBands: Int,
+                              rowsPerBand: Int, ngram: Int,
+                              threshold: Double): DataFrame = {
+    val corpusBands = bands
       .select(col("doc_id").as("corpus_id"), col("band"))
-    val corpusSets = spark.read.parquet(s"$indexDir/toksets")
+    val corpusSets = sets
       .select(col("doc_id").as("corpus_id"), col("tokset").as("ctokset"),
         col("set_size").as("csz"))
     val toks = docTokens(docs)

@@ -365,6 +365,12 @@ class PlanSpec extends AnyFunSuite {
         case s: ShuffleExchangeExec if corpusScanBeforeJoin(s.child) => s }
       assert(shuffledCorpus.isEmpty,
         s"corpus buckets must reach their join unshuffled:\n$shuffledCorpus")
+      // the table-backed near-dup screen answers exactly like the
+      // directory-backed one
+      assert(graft.operators.Dedup.nearDupHitsVsTables(snap, "graft_dix")
+          .collect().toSet ==
+        graft.operators.Dedup.nearDupHitsVsIndex(snap, dir)
+          .collect().toSet)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       Seq("digests", "bands", "toksets", "manifest").foreach(t =>
