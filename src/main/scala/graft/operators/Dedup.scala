@@ -552,7 +552,7 @@ object Dedup {
     * [[dedupIncrementalCC]] (connected components) diverge.
     */
   private case class IncrementalState(
-      newExact: DataFrame, newSets: DataFrame,
+      newExact: DataFrame,
       pairsVsCorpus: DataFrame, pairsWithin: DataFrame,
       numBands: Int, rowsPerBand: Int, ngram: Int, maxIndexed: Long)
 
@@ -632,7 +632,7 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val pairsWithin = verifyJaccard2(candWithin, newSets, newSets, threshold)
-    Some(IncrementalState(newExact, newSets, pairsVsCorpus, pairsWithin,
+    Some(IncrementalState(newExact, pairsVsCorpus, pairsWithin,
       numBands, rowsPerBand, ngram, maxIndexed))
   }
 
