@@ -1405,6 +1405,9 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // coalesce(text, '') pins the null-text semantics to the engine's
+    // (kernels treat null as empty; bare len(text)/split(text) would
+    // yield NULL columns here instead)
     "q47_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(text) AS INT) AS n_chars,
@@ -1417,15 +1420,18 @@ object SparkEntry {
         |    THEN CAST(len(text) AS DOUBLE) /
         |      len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))
         |    END, 4) AS chars_per_seg_token
-        |FROM documents
+        |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // the w CTE coalesces text to '' so null-text docs get the
+    // kernel's null-as-empty battery semantics, not NULL signals
     "q46_corpus_profile" ->
       """WITH w AS (
         |  SELECT doc_id, source, text,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
         |    string_split(text, chr(10)) AS ll
-        |  FROM documents),
+        |  FROM (SELECT doc_id, source, coalesce(text, '') AS text
+        |        FROM documents)),
         |k AS (
         |  SELECT source,
         |    coalesce(len(wl) BETWEEN 50 AND 100000
@@ -1470,12 +1476,14 @@ object SparkEntry {
         |JOIN keeps ke USING (source)
         |ORDER BY source""".stripMargin,
 
+    // same null-text pin as q46/q47: coalesce(text, '') = the kernel's
+    // null-as-empty contract
     "q44_gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, text,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
         |    string_split(text, chr(10)) AS ll
-        |  FROM documents)
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
         |SELECT doc_id,
         |  CAST(len(wl) AS INT) AS n_words,
         |  round(CASE WHEN len(wl) > 0 THEN

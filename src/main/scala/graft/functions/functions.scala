@@ -150,7 +150,26 @@ object functions {
   /** Codegen FNV-1a 64 string hash. */
   def fnv_hash64_native(c: Column): Column = expressions.fnv1a64(c)
 
-  /** Per-row variant over a sketch-bytes column (small results only). */
+  // ---------------- udf-form scalar accessors ----------------
+  //
+  // SMALL RESULTS ONLY: each call deserializes its sketch argument per
+  // ROW (BloomIO.load / *.deserialize inside a ScalaUDF — no codegen,
+  // full encoder tax). They exist for driver-side readbacks over
+  // already-aggregated frames (one sketch row per group; SparkEntry
+  // uses them on <= 20-row results). Anything corpus-sized has a
+  // native twin — use it:
+  //  - probing rows against a filter  -> [[bloomProbe]] /
+  //    [[bloomProbeBroadcast]] / [[bloomProbeAuto]] (codegen
+  //    expressions.BloomProbe; the filter is loaded ONCE per plan)
+  //  - building/merging filters over rows -> the catalyst.scala
+  //    aggregates (bloom_agg_* — partial/final merge, no per-row dump)
+  //  - set algebra over MANY filters -> load once driver-side
+  //    (BloomIO.load) and use the core BlockedBloomFilter methods
+  // PlanSpec asserts no ScalaUDF reaches a hot path.
+
+  /** Per-row variant over a sketch-bytes column (small results only —
+    * see section note; corpus-sized probes use [[bloomProbeAuto]]).
+    */
   val bloom_might_contain: UserDefinedFunction =
     udf((dump: Array[Byte], h: Long) => BloomIO.load(dump).has(h))
 
@@ -190,6 +209,13 @@ object functions {
     })
 
   // ---------------- sketch scalars ----------------
+  //
+  // Same contract as the Bloom accessors above: these read back
+  // ALREADY-AGGREGATED sketch columns (one row per group — built by the
+  // native catalyst.scala aggregates hll_agg_* / cms_agg_* /
+  // tdigest_agg_* / kll_agg_*), so the per-row deserialization cost is
+  // paid once per GROUP, never per input row. Do not map them over
+  // corpus-sized frames.
 
   val hll_estimate: UserDefinedFunction =
     udf((bytes: Array[Byte]) => HyperLogLog.deserialize(bytes).estimate)

@@ -303,7 +303,18 @@ object Ann {
                       outDir: String = null): Unit = {
     val corpus = spark.read.parquet(s"$dir/lists")
       .select(col("neighbor_id").as("vec_id"), col("c_emb").as("embedding"))
-    if (outDir == null || outDir == dir)
+    // in-place detection via Hadoop-QUALIFIED paths, not raw strings: an
+    // aliased spelling of the same location (trailing slash, relative
+    // path) must take the pinned branch, or the lazy scan would read
+    // lists/ while overwriting it — the corruption the doc above warns
+    // about. (Filesystem symlinks are outside Path identity; a symlinked
+    // alias still needs the caller to pass the canonical spelling.)
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(path)
+    }
+    if (outDir == null || qualified(outDir) == qualified(dir))
       writeIvfIndex(corpus.localCheckpoint(), dir, nlist, iters)
     else
       writeIvfIndex(corpus, outDir, nlist, iters)

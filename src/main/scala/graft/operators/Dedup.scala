@@ -969,7 +969,11 @@ object Dedup {
 
   /** Persist the embedding dedup index: vectors/ (vid, emb),
     * bands/ (vid, band) and manifest/ (band params, dim, count, max id).
-    * With `append`, band params must match the existing manifest.
+    * With `append`, band params must match the existing manifest, and
+    * the index must not carry cluster labels (same guard as the text
+    * twin [[writeDedupIndex]]: a raw append on a CC-labeled index would
+    * silently stale labels/ — append through
+    * [[embDedupIncrementalCC]], which remaps them).
     */
   def writeEmbDedupIndex(embeddings: DataFrame, dir: String,
                          numBands: Int = 64, bitsPerBand: Int = 4,
@@ -977,6 +981,20 @@ object Dedup {
                          embCol: String = "embedding",
                          dim: Int = -1,
                          append: Boolean = false): Unit = {
+    if (append) requireNoLabels(embeddings.sparkSession, dir)
+    writeEmbDedupIndexUnguarded(embeddings, dir, numBands, bitsPerBand,
+      idCol, embCol, dim, append)
+  }
+
+  /** [[writeEmbDedupIndex]] without the no-labels append guard — for
+    * the internal CC append path ([[embDedupIncrementalCC]]), which
+    * overwrites labels/ consistently right after extending the state.
+    */
+  private def writeEmbDedupIndexUnguarded(
+      embeddings: DataFrame, dir: String,
+      numBands: Int, bitsPerBand: Int,
+      idCol: String, embCol: String,
+      dim: Int, append: Boolean): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     if (append) {
@@ -1174,7 +1192,7 @@ object Dedup {
         if (appendToIndex) {
           val materialized = kept.localCheckpoint()
           val pinnedLabels = newLabels.localCheckpoint()
-          writeEmbDedupIndex(newEmbs, indexDir, st.numBands,
+          writeEmbDedupIndexUnguarded(newEmbs, indexDir, st.numBands,
             st.bitsPerBand, idCol, embCol, st.dim, append = true)
           pinnedLabels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$indexDir/labels")

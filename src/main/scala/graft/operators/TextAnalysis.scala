@@ -70,7 +70,17 @@ object TextAnalysis {
     val keeps = gopherQualityFlags(docs, carry = Seq("source"))
       .groupBy(col("source"))
       .agg(round(avg(col("keep").cast("double")), 4).as("keep_rate"))
-    val bound = 3 * 1.04 / math.sqrt((1L << hllP).toDouble)
+    // hll_ok is a STATISTICAL gate the SQL oracle cannot recompute (it
+    // has no HLL): the oracle pins it `true`, so its width is chosen so
+    // a correct implementation virtually never trips it — 6 sigma of
+    // the HLL++ error (sigma = 1.04/sqrt(m)), P(trip | correct) ~ 1e-9
+    // per source under the normal approximation. The TIGHT accuracy
+    // assertion lives in sbt (SketchSpec / OperatorSpec pin the actual
+    // relative error at 3 sigma on fixed corpora, where a red run means
+    // a bug, not bad luck); this column exists so a PIPELINE sees
+    // gross estimator breakage (orders of magnitude, not tail noise)
+    // next to the exact count it would otherwise have to recompute.
+    val bound = 6 * 1.04 / math.sqrt((1L << hllP).toDouble)
     base.join(dist, Seq("source")).join(dups, Seq("source"))
       .join(keeps, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"),

@@ -899,6 +899,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus profile: hll gate passes and true error sits inside 3 sigma") {
+    // deterministic corpus: the 6-sigma hll_ok gate in corpusProfile is
+    // the loose never-trips-when-correct pipeline gate (its oracle pins
+    // `true`); THIS test is the tight pin — on fixed data the HLL
+    // estimate is deterministic, so a 3-sigma miss means a bug, not luck
+    val docs = (0L until 400L).map { i =>
+      val src = if (i % 4 == 0) "web" else "book"
+      val words = (0 until 30).map(j => s"w${(i * 31 + j * 7) % 5000}")
+      (i, words.mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    val prof = TextAnalysis.corpusProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("web", "book"))
+    assert(prof("web").getAs[Long]("n_docs") == 100L)
+    assert(prof("book").getAs[Long]("n_docs") == 300L)
+    assert(prof.values.forall(_.getAs[Boolean]("hll_ok")), "6-sigma gate")
+    val p = 14
+    val sigma = 1.04 / math.sqrt((1 << p).toDouble)
+    val F = graft.functions.functions
+    val toks = graft.sources.TokenDocs.fromDocuments(docs)
+    val errs = toks.groupBy(col("source"))
+      .agg(F.hll_agg_tokens(col("tokens"), p).as("h"))
+      .join(toks.select(col("source"), explode(col("tokens")).as("t"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("t")).as("exact")), Seq("source"))
+      .select(col("source"),
+        abs(F.hll_estimate(col("h")) / col("exact") - 1).as("rel_err"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    errs.foreach { case (src, e) =>
+      assert(e < 3 * sigma, s"$src rel_err=$e >= ${3 * sigma}")
+    }
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
