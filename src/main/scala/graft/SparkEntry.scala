@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Packing, Sampling, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Packing, Sampling, SpanDedup, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -1030,6 +1030,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- substring-level duplicate spans -------------
+    //
+    // The residual duplication doc-level dedup misses (Lee et al. 2022):
+    // verbatim >= 8-token runs shared across docs, as maximal per-doc
+    // spans (q48) and as excised text (q49). Seeded on rolling gram
+    // hashes, verified on gram md5 — exactly SQL-recomputable.
+
+    "q48_duplicate_spans" -> ((s, dir) => {
+      SpanDedup.duplicateSpans(tbl(s, dir, "documents"), minLen = 8)
+        .orderBy(col("doc_id"), col("span_from"))
+    }),
+
+    "q49_excise_spans" -> ((s, dir) => {
+      SpanDedup.exciseSpans(tbl(s, dir, "documents"), minLen = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1403,6 +1420,70 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|sp'), doc_id)
         |      - n_chars AS BIGINT) AS start_off
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // seed->verify->merge replayed literally: 8-gram md5 keys shared by
+    // >= 2 docs, covered indices, islands by idx - row_number
+    "q48_duplicate_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text,''), ' '),
+        |      x -> x <> '') AS wl
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, wl,
+        |    unnest(generate_series(1, len(wl) - 7)) AS p FROM w),
+        |g AS (
+        |  SELECT doc_id, p - 1 AS pos,
+        |    md5(array_to_string(list_slice(wl, p, p + 7), ' ')) AS gk
+        |  FROM g0),
+        |sh AS (SELECT gk FROM g GROUP BY gk
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (SELECT g.doc_id, g.pos, g.gk FROM g JOIN sh USING (gk)),
+        |cov0 AS (SELECT doc_id, gk,
+        |  unnest(generate_series(pos, pos + 7)) AS idx FROM st),
+        |cov AS (SELECT doc_id, idx, min(gk) AS mgk
+        |        FROM cov0 GROUP BY doc_id, idx),
+        |isl AS (SELECT doc_id, idx, mgk,
+        |  idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+        |    AS grp FROM cov)
+        |SELECT doc_id, CAST(min(idx) AS INT) AS span_from,
+        |  CAST(max(idx) + 1 AS INT) AS span_to,
+        |  CAST(max(idx) + 1 - min(idx) AS INT) AS span_tokens,
+        |  min(mgk) AS group_key
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_from""".stripMargin,
+
+    "q49_excise_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text,''), ' '),
+        |      x -> x <> '') AS wl
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, wl,
+        |    unnest(generate_series(1, len(wl) - 7)) AS p FROM w),
+        |g AS (
+        |  SELECT doc_id, p - 1 AS pos,
+        |    md5(array_to_string(list_slice(wl, p, p + 7), ' ')) AS gk
+        |  FROM g0),
+        |sh AS (SELECT gk FROM g GROUP BY gk
+        |       HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (SELECT g.doc_id, g.pos FROM g JOIN sh USING (gk)),
+        |cov AS (SELECT doc_id, idx FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+        |  FROM st) GROUP BY doc_id, idx),
+        |t AS (SELECT doc_id, unnest(wl) AS tok,
+        |  unnest(generate_series(0, len(wl) - 1)) AS idx FROM w),
+        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM t
+        |  LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.idx = cov.idx
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(w.wl) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+        |FROM w LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // coalesce(text, '') pins the null-text semantics to the engine's

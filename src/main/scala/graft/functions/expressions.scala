@@ -239,6 +239,73 @@ object expressions {
       copy(child = c)
   }
 
+  /** Position-ordered rolling word-n-gram hashes (string ->
+    * array<long>), the duplicate-span seed stream — see
+    * kernels.gramHashes. Null / short text -> empty array.
+    */
+  case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    override def prettyName: String = "graft_gram_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      kernels.gramHashes(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val tpe = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |$tpe ${ev.value} = graft.functions.kernels.gramHashes(
+              |  ${c.isNull} ? null : ${c.value}, $n);
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): GramHashes =
+      copy(child = c)
+  }
+
+  /** The word n-gram starting at a word index ((string, int) -> string),
+    * the exact verifier for hash-seeded span candidates — see
+    * kernels.gramAt. Null on null/out-of-range inputs.
+    */
+  case class GramAt(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    override def prettyName: String = "graft_gram_at"
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val p = right.eval(input)
+      if (p == null) null
+      else kernels.gramAt(left.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[Int], n)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      val u = classOf[org.apache.spark.unsafe.types.UTF8String].getName
+      ev.copy(code =
+        code"""
+              |${l.code}
+              |${r.code}
+              |$u ${ev.value} = ${r.isNull} ? null :
+              |  graft.functions.kernels.gramAt(
+              |    ${l.isNull} ? null : ${l.value}, ${r.value}, $n);
+              |boolean ${ev.isNull} = ${ev.value} == null;
+              |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): GramAt = copy(left = l, right = r)
+  }
+
   /** BPE-style pre-tokenizer token count (string -> long), see
     * kernels.segTokenCount. Null text counts 0.
     */
@@ -655,6 +722,13 @@ object expressions {
 
   def gopher_signals(c: Column): Column =
     catalyst.aggColExpr(GopherSignals(catalyst.expr(c.cast("string"))))
+
+  def gram_hashes(c: Column, n: Int): Column =
+    catalyst.aggColExpr(GramHashes(catalyst.expr(c.cast("string")), n))
+
+  def gram_at(text: Column, pos: Column, n: Int): Column =
+    catalyst.aggColExpr(GramAt(catalyst.expr(text.cast("string")),
+      catalyst.expr(pos.cast("int")), n))
 
   def seg_token_count(c: Column): Column =
     catalyst.aggColExpr(SegTokenCount(catalyst.expr(c.cast("string"))))

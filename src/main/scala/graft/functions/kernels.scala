@@ -66,6 +66,66 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** POSITION-ORDERED rolling hashes of the word n-grams of a text:
+    * element i is a 64-bit hash of words[i..i+n) (words = non-empty
+    * runs between single spaces, the [[wordNgrams]] tokenization).
+    * Unlike [[wordNgrams]] (distinct, for membership) this keeps one
+    * entry PER START POSITION — the seed stream for duplicate-span
+    * detection, where positions are the point. O(len) per row at ANY n:
+    * per-word FNV hashes feed a true rolling polynomial (update =
+    * subtract w[i]*B^(n-1), multiply by B, add w[i+n]), finalized with
+    * splitmix64. 64-bit seeds can collide — span operators verify
+    * matched grams by STRING ([[gramAt]]) before reporting, so a
+    * collision costs a wasted verify row, never a wrong span.
+    * Null / short texts yield an empty array.
+    */
+  def gramHashes(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.emptyLongArray)
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val w = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { w(i) = Hashing.fnv1a64(toks(i)); i += 1 }
+    val B = 0x100000001B3L
+    var bPow = 1L // B^(n-1)
+    i = 1
+    while (i < n) { bPow *= B; i += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + w(i); i += 1 }
+    out(0) = Hashing.splitmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - w(i - 1) * bPow) * B + w(i + n - 1)
+      out(i) = Hashing.splitmix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The word n-gram of `text` starting at word index `pos` (0-based
+    * over the [[gramHashes]] word stream), space-joined — the exact
+    * verifier for hash-seeded span candidates. Null on out-of-range
+    * pos (a candidate row carrying one is a bug upstream, but a null
+    * group key drops it from the verify groupBy instead of crashing
+    * the stage).
+    */
+  def gramAt(text: UTF8String, pos: Int, n: Int): UTF8String = {
+    if (text == null || pos < 0) return null
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    if (pos + n > toks.length) return null
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(pos + j))
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** BPE-style pre-tokenizer token count: each maximal ASCII
     * alphanumeric run is one token and every other non-space character
     * is its own token — the word/number/punctuation segmentation a

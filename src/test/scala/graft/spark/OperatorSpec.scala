@@ -899,6 +899,91 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("gram hashes: rolling update equals direct per-window hashing") {
+    // a wrong rolling update would make the SAME gram hash differently
+    // depending on what precedes it in the doc — silent false NEGATIVES
+    // the string-verify stage can never repair, so pin the algebra
+    val words = (0 until 40).map(i => s"t${(i * 13) % 17}x$i")
+    val text = words.mkString(" ")
+    for (n <- Seq(1, 2, 5, 8)) {
+      val got = graft.functions.kernels.gramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), n)
+        .toLongArray()
+      val B = 0x100000001B3L
+      val expect = (0 to words.length - n).map { i =>
+        var h = 0L
+        for (j <- 0 until n) h = h * B + graft.core.Hashing.fnv1a64(words(i + j))
+        graft.core.Hashing.splitmix64(h)
+      }
+      assert(got.toSeq == expect, s"n=$n")
+      // the same window yields the same hash regardless of context
+      val shifted = graft.functions.kernels.gramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "zzz0 zzz1 " + text), n).toLongArray()
+      assert(shifted.drop(2).toSeq == got.toSeq, s"context-dependence n=$n")
+    }
+    // gramAt matches the window it indexes
+    assert(graft.functions.kernels.gramAt(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), 3, 4)
+      .toString == words.slice(3, 7).mkString(" "))
+    assert(graft.functions.kernels.gramAt(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), 38, 4) == null)
+  }
+
+  test("duplicate spans: planted shared span found, merged, grouped") {
+    import graft.operators.SpanDedup
+    val span = (1 to 8).map(i => s"shared$i")
+    val d0 = (1 to 10).map(i => s"a$i") ++ span ++ (11 to 22).map(i => s"a$i")
+    val d1 = (1 to 5).map(i => s"b$i") ++ span ++ (6 to 15).map(i => s"b$i")
+    val d2 = (1 to 25).map(i => s"c$i")
+    // within-doc-only repetition: an 8-token run repeated twice in ONE
+    // doc must not become a span (cross-doc rule)
+    val d3 = (1 to 8).map(i => s"d$i") ++ (1 to 8).map(i => s"d$i") ++
+      (9 to 20).map(i => s"d$i")
+    val docs = Seq((0L, d0.mkString(" ")), (1L, d1.mkString(" ")),
+      (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.duplicateSpans(docs, minLen = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(spans.map(s => (s._1, s._2, s._3, s._4)).toSet ==
+      Set((0L, 10, 18, 8), (1L, 5, 13, 8)), spans.mkString(","))
+    assert(spans.map(_._5).distinct.length == 1,
+      "both copies of the passage share one group_key")
+
+    // a LONGER shared run (10 tokens, minLen 8) merges its overlapping
+    // seed grams into ONE maximal span of 10
+    val long = (1 to 10).map(i => s"run$i")
+    val e0 = (1 to 6).map(i => s"e$i") ++ long ++ (7 to 12).map(i => s"e$i")
+    val e1 = long ++ (1 to 14).map(i => s"f$i")
+    val docs2 = Seq((10L, e0.mkString(" ")), (11L, e1.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans2 = SpanDedup.duplicateSpans(docs2, minLen = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans2.toSet == Set((10L, 6, 16, 10), (11L, 0, 10, 10)),
+      spans2.mkString(","))
+  }
+
+  test("excise spans: duplicate tokens removed, rest intact") {
+    import graft.operators.SpanDedup
+    val span = (1 to 8).map(i => s"shared$i")
+    val d0 = (1 to 4).map(i => s"a$i") ++ span ++ (5 to 8).map(i => s"a$i")
+    val d1 = span ++ (1 to 10).map(i => s"b$i")
+    val d2 = (1 to 12).map(i => s"c$i")
+    val d3 = span // fully covered -> empty clean_text, not a lost row
+    val docs = Seq((0L, d0.mkString(" ")), (1L, d1.mkString(" ")),
+      (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.exciseSpans(docs, minLen = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(0L) == (((1 to 4).map(i => s"a$i") ++
+      (5 to 8).map(i => s"a$i")).mkString(" "), 8))
+    assert(out(1L) == (((1 to 10).map(i => s"b$i")).mkString(" "), 8))
+    assert(out(2L) == (d2.mkString(" "), 0))
+    assert(out(3L) == (("", 8)))
+    assert(out.size == 4)
+  }
+
   test("corpus profile: hll gate passes and true error sits inside 3 sigma") {
     // deterministic corpus: the 6-sigma hll_ok gate in corpusProfile is
     // the loose never-trips-when-correct pipeline gate (its oracle pins
