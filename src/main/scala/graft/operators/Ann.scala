@@ -329,15 +329,55 @@ object Ann {
     * (recall is the observable that matters, q25/q32's gate, but it
     * needs ground truth; the assigned-cosine statistic needs none) and
     * [[rebuildIvfIndex]] re-trains when it trips.
+    *
+    * DRIFT GATE (the no-silent-degradation rule applied to the
+    * engine's own index): before writing, the SNAPSHOT's mean
+    * assigned-cosine is compared to the manifest baseline — one
+    * aggregation over the snapshot, never an index scan, so the gate
+    * costs what the append costs. If it falls more than
+    * `spark.graft.ivf.driftTolerance` (default 0.1) below the
+    * baseline, the append warns (`spark.graft.ivf.driftAction=warn`,
+    * the default) or refuses (`=refuse`; `=off` disables), pointing at
+    * [[rebuildIvfIndex]]. The gate reads the snapshot, not the
+    * accumulated lists, so it catches each off-distribution batch as
+    * it arrives; the cumulative view stays [[ivfIndexStats]] (its scan
+    * is the on-demand audit, too expensive per append or per search).
     */
   def appendToIvfIndex(newVecs: DataFrame, dir: String,
                        idCol: String = "vec_id",
                        embCol: String = "embedding"): Unit = {
     import graft.functions.{expressions => E}
-    val cents = readIvfCentroids(newVecs.sparkSession, dir)
-    newVecs
+    val spark = newVecs.sparkSession
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = newVecs
       .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
         E.ivf_assign(col(embCol), cents).as("cl"))
+    val tol = spark.conf.get("spark.graft.ivf.driftTolerance", "0.1")
+      .toDouble
+    val action = spark.conf.get("spark.graft.ivf.driftAction", "warn")
+    require(Set("warn", "refuse", "off")(action),
+      s"spark.graft.ivf.driftAction must be warn|refuse|off, got $action")
+    if (action != "off") {
+      val stats = assignedCosineStats(
+        assigned.select(col("cl"), col("c_emb")), cents).head()
+      if (stats.getLong(0) > 0) { // empty snapshot: nothing to gate
+        val baseline = spark.read.parquet(s"$dir/manifest").head()
+          .getAs[Double]("mean_assigned_cosine")
+        val snapMean = stats.getDouble(1)
+        val drift = baseline - snapMean
+        if (drift > tol) {
+          val msg = f"IVF drift gate: snapshot mean assigned-cosine " +
+            f"$snapMean%.4f sits $drift%.4f below the index baseline " +
+            f"$baseline%.4f (tolerance $tol) at $dir — the stored " +
+            "quantizer does not fit these vectors and recall will " +
+            "degrade silently; rebuildIvfIndex before further appends, " +
+            "or set spark.graft.ivf.driftAction=off to override"
+          if (action == "refuse") throw new IllegalStateException(msg)
+          else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+        }
+      }
+    }
+    assigned
       .write.mode(org.apache.spark.sql.SaveMode.Append).partitionBy("cl")
       .parquet(s"$dir/lists")
   }

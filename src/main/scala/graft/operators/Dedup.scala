@@ -391,9 +391,15 @@ object Dedup {
     */
   private def clusterPairsFromState(spark: org.apache.spark.sql.SparkSession,
                                     dir: String,
-                                    threshold: Double): DataFrame = {
-    val bands = spark.read.parquet(s"$dir/bands")
-    val sets = spark.read.parquet(s"$dir/toksets")
+                                    threshold: Double): DataFrame =
+    clusterPairsFromFrames(spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/toksets"), threshold)
+
+  /** Layout-agnostic core of [[clusterPairsFromState]] over loaded
+    * bands/toksets frames (directory parquet or bucketed tables).
+    */
+  private def clusterPairsFromFrames(bands: DataFrame, sets: DataFrame,
+                                     threshold: Double): DataFrame = {
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -706,6 +712,132 @@ object Dedup {
     }
   }
 
+  /** [[writeDedupIndexTables]] plus persisted CLUSTER LABELS — the
+    * table twin of [[writeDedupIndexCC]]: within-corpus near-dup pairs
+    * are recomputed from the just-written bucketed bands/toksets
+    * tables (their band self-join and verify join run on the bucketed
+    * layout, so the one-off labeling pass is itself corpus-side
+    * exchange-light) and their connected components stored as
+    * `<prefix>_labels` bucketed by doc_id (the contraction join's
+    * probe key) with the threshold in `<prefix>_labels_meta`.
+    */
+  def writeDedupIndexTablesCC(docs: DataFrame, tablePrefix: String,
+                              numBuckets: Int, threshold: Double = 0.9,
+                              numBands: Int = 32, rowsPerBand: Int = 4,
+                              ngram: Int = 1): Unit = {
+    writeDedupIndexTables(docs, tablePrefix, numBuckets, numBands,
+      rowsPerBand, ngram)
+    val spark = docs.sparkSession
+    writeClusterLabelsTables(spark, tablePrefix, numBuckets, threshold,
+      clusterPairsFromFrames(spark.table(s"${tablePrefix}_bands"),
+        spark.table(s"${tablePrefix}_toksets"), threshold))
+  }
+
+  private def writeClusterLabelsTables(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, numBuckets: Int, threshold: Double,
+      pairs: DataFrame): Unit = {
+    import spark.implicits._
+    graft.sources.BucketedTables.writeBucketed(
+      nearDupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id")),
+      s"${tablePrefix}_labels", "doc_id", numBuckets)
+    Seq(threshold).toDF("threshold")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tablePrefix}_labels_meta")
+  }
+
+  /** True iff the table-layout index carries cluster labels. */
+  def hasClusterLabelsTables(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String): Boolean =
+    spark.catalog.tableExists(s"${tablePrefix}_labels_meta")
+
+  /** Verify threshold of a table-layout index's cluster labels. */
+  def readLabelsThresholdTables(spark: org.apache.spark.sql.SparkSession,
+                                tablePrefix: String): Double = {
+    require(hasClusterLabelsTables(spark, tablePrefix),
+      s"table index $tablePrefix carries no cluster labels — build it " +
+        "with writeDedupIndexTablesCC (or compact a CC directory index) " +
+        "to use the connected-component policy")
+    spark.table(s"${tablePrefix}_labels_meta")
+      .agg(max(col("threshold"))).head().getDouble(0)
+  }
+
+  /** [[dedupIncrementalCC]] against a bucketed-table index: identical
+    * connected-component drop policy (shared [[ccOverIncrementalPairs]]
+    * core over the stored labels), with the corpus side of the
+    * digest/band/tokset joins read pre-partitioned and the labels
+    * table bucketed on its contraction key. READ-ONLY like
+    * [[dedupIncrementalTables]] — the table layout takes no appends;
+    * keep accumulating snapshots in a directory index
+    * ([[dedupIncrementalCC]] with appendToIndex) and fold them in
+    * periodically with [[compactDedupIndexTables]].
+    */
+  def dedupIncrementalTablesCC(newDocs: DataFrame,
+                               tablePrefix: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val threshold = readLabelsThresholdTables(spark, tablePrefix)
+    val m = spark.table(s"${tablePrefix}_manifest")
+      .agg(max(col("num_bands")), max(col("rows_per_band")),
+        max(col("ngram")), max(col("max_doc_id"))).head()
+    incrementalPairsFrom(newDocs,
+      spark.table(s"${tablePrefix}_digests"),
+      spark.table(s"${tablePrefix}_bands"),
+      spark.table(s"${tablePrefix}_toksets"),
+      m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3),
+      threshold) match {
+      case None => newDocs // empty snapshot
+      case Some(st) =>
+        val (drops, _) = ccOverIncrementalPairs(
+          spark.table(s"${tablePrefix}_labels"),
+          st.pairsVsCorpus, st.pairsWithin, m.getLong(3))
+        st.newExact.join(drops.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Fold a DIRECTORY dedup index — including every snapshot appended
+    * to it and its cluster labels, if any — into fresh bucketed tables
+    * under `tablePrefix`: the delta-fold path that lets snapshots
+    * compose without giving up the exchange-free corpus side. The
+    * directory layout is the WRITE side (cheap appends via
+    * [[dedupIncremental]]/[[dedupIncrementalCC]] with appendToIndex);
+    * the table layout is the READ side (exchange-free screens); this
+    * compaction moves accumulated state from one to the other, paying
+    * the corpus shuffle once per compaction instead of once per
+    * snapshot query. After it, the table-backed operators answer
+    * exactly like the directory-backed ones (PlanSpec-asserted).
+    */
+  def compactDedupIndexTables(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, tablePrefix: String,
+                              numBuckets: Int): Unit = {
+    import spark.implicits._
+    val (nb, rpb, ng, nDocs, maxId) = readIndexManifest(spark, indexDir)
+    graft.sources.BucketedTables.writeBucketed(
+      spark.read.parquet(s"$indexDir/digests"),
+      s"${tablePrefix}_digests", "content_md5", numBuckets)
+    graft.sources.BucketedTables.writeBucketed(
+      spark.read.parquet(s"$indexDir/toksets"),
+      s"${tablePrefix}_toksets", "doc_id", numBuckets)
+    graft.sources.BucketedTables.writeBucketed(
+      spark.read.parquet(s"$indexDir/bands"),
+      s"${tablePrefix}_bands", "band", numBuckets)
+    // one consolidated manifest row (the directory may hold one per
+    // appended snapshot)
+    Seq((nb, rpb, ng, nDocs, maxId))
+      .toDF("num_bands", "rows_per_band", "ngram", "n_docs", "max_doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tablePrefix}_manifest")
+    if (hasClusterLabels(spark, indexDir)) {
+      graft.sources.BucketedTables.writeBucketed(
+        spark.read.parquet(s"$indexDir/labels"),
+        s"${tablePrefix}_labels", "doc_id", numBuckets)
+      Seq(readLabelsThreshold(spark, indexDir)).toDF("threshold")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(s"${tablePrefix}_labels_meta")
+    }
+  }
+
   /** Verified near-dup HITS of a docs frame against a persisted corpus
     * index: (doc_id, corpus_id, jaccard) for every (doc, indexed doc)
     * pair at or above the threshold — the screen tier of
@@ -815,7 +947,8 @@ object Dedup {
     incrementalPairs(newDocs, indexDir, threshold) match {
       case None => newDocs // empty snapshot
       case Some(st) =>
-        val (drops, newLabels) = ccOverIncrementalPairs(spark, indexDir,
+        val (drops, newLabels) = ccOverIncrementalPairs(
+          spark.read.parquet(s"$indexDir/labels"),
           st.pairsVsCorpus, st.pairsWithin, st.maxIndexed)
         val kept = st.newExact
           .join(drops.withColumnRenamed("id", "doc_id"),
@@ -851,12 +984,14 @@ object Dedup {
     *    never silent), plus rows for corpus singletons first clustered
     *    by a cross pair and for new docs in components.
     * Both frames key by `id`; callers rename to their id column.
+    * `labels` is the stored (doc_id, cluster_id) table — parquet for
+    * the directory layout, a bucketed managed table for the table
+    * layout; the core is layout-agnostic.
     */
   private def ccOverIncrementalPairs(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      labels: DataFrame,
       pairsVsCorpus: DataFrame, pairsWithin: DataFrame,
       maxIndexed: Long): (DataFrame, DataFrame) = {
-    val labels = spark.read.parquet(s"$indexDir/labels")
     val contracted = pairsVsCorpus.select(col("a"), col("b"))
       .join(labels.select(col("doc_id").as("a"),
         col("cluster_id").as("alab")), Seq("a"), "left")
@@ -1185,7 +1320,8 @@ object Dedup {
     embIncrementalPairs(newEmbs, indexDir, threshold, idCol, embCol) match {
       case None => newEmbs // empty snapshot
       case Some(st) =>
-        val (drops, newLabels) = ccOverIncrementalPairs(spark, indexDir,
+        val (drops, newLabels) = ccOverIncrementalPairs(
+          spark.read.parquet(s"$indexDir/labels"),
           st.pairsVsCorpus, st.pairsWithin, st.maxVid)
         val kept = newEmbs.join(drops.withColumnRenamed("id", idCol),
           Seq(idCol), "left_anti")
@@ -1199,6 +1335,53 @@ object Dedup {
           materialized
         } else kept
     }
+  }
+
+  /** Verified near-dup HITS of a vectors frame against a persisted
+    * embedding dedup index ([[writeEmbDedupIndex]]): (vec_id,
+    * corpus_id, cosine) for every (vector, indexed vector) pair at or
+    * above the threshold — the vector twin of [[nearDupHitsVsIndex]],
+    * and like it STREAMING-SAFE: the query vector rides THROUGH the
+    * band explode (the text screen's tokset trick), so on a streaming
+    * `embs` the plan is a chain of stateless stream-static equi-joins
+    * (band keys, then the stored-vector cosine verify) — no watermark,
+    * no state store, any output mode. Band params and dim come from
+    * the index manifest. A pair sharing several bands emits one hit
+    * per shared band — dedupe downstream where distinctness is
+    * stateless. Batch inputs get the loud dim check; STREAMING inputs
+    * cannot be probed (no collect on a stream), so a wrong-model
+    * stream is the caller's contract — the manifest dim is the one the
+    * band keys and cosines compute over.
+    */
+  def embNearDupHitsVsIndex(embs: DataFrame, indexDir: String,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val m = spark.read.parquet(s"$indexDir/manifest")
+      .agg(max(col("num_bands")), max(col("bits_per_band")),
+        max(col("dim"))).head()
+    val (numBands, bitsPerBand, d) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    if (!embs.isStreaming) {
+      val ed = Ann.dimOf(embs, embCol)
+      require(ed == d,
+        s"embedding dim $ed != index dim $d at $indexDir — cosine over " +
+          "the common prefix would silently return wrong hits")
+    }
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("vid").as("corpus_id"), col("band"))
+    val corpusVecs = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vid").as("corpus_id"), col("emb").as("__cemb"))
+    embs
+      .select(col(idCol), col(embCol).as("__emb"),
+        explode(F.lsh_band_keys(col(embCol), numBands, bitsPerBand, d))
+          .as("band"))
+      .join(corpusBands, Seq("band"))
+      .join(corpusVecs, Seq("corpus_id"))
+      .withColumn("cos_raw", F.cosine_sim(col("__emb"), col("__cemb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col(idCol), col("corpus_id"),
+        round(col("cos_raw"), 4).as("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs, EXACT: (a, b, cosine) with

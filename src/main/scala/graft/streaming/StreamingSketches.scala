@@ -239,6 +239,24 @@ object StreamingSketches {
       org.apache.spark.sql.DataFrame =
     graft.operators.Dedup.nearDupHitsVsIndex(docs, indexDir, threshold)
 
+  /** Streaming EMBEDDING near-dup screen against a persisted embedding
+    * dedup index ([[graft.operators.Dedup.writeEmbDedupIndex]]): the
+    * vector twin of [[streamingDedupNearDup]] — a verified hit row
+    * (vec_id, corpus_id, cosine) per stream vector within the cosine
+    * threshold of an indexed vector. Same stateless shape (the query
+    * vector rides through the band explode, so band join + stored-
+    * vector verify are both stream-static), same per-shared-band hit
+    * multiplicity, same restart-after-append operational contract.
+    * The stream's embedding dim must match the index manifest's (a
+    * stream cannot be probed — see
+    * [[graft.operators.Dedup.embNearDupHitsVsIndex]]).
+    */
+  def streamingEmbDedupNearDup(embs: org.apache.spark.sql.DataFrame,
+                               indexDir: String,
+                               threshold: Double):
+      org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.embNearDupHitsVsIndex(embs, indexDir, threshold)
+
   /** Build the corpus-key Bloom filter for [[streamingDedupVsCorpus]]
     * from a one-column DataFrame of key strings (distributed build,
     * partial->final merge; one driver-side dump decode).

@@ -358,6 +358,45 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(merged == Set(0L), s"merged labels=$merged")
   }
 
+  test("table-layout CC == directory CC; compaction folds appends in") {
+    try {
+      // fresh table CC index answers exactly like the directory CC index
+      Dedup.writeDedupIndexTablesCC(df(ccCorpus), "graft_tcc", 8,
+        threshold = 0.9)
+      val dir = Files.createTempDirectory("graft-tcc-dir").toString
+      Dedup.writeDedupIndexCC(df(ccCorpus), dir, threshold = 0.9)
+      val tKept = keptIds(Dedup.dedupIncrementalTablesCC(df(ccSnap),
+        "graft_tcc"))
+      val dKept = keptIds(Dedup.dedupIncrementalCC(df(ccSnap), dir))
+      assert(tKept == dKept, s"tables=$tKept dir=$dKept")
+      // the delta-fold: append a snapshot to the DIRECTORY index (the
+      // write side), compact into tables (the read side), and the
+      // table path must answer like the appended directory — including
+      // the bridge-merged, remapped labels
+      Dedup.dedupIncrementalCC(df(ccSnap), dir, appendToIndex = true)
+      Dedup.compactDedupIndexTables(spark, dir, "graft_tcc2", 8)
+      val s3cc = Seq(
+        doc(20L, words(200 to 289, "c") ++ words(3 to 12, "x")), // ~ chC
+        doc(21L, words(600 to 640, "g")))                        // unique
+      val inc3dir = keptIds(Dedup.dedupIncrementalCC(df(s3cc), dir))
+      val inc3tab = keptIds(Dedup.dedupIncrementalTablesCC(df(s3cc),
+        "graft_tcc2"))
+      assert(inc3tab == inc3dir, s"tables=$inc3tab dir=$inc3dir")
+      assert(!inc3tab.contains(20L) && inc3tab.contains(21L))
+      // a labels-less table index refuses the CC policy loudly
+      Dedup.writeDedupIndexTables(df(ccCorpus), "graft_tplain", 8)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dedupIncrementalTablesCC(df(ccSnap), "graft_tplain")
+      }
+      assert(e.getMessage.contains("cluster labels"), e.getMessage)
+    } finally {
+      for (p <- Seq("graft_tcc", "graft_tcc2", "graft_tplain");
+           t <- Seq("digests", "bands", "toksets", "manifest",
+             "labels", "labels_meta"))
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+    }
+  }
+
   test("incremental CC composes across appends; labels-less index rejected") {
     val dir = Files.createTempDirectory("graft-dedup-cc-idx2").toString
     Dedup.writeDedupIndexCC(df(ccCorpus), dir, threshold = 0.9)

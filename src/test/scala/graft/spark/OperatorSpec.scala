@@ -348,18 +348,39 @@ class OperatorSpec extends AnyFunSuite {
         1.0f + 0.02f * graft.core.Hashing.toUnitDouble(
           graft.core.Hashing.at(81, i * 8 + d)).toFloat))
     }.toDF("vec_id", "embedding")
+    // the append-time gate: with driftAction=refuse, the
+    // off-distribution append fails LOUDLY before writing anything...
+    spark.conf.set("spark.graft.ivf.driftAction", "refuse")
+    try {
+      val e = intercept[IllegalStateException] {
+        Ann.appendToIvfIndex(off, dir)
+      }
+      assert(e.getMessage.contains("rebuildIvfIndex"), e.getMessage)
+      assert(Ann.ivfIndexStats(spark, dir).head()
+        .getAs[Long]("n_vecs_now") == 40L,
+        "refused append must not have written")
+      // ...while an in-distribution append stays silent under the gate
+      val inDist = (0 until 4).map { c =>
+        ((2000 + c).toLong, mk(c, 50 + c, 83)) }.toDF("vec_id", "embedding")
+      Ann.appendToIvfIndex(inDist, dir)
+      assert(Ann.ivfIndexStats(spark, dir).head()
+        .getAs[Long]("n_vecs_now") == 44L)
+    } finally spark.conf.unset("spark.graft.ivf.driftAction")
+    // default action=warn: the off-distribution append proceeds (logged)
     Ann.appendToIvfIndex(off, dir)
     val drifted = Ann.ivfIndexStats(spark, dir).head()
     assert(drifted.getAs[Double]("mean_drift") > 0.05,
       s"off-distribution appends must trip the drift stat: $drifted")
-    assert(drifted.getAs[Long]("n_vecs_now") == 80L)
+    assert(drifted.getAs[Long]("n_vecs_now") == 84L)
     // ...while recall on the ORIGINAL queries still holds — drift is
     // invisible to a recall gate that has no queries in the new region,
     // which is why the index carries its own statistic
+    val inDistAll = (0 until 4).map { c =>
+      ((2000 + c).toLong, mk(c, 50 + c, 83)) }.toDF("vec_id", "embedding")
     val qs = initial.filter(col("vec_id") % 100 === 0)
     val found = Ann.searchIvfIndex(qs, dir, 3, nprobe = 2)
-    val direct = Ann.ivfTopK(qs, initial.union(off), 3, nlist = 4,
-      nprobe = 2, centroids = Ann.readIvfCentroids(spark, dir))
+    val direct = Ann.ivfTopK(qs, initial.union(inDistAll).union(off), 3,
+      nlist = 4, nprobe = 2, centroids = Ann.readIvfCentroids(spark, dir))
     assert(found.collect().toSet == direct.collect().toSet)
     // in-place rebuild with capacity for the new mode: fit is restored
     // and the manifest baseline is re-established
@@ -369,7 +390,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(healed.getAs[Double]("mean_now") >
       drifted.getAs[Double]("mean_now") + 0.02,
       s"rebuild must improve quantizer fit: $healed vs $drifted")
-    assert(healed.getAs[Long]("n_vecs_now") == 80L,
+    assert(healed.getAs[Long]("n_vecs_now") == 84L,
       "in-place rebuild must preserve every vector")
     // rebuild-to-fresh-dir (the 100-TB path: lazy scan, no pinned copy)
     // must produce an equivalent index: same vectors, fresh baseline,
@@ -378,7 +399,7 @@ class OperatorSpec extends AnyFunSuite {
       .createTempDirectory("graft-ivf-rebuild-out").toString
     Ann.rebuildIvfIndex(spark, dir, nlist = 5, iters = 4, outDir = dir2)
     val out2 = Ann.ivfIndexStats(spark, dir2).head()
-    assert(out2.getAs[Long]("n_vecs_now") == 80L)
+    assert(out2.getAs[Long]("n_vecs_now") == 84L)
     assert(math.abs(out2.getAs[Double]("mean_drift")) < 1e-6)
     val qs2 = initial.filter(col("vec_id") % 100 === 0)
     assert(Ann.searchIvfIndex(qs2, dir2, 3, nprobe = 2).collect().toSet ==

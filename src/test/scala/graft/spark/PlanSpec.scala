@@ -378,6 +378,76 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("compacted table index keeps the exchange-free corpus pin") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = ((0L until 30L).map(i =>
+          (i, (1 to 25).map(w => s"k${i}w$w").mkString(" "), "s"))
+        :+ ((30L, (1 to 30).map(w => s"kw$w").mkString(" "), "s")))
+        .toDF("doc_id", "text", "source")
+      val s2 = Seq(
+        (100L, (1 to 25).map(w => s"m1w$w").mkString(" "), "s"),
+        (101L, (1 to 25).map(w => s"m2w$w").mkString(" "), "s"))
+        .toDF("doc_id", "text", "source")
+      // write side: directory index + one appended snapshot
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-cmp-dir").toString
+      graft.operators.Dedup.writeDedupIndex(corpus, dir)
+      graft.operators.Dedup.dedupIncremental(s2, dir,
+        appendToIndex = true).collect()
+      // read side: compaction folds corpus + appended snapshot into
+      // bucketed tables
+      graft.operators.Dedup.compactDedupIndexTables(spark, dir,
+        "graft_cmp", 8)
+      // s3 holds a REAL near-dup of corpus doc 30 so AQE cannot
+      // empty-propagate the candidate joins out of the final plan
+      val s3 = Seq(
+        (200L, ((1 to 29).map(w => s"kw$w") :+ "nz1").mkString(" "), "s"),
+        (201L, (1 to 25).map(w => s"n1w$w").mkString(" "), "s"))
+        .toDF("doc_id", "text", "source")
+      val kept = graft.operators.Dedup.dedupIncrementalTables(s3,
+        "graft_cmp")
+      kept.collect()
+      // same answer as continuing on the directory index
+      assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+        graft.operators.Dedup.dedupIncremental(s3, dir)
+          .select("doc_id").as[Long].collect().sorted.toSeq)
+      // the exchange-free pin holds on the COMPACTED tables: no
+      // shuffle between a corpus-table scan and its first join
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      def corpusScanBeforeJoin(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("graft_cmp"))
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case a: AdaptiveSparkPlanExec => corpusScanBeforeJoin(a.executedPlan)
+        case q: QueryStageExec => corpusScanBeforeJoin(q.plan)
+        case other => other.children.exists(corpusScanBeforeJoin)
+      }
+      val all = walk(kept.queryExecution.executedPlan)
+      assert(all.exists {
+        case f: FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("graft_cmp"))
+        case _ => false
+      }, "compacted corpus table scans must be present")
+      val shuffled = all.collect {
+        case s: ShuffleExchangeExec if corpusScanBeforeJoin(s.child) => s }
+      assert(shuffled.isEmpty,
+        s"compacted corpus buckets must reach their join unshuffled:\n$shuffled")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("digests", "bands", "toksets", "manifest").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cmp_$t"))
+    }
+  }
+
   test("broadcast bloom probe stays inside codegen, no UDFs") {
     val f = BlockedBloomFilter.optimized(1000, 0.01)
     (0 until 1000).foreach(i => f.add(Hashing.tokenHash(i)))

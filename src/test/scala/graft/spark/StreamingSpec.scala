@@ -387,4 +387,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L),
       s"streaming flags {10,12}; batch must drop the same: kept=$kept")
   }
+
+  test("streaming embedding near-dup screen matches incremental dedup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-embdup-idx").toString
+    def jit(seed: Int, i: Int)(base: Array[Float]): Array[Float] =
+      base.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * graft.core.Hashing.toUnitDouble(
+          graft.core.Hashing.at(seed, i * 8 + d)).toFloat }
+    val axis = (d: Int) => Array.tabulate(6)(k => if (k == d) 1.0f else 0.0f)
+    val corpus = Seq(
+      (0L, jit(11, 0)(axis(0))), (1L, jit(11, 1)(axis(1))),
+      (2L, jit(11, 2)(axis(2))))
+      .toDF("vec_id", "embedding")
+    graft.operators.Dedup.writeEmbDedupIndex(corpus, dir)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val hits = StreamingSketches.streamingEmbDedupNearDup(
+      stream.toDS().toDF("vec_id", "embedding"), dir, threshold = 0.95)
+    assert(hits.isStreaming, "the screen must stay a streaming plan")
+    val q = hits.writeStream.format("memory").queryName("embdup_hits")
+      .outputMode(OutputMode.Append()) // stateless: append works
+      .start()
+    // batch 1: a near-copy of corpus vec 0 + a fresh direction;
+    // batch 2: a near-copy of corpus vec 1 + a fresh direction
+    val b1 = Seq((10L, jit(13, 0)(axis(0))), (11L, jit(13, 1)(axis(3))))
+    val b2 = Seq((12L, jit(13, 2)(axis(1))), (13L, jit(13, 3)(axis(4))))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      val after1 = spark.sql(
+        "SELECT DISTINCT vec_id, corpus_id FROM embdup_hits")
+        .as[(Long, Long)].collect().toSet
+      assert(after1 == Set((10L, 0L)),
+        s"batch-1 planted near-copy must be flagged in its batch: $after1")
+      stream.addData(b2); q.processAllAvailable()
+      val after2 = spark.sql(
+        "SELECT DISTINCT vec_id, corpus_id FROM embdup_hits")
+        .as[(Long, Long)].collect().toSet
+      assert(after2 == Set((10L, 0L), (12L, 1L)), s"$after2")
+      // exact cosine values ride along with the flags
+      val cos = spark.sql(
+        "SELECT DISTINCT vec_id, cosine FROM embdup_hits")
+        .as[(Long, Double)].collect().toMap
+      assert(cos(10L) > 0.99 && cos(12L) > 0.99, s"$cos")
+    } finally q.stop()
+    // batch parity: the same snapshot through embDedupIncremental drops
+    // exactly the streaming-flagged vectors (no within-snapshot dups)
+    val snap = (b1 ++ b2).toDF("vec_id", "embedding")
+    val kept = graft.operators.Dedup
+      .embDedupIncremental(snap, dir, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L),
+      s"streaming flags {10,12}; batch must drop the same: kept=$kept")
+  }
 }
