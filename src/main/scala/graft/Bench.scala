@@ -315,10 +315,20 @@ object Bench {
       .withColumn("doc_id", concat(col("doc_id"), lit("-copy")))
     val dedupDocs = base5.union(planted).cache()
     dedupDocs.count()
-    val (nDupPairs, dedupSec) = time {
-      Dedup.minhashLshPairs(dedupDocs, 0.8, numBands = 16, rowsPerBand = 8)
-        .count()
+    // published trials (VERDICT r04 next-round #6): b5 was the last
+    // single-trial headline; 3.47->4.06 s across rounds was
+    // unadjudicable without an array
+    var nDupPairs = 0L
+    val b5TrialsBuf = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to 3).foreach { _ =>
+      val (np, td) = time {
+        Dedup.minhashLshPairs(dedupDocs, 0.8, numBands = 16, rowsPerBand = 8)
+          .count()
+      }
+      nDupPairs = np; b5TrialsBuf += td
     }
+    val dedupSec = b5TrialsBuf.min
+    val b5Trials = b5TrialsBuf.toList
     // exact copies share every band key: all 500 planted pairs MUST be
     // found — a recall regression must fail the bench, not publish a
     // faster time
@@ -436,6 +446,83 @@ object Bench {
       train.unpersist(); evalDocs.unpersist()
     }
 
+    // ---- duplicate-span dedup: cost scales with corpus + matched
+    // spans, not corpus^2 ----
+    // Two corpora, half and full (both docs AND planted copy pairs
+    // double), interleaved trials: a corpus^2 candidate stage would
+    // show a ~4x full/half ratio; the seed->verify design should track
+    // ~2x (linear in corpus and in matched-span mass). Trials are
+    // published; the ratio is discussed against the VM noise band in
+    // BASELINE.md.
+    var b12HalfTrials = List.empty[Double]
+    var b12FullTrials = List.empty[Double]
+    var b12SpansHalf = 0L
+    var b12SpansFull = 0L
+    locally {
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val baseFull = toText(TokenDocGen.generateDf(spark, 40000, 33L, cpus))
+      def copies(src: DataFrame, n: Int): DataFrame =
+        src.filter(col("doc_id") < n)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val full = baseFull.union(copies(baseFull, 400)).persist()
+      val halfBase = baseFull.filter(col("doc_id") < 20000)
+      val half = halfBase.union(copies(halfBase, 200)).persist()
+      full.count(); half.count()
+      val halfTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val fullTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      // warm both plans once (codegen compile)
+      graft.operators.SpanDedup.duplicateSpans(half, minLen = 16).count()
+      graft.operators.SpanDedup.duplicateSpans(full, minLen = 16).count()
+      (1 to 3).foreach { _ =>
+        val (nh, th) = time {
+          graft.operators.SpanDedup.duplicateSpans(half, minLen = 16)
+            .count() }
+        val (nf, tf) = time {
+          graft.operators.SpanDedup.duplicateSpans(full, minLen = 16)
+            .count() }
+        b12SpansHalf = nh; b12SpansFull = nf
+        halfTrials += th; fullTrials += tf
+      }
+      // every planted copy of a >= 16-token doc yields a span in BOTH
+      // the copy and its source; a zero here is a recall bug, not noise
+      require(b12SpansHalf > 0 && b12SpansFull > b12SpansHalf,
+        s"b12 spans: half=$b12SpansHalf full=$b12SpansFull")
+      b12HalfTrials = halfTrials.toList
+      b12FullTrials = fullTrials.toList
+      results += "b12_span_dedup_20k" -> halfTrials.min
+      results += "b12_span_dedup_40k" -> fullTrials.min
+      full.unpersist(); half.unpersist()
+    }
+
+    // ---- IVF recall/nprobe curve (index-quality regression guard) ----
+    // q25/q32 gate a single recall point; the curve makes index-quality
+    // regressions visible across rounds the way perf ones are.
+    var ivfRecallCurve = List.empty[(Int, Double)]
+    locally {
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-ivf").toString
+      Ann.writeIvfIndex(emb, ivfDir, nlist = 16, iters = 3)
+      val qs = emb.filter(col("vec_id") < 20).persist()
+      qs.count()
+      val exact = Ann.bruteForceTopK(qs, emb, 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivfRecallCurve = List(1, 2, 4, 8).map { np =>
+        val found = Ann.searchIvfIndex(qs, ivfDir, 10, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (np, (exact & found).size.toDouble / exact.size)
+      }
+      // deterministic quantizer + deterministic search: more probes can
+      // only widen the scanned lists
+      require(ivfRecallCurve.map(_._2) == ivfRecallCurve.map(_._2).sorted,
+        s"recall must be monotone in nprobe: $ivfRecallCurve")
+      qs.unpersist()
+    }
+
     // ---- head-to-head vs Spark's built-in HLL++ on identical input ----
     val cmpDocs = TokenDocGen.generateDf(spark, 250000, 42L, cpus).persist()
     val flat = cmpDocs
@@ -507,6 +594,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

@@ -1047,6 +1047,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- span screen vs persisted gram index -------------
+    //
+    // The incremental form: corpus = lower half of documents, indexed
+    // once; snapshot = upper half, screened against the index without
+    // rescanning the corpus. Oracle recomputes "snapshot spans covered
+    // by corpus grams" from scratch in SQL.
+
+    "q50_span_screen_vs_index" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-q50-idx").toString
+      SpanDedup.writeSpanIndex(docs.filter(col("doc_id") <= mid), idxDir,
+        minLen = 8)
+      SpanDedup.duplicateSpansVsIndex(docs.filter(col("doc_id") > mid),
+          idxDir)
+        .orderBy(col("doc_id"), col("span_from"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1485,6 +1504,40 @@ object SparkEntry {
         |  CAST(len(w.wl) - coalesce(a.n_kept, 0) AS INT) AS n_removed
         |FROM w LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // snapshot spans covered by corpus grams, recomputed from scratch:
+    // corpus = doc_id <= max/2, snapshot = the rest
+    "q50_span_screen_vs_index" ->
+      """WITH mid AS (SELECT max(doc_id) / 2 AS m FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text,''), ' '),
+        |      x -> x <> '') AS wl
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, wl,
+        |    unnest(generate_series(1, len(wl) - 7)) AS p FROM w),
+        |g AS (
+        |  SELECT doc_id, p - 1 AS pos,
+        |    md5(array_to_string(list_slice(wl, p, p + 7), ' ')) AS gk
+        |  FROM g0),
+        |cg AS (SELECT DISTINCT gk FROM g
+        |       WHERE doc_id <= (SELECT m FROM mid)),
+        |st AS (SELECT g.doc_id, g.pos, g.gk FROM g JOIN cg USING (gk)
+        |       WHERE g.doc_id > (SELECT m FROM mid)),
+        |cov0 AS (SELECT doc_id, gk,
+        |  unnest(generate_series(pos, pos + 7)) AS idx FROM st),
+        |cov AS (SELECT doc_id, idx, min(gk) AS mgk
+        |        FROM cov0 GROUP BY doc_id, idx),
+        |isl AS (SELECT doc_id, idx, mgk,
+        |  idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+        |    AS grp FROM cov)
+        |SELECT doc_id, CAST(min(idx) AS INT) AS span_from,
+        |  CAST(max(idx) + 1 AS INT) AS span_to,
+        |  CAST(max(idx) + 1 - min(idx) AS INT) AS span_tokens,
+        |  min(mgk) AS group_key
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_from""".stripMargin,
 
     // coalesce(text, '') pins the null-text semantics to the engine's
     // (kernels treat null as empty; bare len(text)/split(text) would

@@ -79,6 +79,24 @@ object SpanDedup {
           .as("idx"))
       .groupBy(col("__id"), col("idx")).agg(min(col("gk")).as("mgk"))
 
+  /** Islands step shared by the batch span operators: maximal runs of
+    * covered word indices -> (idCol, span_from, span_to, span_tokens,
+    * group_key). The window partitions per doc and is bounded by doc
+    * length.
+    */
+  private def spansFromCovered(cov: DataFrame, idCol: String): DataFrame = {
+    val isl = cov.withColumn("grp",
+      col("idx") - row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("idx"))))
+    isl.groupBy(col("__id"), col("grp"))
+      .agg(min(col("idx")).as("span_from"),
+        (max(col("idx")) + 1).as("span_to"),
+        min(col("mgk")).as("group_key"))
+      .select(col("__id").as(idCol), col("span_from"), col("span_to"),
+        (col("span_to") - col("span_from")).as("span_tokens"),
+        col("group_key"))
+  }
+
   /** Maximal cross-doc duplicate spans: one row per (doc, maximal run
     * of word indices covered by some shared >= minLen-gram), as
     * (doc_id, span_from, span_to, span_tokens, group_key) with
@@ -91,18 +109,103 @@ object SpanDedup {
     */
   def duplicateSpans(docs: DataFrame, minLen: Int = 50,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
-    val cov = coveredIndices(docs, minLen, textCol, idCol)
-    val isl = cov.withColumn("grp",
-      col("idx") - row_number().over(
-        Window.partitionBy(col("__id")).orderBy(col("idx"))))
-    isl.groupBy(col("__id"), col("grp"))
-      .agg(min(col("idx")).as("span_from"),
-        (max(col("idx")) + 1).as("span_to"),
-        min(col("mgk")).as("group_key"))
-      .select(col("__id").as(idCol), col("span_from"), col("span_to"),
-        (col("span_to") - col("span_from")).as("span_tokens"),
-        col("group_key"))
+                     idCol: String = "doc_id"): DataFrame =
+    spansFromCovered(coveredIndices(docs, minLen, textCol, idCol), idCol)
+
+  // ----------------- persisted span-gram index -----------------
+  //
+  // The incremental/streaming form of the span screen, following the
+  // engine's index discipline (dedup/emb/eval indexes): persist the
+  // corpus' gram keys once; screen any later snapshot or stream
+  // against them without rescanning the corpus. The index stores one
+  // (gh, gk) row per DISTINCT gram — rolling hash for the cheap join,
+  // md5 for the exact verify — so membership joins are narrow and
+  // appends are trivially load-is-union (duplicate rows cannot change
+  // a semi-join's answer, but they widen it; writes dedupe anyway).
+
+  /** Persist the span-gram index of a corpus under `dir`: grams/
+    * (gh, gk) distinct, manifest/ (min_len, n_grams). With `append`,
+    * minLen must match the stored manifest (grams of different lengths
+    * share neither hashes nor semantics).
+    */
+  def writeSpanIndex(docs: DataFrame, dir: String, minLen: Int = 50,
+                     textCol: String = "text",
+                     idCol: String = "doc_id",
+                     append: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (append) {
+      val stored = readSpanIndexMinLen(spark, dir)
+      require(stored == minLen,
+        s"span index at $dir was built with minLen=$stored; cannot " +
+          s"append minLen=$minLen")
+    }
+    val mode = if (append) org.apache.spark.sql.SaveMode.Append
+               else org.apache.spark.sql.SaveMode.Overwrite
+    val seeds = docs.select(col(textCol).as("__text"),
+      posexplode(E.gram_hashes(col(textCol), minLen)).as(Seq("pos", "gh")))
+    val grams = seeds
+      .select(col("gh"),
+        md5(E.gram_at(col("__text"), col("pos"), minLen)).as("gk"))
+      .distinct()
+    grams.write.mode(mode).parquet(s"$dir/grams")
+    val n = spark.read.parquet(s"$dir/grams").count()
+    Seq((minLen, n)).toDF("min_len", "n_grams").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/manifest")
+  }
+
+  /** Stored gram length of a span index. */
+  def readSpanIndexMinLen(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Int =
+    spark.read.parquet(s"$dir/manifest")
+      .agg(max(col("min_len"))).head().getInt(0)
+
+  /** Verified covered gram STARTS of a docs frame against a persisted
+    * span index: (doc_id, pos, gk) for every position whose gram
+    * occurs in the indexed corpus. STREAMING-SAFE: the text rides
+    * through the gram-hash explode (the screens' carry trick), the
+    * index contributes one static table, and the verify is a row-local
+    * md5 comparison — one stateless stream-static equi-join, no
+    * watermark, any output mode. The rolling-hash join is the cheap
+    * seed; equality of the gram md5 kills 64-bit collisions, so hits
+    * are exact. Span MERGING needs a per-doc window (not expressible
+    * on a stream): batch callers use [[duplicateSpansVsIndex]],
+    * streaming callers merge downstream (foreachBatch) if they need
+    * maximal spans rather than flagged positions.
+    */
+  def spanHitsVsIndex(docs: DataFrame, indexDir: String,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val minLen = readSpanIndexMinLen(spark, indexDir)
+    val grams = spark.read.parquet(s"$indexDir/grams")
+    docs.select(col(idCol), col(textCol).as("__text"),
+        posexplode(E.gram_hashes(col(textCol), minLen))
+          .as(Seq("pos", "gh")))
+      .join(grams, Seq("gh"))
+      .filter(md5(E.gram_at(col("__text"), col("pos"), minLen))
+        === col("gk"))
+      .select(col(idCol), col("pos"), col("gk"))
+  }
+
+  /** Maximal spans of a snapshot's docs covered by CORPUS grams (the
+    * batch consumer of [[spanHitsVsIndex]]): same output shape as
+    * [[duplicateSpans]], but "shared" means present in the indexed
+    * corpus — within-snapshot duplication is [[duplicateSpans]]'s job.
+    * The corpus is never rescanned; cost = one gram pass over the
+    * snapshot + one membership join against the index.
+    */
+  def duplicateSpansVsIndex(docs: DataFrame, indexDir: String,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val minLen = readSpanIndexMinLen(docs.sparkSession, indexDir)
+    val cov = spanHitsVsIndex(docs, indexDir, textCol, idCol)
+      .select(col(idCol).as("__id"), col("gk"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
+          .as("idx"))
+      .groupBy(col("__id"), col("idx")).agg(min(col("gk")).as("mgk"))
+    spansFromCovered(cov, idCol)
   }
 
   /** Excised-text variant: every doc with its duplicate-span tokens

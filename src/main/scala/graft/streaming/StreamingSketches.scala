@@ -257,6 +257,21 @@ object StreamingSketches {
       org.apache.spark.sql.DataFrame =
     graft.operators.Dedup.embNearDupHitsVsIndex(embs, indexDir, threshold)
 
+  /** Streaming SUBSTRING-level screen against a persisted span-gram
+    * index ([[graft.operators.SpanDedup.writeSpanIndex]]): a verified
+    * hit row (doc_id, pos, gk) per stream-doc position whose
+    * >= minLen-gram occurs verbatim in the indexed corpus — the span
+    * tier below [[streamingDedupNearDup]]'s doc-level screen. One
+    * stateless stream-static join (text rides through the gram
+    * explode); merge hits into maximal spans downstream (foreachBatch)
+    * if positions aren't enough — the per-doc islands window is not
+    * expressible on a stream.
+    */
+  def streamingSpanScreen(docs: org.apache.spark.sql.DataFrame,
+                          indexDir: String):
+      org.apache.spark.sql.DataFrame =
+    graft.operators.SpanDedup.spanHitsVsIndex(docs, indexDir)
+
   /** Build the corpus-key Bloom filter for [[streamingDedupVsCorpus]]
     * from a one-column DataFrame of key strings (distributed build,
     * partial->final merge; one driver-side dump decode).

@@ -1005,6 +1005,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("span index: snapshot screened vs corpus without rescanning") {
+    import graft.operators.SpanDedup
+    val span = (1 to 8).map(i => s"pass$i")
+    val corpus = Seq(
+      (0L, ((1 to 10).map(i => s"a$i") ++ span).mkString(" ")),
+      (1L, (1 to 20).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-span-idx").toString
+    SpanDedup.writeSpanIndex(corpus, dir, minLen = 8)
+    val snap = Seq(
+      (10L, ((1 to 5).map(i => s"c$i") ++ span ++
+        (6 to 9).map(i => s"c$i")).mkString(" ")),
+      (11L, (1 to 20).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSet
+    val vsIndex = tup(SpanDedup.duplicateSpansVsIndex(snap, dir))
+    assert(vsIndex.map(s => (s._1, s._2, s._3, s._4)) ==
+      Set((10L, 5, 13, 8)), vsIndex.mkString(","))
+    // equality with the batch operator over the union, restricted to
+    // the snapshot (the snapshot shares nothing within itself, so
+    // "shared with corpus" and "shared with >= 2 docs" coincide) —
+    // including the group_key
+    val unionSpans = tup(SpanDedup.duplicateSpans(corpus.union(snap),
+      minLen = 8).filter(col("doc_id") >= 10L))
+    assert(vsIndex == unionSpans, s"$vsIndex vs $unionSpans")
+    // load-is-union appends: grams of the snapshot fold in, so a later
+    // doc sharing a SNAPSHOT passage is now flagged too
+    SpanDedup.writeSpanIndex(snap, dir, minLen = 8, append = true)
+    val later = Seq((20L, ((1 to 8).map(i => s"c$i") ++
+      (1 to 4).map(i => s"e$i")).mkString(" "))).toDF("doc_id", "text")
+    // doc 10's tail c1..c5 span c6..c9 is < 8 tokens; use its head run
+    // instead: c1..c5 + pass1..3 != later's c1..c8 — no false hit
+    val laterHits = SpanDedup.spanHitsVsIndex(later, dir).count()
+    assert(laterHits == 0, "no verbatim 8-gram of doc 20 is indexed")
+    val later2 = Seq((21L, ((1 to 5).map(i => s"c$i") ++ span.take(3) ++
+      (1 to 4).map(i => s"f$i")).mkString(" "))).toDF("doc_id", "text")
+    assert(SpanDedup.spanHitsVsIndex(later2, dir).count() == 1,
+      "doc 21 repeats doc 10's first 8 tokens verbatim -> one hit")
+    // gram-length mismatch on append fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SpanDedup.writeSpanIndex(snap, dir, minLen = 9, append = true)
+    }
+    assert(e.getMessage.contains("minLen"), e.getMessage)
+  }
+
   test("corpus profile: hll gate passes and true error sits inside 3 sigma") {
     // deterministic corpus: the 6-sigma hll_ok gate in corpusProfile is
     // the loose never-trips-when-correct pipeline gate (its oracle pins

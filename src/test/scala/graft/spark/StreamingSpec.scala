@@ -388,6 +388,48 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming flags {10,12}; batch must drop the same: kept=$kept")
   }
 
+  test("streaming span screen flags verbatim corpus grams per batch") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"boiler$i")
+    val corpus = Seq(
+      (0L, ((1 to 10).map(i => s"cw$i") ++ span).mkString(" ")),
+      (1L, (1 to 20).map(i => s"cx$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-span-idx").toString
+    graft.operators.SpanDedup.writeSpanIndex(corpus, dir, minLen = 8)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val hits = StreamingSketches.streamingSpanScreen(
+      stream.toDS().toDF("doc_id", "text"), dir)
+    assert(hits.isStreaming, "the screen must stay a streaming plan")
+    val q = hits.writeStream.format("memory").queryName("span_hits")
+      .outputMode(OutputMode.Append()) // stateless: append works
+      .start()
+    val b1 = Seq(
+      (10L, ((1 to 3).map(i => s"sa$i") ++ span).mkString(" ")), // hit
+      (11L, (1 to 15).map(i => s"sb$i").mkString(" ")))          // fresh
+    val b2 = Seq(
+      (12L, (span ++ (1 to 5).map(i => s"sc$i")).mkString(" ")), // hit
+      (13L, (1 to 15).map(i => s"sd$i").mkString(" ")))          // fresh
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      val after1 = spark.sql("SELECT DISTINCT doc_id, pos FROM span_hits")
+        .as[(Long, Int)].collect().toSet
+      assert(after1 == Set((10L, 3)), s"$after1")
+      stream.addData(b2); q.processAllAvailable()
+      val after2 = spark.sql("SELECT DISTINCT doc_id, pos FROM span_hits")
+        .as[(Long, Int)].collect().toSet
+      assert(after2 == Set((10L, 3), (12L, 0)), s"$after2")
+    } finally q.stop()
+    // batch parity: the same snapshot through the batch span operator
+    val batch = graft.operators.SpanDedup
+      .duplicateSpansVsIndex((b1 ++ b2).toDF("doc_id", "text"), dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(10L, 12L), s"$batch")
+  }
+
   test("streaming embedding near-dup screen matches incremental dedup") {
     import spark.implicits._
     val dir = java.nio.file.Files
