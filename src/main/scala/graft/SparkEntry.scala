@@ -1066,6 +1066,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_from"))
     }),
 
+    // excision consumer of the span index: scrub the snapshot of every
+    // token covered by a corpus gram, without rescanning the corpus
+    "q51_excise_vs_index" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-q51-idx").toString
+      SpanDedup.writeSpanIndex(docs.filter(col("doc_id") <= mid), idxDir,
+        minLen = 8)
+      SpanDedup.exciseSpansVsIndex(docs.filter(col("doc_id") > mid),
+          idxDir)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1538,6 +1552,44 @@ object SparkEntry {
         |  min(mgk) AS group_key
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_from""".stripMargin,
+
+    // q50's corpus-gram coverage composed with q49's excision
+    // reconstruction, restricted to the snapshot half
+    "q51_excise_vs_index" ->
+      """WITH mid AS (SELECT max(doc_id) / 2 AS m FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text,''), ' '),
+        |      x -> x <> '') AS wl
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, wl,
+        |    unnest(generate_series(1, len(wl) - 7)) AS p FROM w),
+        |g AS (
+        |  SELECT doc_id, p - 1 AS pos,
+        |    md5(array_to_string(list_slice(wl, p, p + 7), ' ')) AS gk
+        |  FROM g0),
+        |cg AS (SELECT DISTINCT gk FROM g
+        |       WHERE doc_id <= (SELECT m FROM mid)),
+        |st AS (SELECT g.doc_id, g.pos FROM g JOIN cg USING (gk)
+        |       WHERE g.doc_id > (SELECT m FROM mid)),
+        |cov AS (SELECT doc_id, idx FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+        |  FROM st) GROUP BY doc_id, idx),
+        |ws AS (SELECT doc_id, wl FROM w
+        |       WHERE doc_id > (SELECT m FROM mid)),
+        |t AS (SELECT doc_id, unnest(wl) AS tok,
+        |  unnest(generate_series(0, len(wl) - 1)) AS idx FROM ws),
+        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM t
+        |  LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.idx = cov.idx
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id,
+        |  string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(ws.wl) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+        |FROM ws LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // coalesce(text, '') pins the null-text semantics to the engine's
     // (kernels treat null as empty; bare len(text)/split(text) would

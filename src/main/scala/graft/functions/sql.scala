@@ -226,7 +226,19 @@ object sql {
           "n_lines, n_bullet_lines, n_ellipsis_lines, n_hash_chars, " +
           "n_ellipsis_occurrences]",
         (es: Seq[Expression]) => expressions.GopherSignals(
-          Cast(es.head, StringType))))
+          Cast(es.head, StringType))),
+      "graft_gram_hashes" -> (
+        "(text, n) - position-ordered rolling word-n-gram hashes, " +
+          "array<long> (duplicate-span seeds)",
+        (es: Seq[Expression]) => expressions.GramHashes(
+          Cast(es.head, StringType), lng(es(1), "n").toInt)),
+      "graft_gram_at" -> (
+        "(text, pos, n) - the word n-gram at word index pos, string " +
+          "(span-candidate verifier; null out of range)",
+        (es: Seq[Expression]) => expressions.GramAt(
+          Cast(es.head, StringType),
+          Cast(es(1), org.apache.spark.sql.types.IntegerType),
+          lng(es(2), "n").toInt)))
   }
 
   private def injectInto(registry:

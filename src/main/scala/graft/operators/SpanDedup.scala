@@ -220,9 +220,34 @@ object SpanDedup {
     */
   def exciseSpans(docs: DataFrame, minLen: Int = 50,
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
-    val cov = coveredIndices(docs, minLen, textCol, idCol)
-      .select(col("__id"), col("idx"))
+                  idCol: String = "doc_id"): DataFrame =
+    exciseFromCovered(docs,
+      coveredIndices(docs, minLen, textCol, idCol), textCol, idCol)
+
+  /** [[exciseSpans]] against a persisted span-gram index
+    * ([[writeSpanIndex]]): remove every token covered by a gram that
+    * occurs verbatim in the INDEXED CORPUS — the excision consumer of
+    * [[spanHitsVsIndex]], for scrubbing a new snapshot of corpus
+    * boilerplate without rescanning the corpus.
+    */
+  def exciseSpansVsIndex(docs: DataFrame, indexDir: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val minLen = readSpanIndexMinLen(docs.sparkSession, indexDir)
+    val cov = spanHitsVsIndex(docs, indexDir, textCol, idCol)
+      .select(col(idCol).as("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
+          .as("idx"))
+    exciseFromCovered(docs, cov, textCol, idCol)
+  }
+
+  /** Shared reconstruction step of the excision variants: drop covered
+    * token indices, re-join the survivors per doc.
+    */
+  private def exciseFromCovered(docs: DataFrame, covered: DataFrame,
+                                textCol: String,
+                                idCol: String): DataFrame = {
+    val cov = covered.select(col("__id"), col("idx")).distinct()
     val toks = docs.select(col(idCol).as("__id"),
       posexplode(filter(split(col(textCol), " "), t => t =!= ""))
         .as(Seq("idx", "tok")))

@@ -59,6 +59,18 @@ class FacadeSpec extends AnyFunSuite {
       assert(gs == Seq(4L, 9L, 2L, 2L, 1L, 0L, 1L, 1L, 1L), gs)
       assert(spark.sql("SELECT graft_seg_token_count('hello, world!') AS c")
         .head().getLong(0) == 4L)
+      // span-gram kernels from SQL: seeds match the kernel, verifier
+      // returns the indexed window (and null out of range)
+      val gh = spark.sql(
+        "SELECT graft_gram_hashes('a b c d', 2) AS g").head()
+        .getSeq[Long](0)
+      assert(gh == graft.functions.kernels.gramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c d"), 2)
+        .toLongArray().toSeq, gh)
+      val ga = spark.sql(
+        "SELECT graft_gram_at('a b c d', 1, 2) AS g1, " +
+          "graft_gram_at('a b c d', 3, 2) AS g2").head()
+      assert(ga.getString(0) == "b c" && ga.isNullAt(1), ga.toString)
       // the scalar surface is codegen expressions, not UDFs
       val plan = spark.sql(
         "SELECT graft_simhash(graft_tokenize('x')) FROM t")

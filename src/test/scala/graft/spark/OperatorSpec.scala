@@ -1051,6 +1051,17 @@ class OperatorSpec extends AnyFunSuite {
       SpanDedup.writeSpanIndex(snap, dir, minLen = 9, append = true)
     }
     assert(e.getMessage.contains("minLen"), e.getMessage)
+    // excision vs the index: doc 10 loses exactly its covered run
+    // (which, after the snapshot append, is its full text — every one
+    // of its 8-grams is now indexed); doc 11 passes through untouched
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-span-idx2").toString
+    SpanDedup.writeSpanIndex(corpus, dir2, minLen = 8)
+    val ex = SpanDedup.exciseSpansVsIndex(snap, dir2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(ex(10L) == (((1 to 5).map(i => s"c$i") ++
+      (6 to 9).map(i => s"c$i")).mkString(" "), 8), ex(10L).toString)
+    assert(ex(11L) == (((1 to 20).map(i => s"d$i")).mkString(" "), 0))
   }
 
   test("corpus profile: hll gate passes and true error sits inside 3 sigma") {
