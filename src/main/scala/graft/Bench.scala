@@ -497,6 +497,66 @@ object Bench {
       full.unpersist(); half.unpersist()
     }
 
+    // ---- span screen vs persisted gram index: directory vs bucketed
+    // tables ----
+    // Same screen, two read layouts. The table layout buckets grams on
+    // gh, so the corpus-sized gram table reaches the seed join
+    // unshuffled (PlanSpec pins the plan shape); this measures what
+    // that is worth end-to-end at this scale. Interleaved trials,
+    // arrays published.
+    var b13DirTrials = List.empty[Double]
+    var b13TblTrials = List.empty[Double]
+    var b13Hits = 0L
+    locally {
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val corpus = toText(TokenDocGen.generateDf(spark, 20000, 34L, cpus))
+        .persist()
+      corpus.count()
+      val spanDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-span-idx").toString
+      graft.operators.SpanDedup.writeSpanIndex(corpus, spanDir,
+        minLen = 16)
+      // tables come from the compaction fold (the production read-side
+      // path), not a second gram pass over the corpus
+      graft.operators.SpanDedup.compactSpanIndexTables(spark, spanDir,
+        "graft_bench_spix", cpus)
+      // snapshot: 2k fresh docs + 200 verbatim corpus docs (guaranteed
+      // screen hits)
+      val snap = toText(TokenDocGen.generateDf(spark, 2000, 35L, cpus))
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .union(corpus.filter(col("doc_id") < 200)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .persist()
+      snap.count()
+      val dirTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val tblTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      graft.operators.SpanDedup.spanHitsVsIndex(snap, spanDir).count()
+      graft.operators.SpanDedup
+        .spanHitsVsTables(snap, "graft_bench_spix").count()
+      (1 to 3).foreach { _ =>
+        val (nd, td) = time {
+          graft.operators.SpanDedup.spanHitsVsIndex(snap, spanDir)
+            .count() }
+        val (nt, tt) = time {
+          graft.operators.SpanDedup.spanHitsVsTables(snap,
+            "graft_bench_spix").count() }
+        require(nd == nt, s"b13 layouts disagree: dir=$nd tables=$nt")
+        b13Hits = nd
+        dirTrials += td; tblTrials += tt
+      }
+      require(b13Hits > 0, "b13: planted verbatim docs must hit")
+      b13DirTrials = dirTrials.toList
+      b13TblTrials = tblTrials.toList
+      results += "b13_span_screen_dir" -> dirTrials.min
+      results += "b13_span_screen_tables" -> tblTrials.min
+      Seq("grams", "manifest").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_bench_spix_$t"))
+      corpus.unpersist(); snap.unpersist()
+    }
+
     // ---- IVF recall/nprobe curve (index-quality regression guard) ----
     // q25/q32 gate a single recall point; the curve makes index-quality
     // regressions visible across rounds the way perf ones are.
@@ -594,6 +654,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

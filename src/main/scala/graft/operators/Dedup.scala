@@ -675,11 +675,12 @@ object Dedup {
         afterExact
           .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
       } finally afterExact.unpersist()
-    Seq((numBands, rowsPerBand, ngram, stats.getLong(0),
-        if (stats.isNullAt(1)) -1L else stats.getLong(1)))
-      .toDF("num_bands", "rows_per_band", "ngram", "n_docs", "max_doc_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tablePrefix}_manifest")
+    graft.sources.BucketedTables.saveTable(
+      Seq((numBands, rowsPerBand, ngram, stats.getLong(0),
+          if (stats.isNullAt(1)) -1L else stats.getLong(1)))
+        .toDF("num_bands", "rows_per_band", "ngram", "n_docs",
+          "max_doc_id"),
+      s"${tablePrefix}_manifest")
   }
 
   /** [[dedupIncremental]] against a bucketed-table index
@@ -742,9 +743,8 @@ object Dedup {
       nearDupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster_id")),
       s"${tablePrefix}_labels", "doc_id", numBuckets)
-    Seq(threshold).toDF("threshold")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tablePrefix}_labels_meta")
+    graft.sources.BucketedTables.saveTable(
+      Seq(threshold).toDF("threshold"), s"${tablePrefix}_labels_meta")
   }
 
   /** True iff the table-layout index carries cluster labels. */
@@ -824,17 +824,18 @@ object Dedup {
       s"${tablePrefix}_bands", "band", numBuckets)
     // one consolidated manifest row (the directory may hold one per
     // appended snapshot)
-    Seq((nb, rpb, ng, nDocs, maxId))
-      .toDF("num_bands", "rows_per_band", "ngram", "n_docs", "max_doc_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tablePrefix}_manifest")
+    graft.sources.BucketedTables.saveTable(
+      Seq((nb, rpb, ng, nDocs, maxId))
+        .toDF("num_bands", "rows_per_band", "ngram", "n_docs",
+          "max_doc_id"),
+      s"${tablePrefix}_manifest")
     if (hasClusterLabels(spark, indexDir)) {
       graft.sources.BucketedTables.writeBucketed(
         spark.read.parquet(s"$indexDir/labels"),
         s"${tablePrefix}_labels", "doc_id", numBuckets)
-      Seq(readLabelsThreshold(spark, indexDir)).toDF("threshold")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .saveAsTable(s"${tablePrefix}_labels_meta")
+      graft.sources.BucketedTables.saveTable(
+        Seq(readLabelsThreshold(spark, indexDir)).toDF("threshold"),
+        s"${tablePrefix}_labels_meta")
     }
   }
 

@@ -142,13 +142,8 @@ object SpanDedup {
     }
     val mode = if (append) org.apache.spark.sql.SaveMode.Append
                else org.apache.spark.sql.SaveMode.Overwrite
-    val seeds = docs.select(col(textCol).as("__text"),
-      posexplode(E.gram_hashes(col(textCol), minLen)).as(Seq("pos", "gh")))
-    val grams = seeds
-      .select(col("gh"),
-        md5(E.gram_at(col("__text"), col("pos"), minLen)).as("gk"))
-      .distinct()
-    grams.write.mode(mode).parquet(s"$dir/grams")
+    distinctGrams(docs, minLen, textCol).write.mode(mode)
+      .parquet(s"$dir/grams")
     val n = spark.read.parquet(s"$dir/grams").count()
     Seq((minLen, n)).toDF("min_len", "n_grams").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -160,6 +155,62 @@ object SpanDedup {
                           dir: String): Int =
     spark.read.parquet(s"$dir/manifest")
       .agg(max(col("min_len"))).head().getInt(0)
+
+  /** Distinct (rolling-hash, md5) gram keys of a corpus — the stored
+    * payload of both index layouts.
+    */
+  private def distinctGrams(docs: DataFrame, minLen: Int,
+                            textCol: String): DataFrame =
+    docs.select(col(textCol).as("__text"),
+        posexplode(E.gram_hashes(col(textCol), minLen)).as(Seq("pos", "gh")))
+      .select(col("gh"),
+        md5(E.gram_at(col("__text"), col("pos"), minLen)).as("gk"))
+      .distinct()
+
+  /** Screen core shared by the index layouts: seed on the rolling-hash
+    * join, verify with the row-local gram-md5 equality.
+    *
+    * The verify is md5-equality written as `startsWith` over the
+    * fixed-length (32-char) md5 hex strings ON PURPOSE: an `===` here
+    * is extracted by Catalyst as a SECOND equi-join key, which
+    * repartitions both sides on (md5-expr, gh) — recomputing the md5
+    * for every position of every doc BEFORE the join (defeating the
+    * rolling-hash seed) and disabling the gram table's gh bucketing.
+    * As a non-equi residual it stays a post-join condition: the join
+    * runs on gh alone and the md5 is computed only for seed-matched
+    * candidate pairs (PlanSpec pins both properties).
+    */
+  private def spanHitsFrom(docs: DataFrame, grams: DataFrame, minLen: Int,
+                           textCol: String, idCol: String): DataFrame = {
+    val seeds = docs.select(col(idCol), col(textCol).as("__text"),
+      posexplode(E.gram_hashes(col(textCol), minLen))
+        .as(Seq("pos", "gh")))
+    seeds.join(grams,
+        seeds("gh") === grams("gh") &&
+          md5(E.gram_at(seeds("__text"), seeds("pos"), minLen))
+            .startsWith(grams("gk")))
+      .select(seeds(idCol), seeds("pos"), grams("gk"))
+  }
+
+  /** Maximal-span merge over verified hits (batch consumers). */
+  private def spansFromHits(hits: DataFrame, minLen: Int,
+                            idCol: String): DataFrame =
+    spansFromCovered(
+      hits.select(col(idCol).as("__id"), col("gk"),
+          explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
+            .as("idx"))
+        .groupBy(col("__id"), col("idx")).agg(min(col("gk")).as("mgk")),
+      idCol)
+
+  /** Excision over verified hits (batch consumers). */
+  private def exciseFromHits(docs: DataFrame, hits: DataFrame,
+                             minLen: Int, textCol: String,
+                             idCol: String): DataFrame =
+    exciseFromCovered(docs,
+      hits.select(col(idCol).as("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
+          .as("idx")),
+      textCol, idCol)
 
   /** Verified covered gram STARTS of a docs frame against a persisted
     * span index: (doc_id, pos, gk) for every position whose gram
@@ -179,14 +230,8 @@ object SpanDedup {
                       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     val minLen = readSpanIndexMinLen(spark, indexDir)
-    val grams = spark.read.parquet(s"$indexDir/grams")
-    docs.select(col(idCol), col(textCol).as("__text"),
-        posexplode(E.gram_hashes(col(textCol), minLen))
-          .as(Seq("pos", "gh")))
-      .join(grams, Seq("gh"))
-      .filter(md5(E.gram_at(col("__text"), col("pos"), minLen))
-        === col("gk"))
-      .select(col(idCol), col("pos"), col("gk"))
+    spanHitsFrom(docs, spark.read.parquet(s"$indexDir/grams"), minLen,
+      textCol, idCol)
   }
 
   /** Maximal spans of a snapshot's docs covered by CORPUS grams (the
@@ -198,15 +243,9 @@ object SpanDedup {
     */
   def duplicateSpansVsIndex(docs: DataFrame, indexDir: String,
                             textCol: String = "text",
-                            idCol: String = "doc_id"): DataFrame = {
-    val minLen = readSpanIndexMinLen(docs.sparkSession, indexDir)
-    val cov = spanHitsVsIndex(docs, indexDir, textCol, idCol)
-      .select(col(idCol).as("__id"), col("gk"),
-        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
-          .as("idx"))
-      .groupBy(col("__id"), col("idx")).agg(min(col("gk")).as("mgk"))
-    spansFromCovered(cov, idCol)
-  }
+                            idCol: String = "doc_id"): DataFrame =
+    spansFromHits(spanHitsVsIndex(docs, indexDir, textCol, idCol),
+      readSpanIndexMinLen(docs.sparkSession, indexDir), idCol)
 
   /** Excised-text variant: every doc with its duplicate-span tokens
     * removed — (doc_id, clean_text, n_removed), where clean_text is the
@@ -232,13 +271,95 @@ object SpanDedup {
     */
   def exciseSpansVsIndex(docs: DataFrame, indexDir: String,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
-    val minLen = readSpanIndexMinLen(docs.sparkSession, indexDir)
-    val cov = spanHitsVsIndex(docs, indexDir, textCol, idCol)
-      .select(col(idCol).as("__id"),
-        explode(sequence(col("pos"), col("pos") + lit(minLen - 1)))
-          .as("idx"))
-    exciseFromCovered(docs, cov, textCol, idCol)
+                         idCol: String = "doc_id"): DataFrame =
+    exciseFromHits(docs,
+      spanHitsVsIndex(docs, indexDir, textCol, idCol),
+      readSpanIndexMinLen(docs.sparkSession, indexDir), textCol, idCol)
+
+  // ----------------- bucketed-table span index -----------------
+  //
+  // The 100-TB read layout, mirroring the dedup index's split: the
+  // directory index is the WRITE side (cheap load-is-union appends),
+  // these tables are the READ side. The gram table scales with corpus
+  // token count — far bigger than any snapshot — so bucketing it on gh
+  // (the screen join's probe key) means every later screen shuffles
+  // ONLY the snapshot side; the corpus-sized gram table reads its
+  // buckets in place (PlanSpec-asserted), its one shuffle paid at
+  // write/compaction and amortized over every snapshot.
+
+  /** Write the span-gram index as a managed table bucketed on `gh`:
+    * `<prefix>_grams` + `<prefix>_manifest` (min_len, n_grams).
+    */
+  def writeSpanIndexTables(docs: DataFrame, tablePrefix: String,
+                           numBuckets: Int, minLen: Int = 50,
+                           textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    graft.sources.BucketedTables.writeBucketed(
+      distinctGrams(docs, minLen, textCol),
+      s"${tablePrefix}_grams", "gh", numBuckets)
+    val n = spark.table(s"${tablePrefix}_grams").count()
+    graft.sources.BucketedTables.saveTable(
+      Seq((minLen, n)).toDF("min_len", "n_grams"),
+      s"${tablePrefix}_manifest")
+  }
+
+  /** Stored gram length of a table-layout span index. */
+  def readSpanIndexMinLenTables(spark: org.apache.spark.sql.SparkSession,
+                                tablePrefix: String): Int =
+    spark.table(s"${tablePrefix}_manifest")
+      .agg(max(col("min_len"))).head().getInt(0)
+
+  /** [[spanHitsVsIndex]] against a bucketed-table index: identical
+    * hits, with the corpus-sized gram table read pre-partitioned on
+    * gh — zero corpus-side exchange per screen. Same streaming-safety
+    * as the directory form (one stateless stream-static join).
+    */
+  def spanHitsVsTables(docs: DataFrame, tablePrefix: String,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    spanHitsFrom(docs, spark.table(s"${tablePrefix}_grams"),
+      readSpanIndexMinLenTables(spark, tablePrefix), textCol, idCol)
+  }
+
+  /** [[duplicateSpansVsIndex]] on the table layout. */
+  def duplicateSpansVsTables(docs: DataFrame, tablePrefix: String,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame =
+    spansFromHits(spanHitsVsTables(docs, tablePrefix, textCol, idCol),
+      readSpanIndexMinLenTables(docs.sparkSession, tablePrefix), idCol)
+
+  /** [[exciseSpansVsIndex]] on the table layout. */
+  def exciseSpansVsTables(docs: DataFrame, tablePrefix: String,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    exciseFromHits(docs,
+      spanHitsVsTables(docs, tablePrefix, textCol, idCol),
+      readSpanIndexMinLenTables(docs.sparkSession, tablePrefix),
+      textCol, idCol)
+
+  /** Fold a DIRECTORY span index — every appended snapshot included —
+    * into fresh bucketed tables under `tablePrefix`, deduplicating the
+    * cross-append gram rows the load-is-union appends may have
+    * accumulated (they widen the directory screens harmlessly; the
+    * compacted table stores each gram once). Directory = write side,
+    * tables = read side; the gram-table shuffle is paid once per
+    * compaction, not once per snapshot screen.
+    */
+  def compactSpanIndexTables(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, tablePrefix: String,
+                             numBuckets: Int): Unit = {
+    import spark.implicits._
+    val minLen = readSpanIndexMinLen(spark, indexDir)
+    graft.sources.BucketedTables.writeBucketed(
+      spark.read.parquet(s"$indexDir/grams").distinct(),
+      s"${tablePrefix}_grams", "gh", numBuckets)
+    val n = spark.table(s"${tablePrefix}_grams").count()
+    graft.sources.BucketedTables.saveTable(
+      Seq((minLen, n)).toDF("min_len", "n_grams"),
+      s"${tablePrefix}_manifest")
   }
 
   /** Shared reconstruction step of the excision variants: drop covered

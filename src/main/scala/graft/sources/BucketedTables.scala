@@ -17,10 +17,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedTables {
 
+  /** Make a rebuild of a managed table deterministic after a crash:
+    * drop the table if registered, then delete an ORPHANED managed
+    * location a killed writer may have left behind — Spark refuses to
+    * create a managed table over an existing directory
+    * (LOCATION_ALREADY_EXISTS), so without this a crashed write
+    * permanently blocks its own retry.
+    */
+  def replaceTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(
+      s"$wh/${table.toLowerCase(java.util.Locale.ROOT)}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Replace-then-save for small unbucketed tables (manifests). */
+  def saveTable(df: DataFrame, table: String): Unit = {
+    replaceTable(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
   /** Write `df` as a managed parquet table bucketed by `keyCol`. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
                     numBuckets: Int,
                     sortCol: Option[String] = None): Unit = {
+    replaceTable(df.sparkSession, table)
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, keyCol)

@@ -304,6 +304,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed table write heals an orphaned managed location") {
+    import spark.implicits._
+    // a killed writer leaves the location dir without the table entry;
+    // Spark then refuses saveAsTable (LOCATION_ALREADY_EXISTS) — the
+    // writers must heal this or a crash permanently blocks its retry
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = new java.io.File(wh, "graft_bt_orphan")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(orphan, "junk")).close()
+    try {
+      graft.sources.BucketedTables.writeBucketed(
+        Seq((1L, "a")).toDF("doc_id", "v"), "graft_bt_orphan",
+        "doc_id", 2)
+      assert(spark.table("graft_bt_orphan").count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bt_orphan")
+  }
+
   test("bucketed dedup index: corpus side of every join is exchange-free") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -445,6 +463,107 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       Seq("digests", "bands", "toksets", "manifest").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cmp_$t"))
+    }
+  }
+
+  test("bucketed span index: gram table reaches its screen join unshuffled") {
+    import spark.implicits._
+    import graft.operators.SpanDedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val span = (1 to 8).map(i => s"sp$i")
+      val corpus = ((0L until 20L).map(i =>
+          (i, (1 to 20).map(w => s"p${i}w$w").mkString(" ")))
+        :+ ((20L, ((1 to 6).map(w => s"pw$w") ++ span).mkString(" "))))
+        .toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-spix-dir").toString
+      SpanDedup.writeSpanIndex(corpus, dir, minLen = 8)
+      SpanDedup.writeSpanIndexTables(corpus, "graft_spix", 8, minLen = 8)
+      val snap = Seq(
+        (100L, ((1 to 5).map(w => s"q1w$w") ++ span).mkString(" ")),
+        (101L, (1 to 15).map(w => s"q2w$w").mkString(" ")))
+        .toDF("doc_id", "text")
+      val hits = SpanDedup.spanHitsVsTables(snap, "graft_spix")
+      // identical hits, spans, and excision vs the directory layout
+      assert(hits.collect().toSet ==
+        SpanDedup.spanHitsVsIndex(snap, dir).collect().toSet)
+      assert(hits.collect().nonEmpty, "planted span must hit")
+      assert(SpanDedup.duplicateSpansVsTables(snap, "graft_spix")
+          .collect().toSet ==
+        SpanDedup.duplicateSpansVsIndex(snap, dir).collect().toSet)
+      assert(SpanDedup.exciseSpansVsTables(snap, "graft_spix")
+          .collect().toSet ==
+        SpanDedup.exciseSpansVsIndex(snap, dir).collect().toSet)
+      // the gram table scan reaches its join with NO exchange above it
+      // (the snapshot side shuffles to meet the buckets)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      def gramScanBeforeJoin(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("graft_spix"))
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case a: AdaptiveSparkPlanExec => gramScanBeforeJoin(a.executedPlan)
+        case q: QueryStageExec => gramScanBeforeJoin(q.plan)
+        case other => other.children.exists(gramScanBeforeJoin)
+      }
+      hits.collect()
+      val all = walk(hits.queryExecution.executedPlan)
+      assert(all.exists {
+        case f: FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("graft_spix"))
+        case _ => false
+      }, "gram table scan must be present")
+      val shuffled = all.collect {
+        case s: ShuffleExchangeExec if gramScanBeforeJoin(s.child) => s }
+      assert(shuffled.isEmpty,
+        s"gram buckets must reach their join unshuffled:\n$shuffled")
+      // the md5 verify stays a post-join residual: every exchange in
+      // the screen partitions on the single gh key, never on a
+      // (md5-expr, gh) pair — i.e. the md5 is computed only for
+      // seed-matched candidates, not per corpus position
+      all.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+        val keys = s.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical
+            .HashPartitioning => h.expressions
+          case _ => Nil
+        }
+        assert(keys.size <= 1 && !keys.exists(_.sql.contains("md5")),
+          s"screen shuffle must key on gh alone:\n$s")
+      }
+      // append on the dir side, compact, and the fold dedupes grams:
+      // table screens == post-append directory screens
+      val snap2 = Seq((200L,
+        ((1 to 4).map(w => s"r1w$w") ++ span).mkString(" ")))
+        .toDF("doc_id", "text")
+      SpanDedup.writeSpanIndex(snap2, dir, minLen = 8, append = true)
+      SpanDedup.compactSpanIndexTables(spark, dir, "graft_spcmp", 8)
+      val later = Seq((300L,
+          ((1 to 3).map(w => s"t1w$w") ++ span).mkString(" ")),
+        (301L, (1 to 12).map(w => s"t2w$w").mkString(" ")))
+        .toDF("doc_id", "text")
+      assert(SpanDedup.spanHitsVsTables(later, "graft_spcmp")
+          .collect().toSet ==
+        SpanDedup.spanHitsVsIndex(later, dir).collect().toSet)
+      // compaction stored each gram once despite the duplicate rows
+      // the appended snapshot contributed for the shared span
+      val nTbl = spark.table("graft_spcmp_grams").count()
+      assert(nTbl ==
+        spark.read.parquet(s"$dir/grams").distinct().count())
+      assert(nTbl < spark.read.parquet(s"$dir/grams").count(),
+        "fixture must actually contain cross-append duplicate grams")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("grams", "manifest").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_spix_$t")
+        spark.sql(s"DROP TABLE IF EXISTS graft_spcmp_$t")
+      }
     }
   }
 
