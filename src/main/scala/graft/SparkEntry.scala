@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Decontaminate, Dedup, Multimodal, Packing, Sampling, SpanDedup, TextAnalysis}
+import graft.operators.{Ann, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, SpanDedup, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -1080,6 +1080,61 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- LM quality scoring (CCNet-style) -------------
+    //
+    // Bigram model trained on a deterministic reference slice
+    // (doc_id % 5 == 0), every other doc scored by add-one-smoothed
+    // NLL in power-of-two-bucketed bits — exact integer arithmetic
+    // both engines reproduce bit-for-bit (see LmScore scaladoc; the
+    // full-precision ln twin is sbt-verified).
+
+    "q52_lm_quality" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      LmScore.scoreDocs(docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), maxBitsPerBigram = 4.67)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------- deterministic training shards -------------
+    //
+    // Reproducible global shuffle into 8 shards: shard = hex-threshold
+    // bucket of the doc's md5 sample key (a zero-shuffle projection),
+    // pos = rank within shard in key order (the op's one shuffle).
+
+    "q53_shard_assignments" -> ((s, dir) => {
+      Sampling.shardAssignments(tbl(s, dir, "documents"), numShards = 8,
+          salt = "sh1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------- fractional contamination scores -------------
+    //
+    // The graded decontamination signal: per train doc, the fraction of
+    // its distinct 3-grams appearing in the eval slice (same Bloom
+    // prune + exact verify as q35, plus the per-doc total off the scan).
+
+    "q54_contamination_scores" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.contaminationScores(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0), n = 3, minFrac = 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------- temperature-mixture resampling -------------
+    //
+    // tau=1/2 domain flattening: per-source budgets proportional to
+    // sqrt(source mass), filled in reproducible hash order — all
+    // integer-exact arithmetic (see Sampling.mixtureBudgets).
+
+    "q55_mixture_sample" -> ((s, dir) => {
+      Sampling.sampleToMixture(tbl(s, dir, "documents"),
+          totalBudget = 50000, salt = "mx1")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1590,6 +1645,109 @@ object SparkEntry {
         |  CAST(len(ws.wl) - coalesce(a.n_kept, 0) AS INT) AS n_removed
         |FROM ws LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // add-one-smoothed bigram LM in power-of-two-bucketed bits:
+    // floor(log2(x)) = length(bin(x))-1 over integer counts, so both
+    // engines agree bit-for-bit (see LmScore scaladoc)
+    "q52_lm_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ng
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+        |refbig AS (
+        |  SELECT ng, count(*) AS c2 FROM big WHERE doc_id % 5 = 0
+        |  GROUP BY ng),
+        |refuni AS (
+        |  SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 = 0)
+        |  GROUP BY w),
+        |v AS (SELECT count(*) AS vocab FROM refuni),
+        |occ AS (SELECT doc_id, ng FROM big WHERE doc_id % 5 <> 0),
+        |bits AS (
+        |  SELECT occ.doc_id,
+        |    (length(bin(coalesce(refuni.c1, 0) + v.vocab)) - 1)
+        |    - (length(bin(coalesce(refbig.c2, 0) + 1)) - 1) AS b
+        |  FROM occ CROSS JOIN v
+        |  LEFT JOIN refbig ON occ.ng = refbig.ng
+        |  LEFT JOIN refuni ON split_part(occ.ng, ' ', 1) = refuni.w),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(b) AS BIGINT) AS sum_bits
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(agg.sum_bits, 0) AS sum_bits,
+        |  round(CAST(agg.sum_bits AS DOUBLE) / agg.n_bigrams, 4)
+        |    AS bits_per_bigram,
+        |  coalesce(round(CAST(agg.sum_bits AS DOUBLE) / agg.n_bigrams, 4)
+        |    <= 4.67, false) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // shard boundaries are the SAME hexThreshold strings the engine
+    // compares (interpolated below), so the CASE chain is bit-identical
+    "q53_shard_assignments" -> {
+      val cases = (7 to 1 by -1).map(i =>
+        s"WHEN key >= '${Sampling.hexThreshold(i / 8.0)}' THEN $i")
+        .mkString("\n        |    ")
+      s"""WITH k AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|sh1') AS key
+         |  FROM documents),
+         |s AS (SELECT doc_id, key,
+         |  CASE $cases
+         |    ELSE 0 END AS shard FROM k)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q54_contamination_scores" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+        |  FROM idx),
+        |ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 11 = 0),
+        |tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 11 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM tr GROUP BY doc_id),
+        |hit AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr
+        |  JOIN ev USING (ng) GROUP BY tr.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(tot.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(hit.n_hits, 0) AS n_hits,
+        |  CASE WHEN coalesce(tot.n_ngrams, 0) > 0 THEN
+        |    round(CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / tot.n_ngrams, 4)
+        |  END AS overlap_frac,
+        |  coalesce(round(CAST(coalesce(hit.n_hits, 0) AS DOUBLE)
+        |    / tot.n_ngrams, 4) >= 0.05, false) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // tau=1/2 mixture: budgets from integer-exact floor(sqrt) scaling,
+    // fill by the same md5-key window order as q38
+    "q55_mixture_sample" ->
+      """WITH p AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS p
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT source,
+        |  CAST(floor(sqrt(CAST(p AS DOUBLE))) AS BIGINT) AS t FROM p),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tot FROM t),
+        |b AS (SELECT source,
+        |  CAST(floor(CAST(50000 * t AS DOUBLE) / tot) AS BIGINT) AS budget
+        |  FROM t CROSS JOIN tot),
+        |c AS (SELECT doc_id, source, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mx1'), doc_id) AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM c JOIN b USING (source)
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 
     // coalesce(text, '') pins the null-text semantics to the engine's
     // (kernels treat null as empty; bare len(text)/split(text) would

@@ -239,6 +239,36 @@ object expressions {
       copy(child = c)
   }
 
+  /** All word n-grams in position order, duplicates kept (string ->
+    * array<string>) — the n-gram occurrence stream for language-model
+    * counts, see kernels.wordNgramsAll.
+    */
+  case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"ngram length must be >= 1, got $n")
+    override def prettyName: String = "graft_word_ngrams_all"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      kernels.wordNgramsAll(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val c = child.genCode(ctx)
+      val tpe = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |$tpe ${ev.value} = graft.functions.kernels.wordNgramsAll(
+              |  ${c.isNull} ? null : ${c.value}, $n);
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNgramsAll =
+      copy(child = c)
+  }
+
   /** Position-ordered rolling word-n-gram hashes (string ->
     * array<long>), the duplicate-span seed stream — see
     * kernels.gramHashes. Null / short text -> empty array.
@@ -719,6 +749,9 @@ object expressions {
 
   def word_ngrams(c: Column, n: Int): Column =
     catalyst.aggColExpr(WordNgrams(catalyst.expr(c.cast("string")), n))
+
+  def word_ngrams_all(c: Column, n: Int): Column =
+    catalyst.aggColExpr(WordNgramsAll(catalyst.expr(c.cast("string")), n))
 
   def gopher_signals(c: Column): Column =
     catalyst.aggColExpr(GopherSignals(catalyst.expr(c.cast("string"))))

@@ -66,6 +66,35 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams of a text in position order — one entry per start
+    * position, duplicates KEPT. The occurrence stream for n-gram
+    * language-model counts ([[graft.operators.LmScore]]), where
+    * multiplicity is the point; the distinct [[wordNgrams]] form serves
+    * membership. Same tokenization (non-empty whitespace-split tokens,
+    * space-joined windows), same O(len) single pass.
+    */
+  def wordNgramsAll(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** POSITION-ORDERED rolling hashes of the word n-grams of a text:
     * element i is a 64-bit hash of words[i..i+n) (words = non-empty
     * runs between single spaces, the [[wordNgrams]] tokenization).

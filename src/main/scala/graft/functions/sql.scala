@@ -215,6 +215,11 @@ object sql {
         "(text, n) - distinct word n-grams, array<string>",
         (es: Seq[Expression]) => expressions.WordNgrams(
           Cast(es.head, StringType), lng(es(1), "n").toInt)),
+      "graft_word_ngrams_all" -> (
+        "(text, n) - ALL word n-grams in position order, duplicates " +
+          "kept (LM occurrence stream), array<string>",
+        (es: Seq[Expression]) => expressions.WordNgramsAll(
+          Cast(es.head, StringType), lng(es(1), "n").toInt)),
       "graft_seg_token_count" -> (
         "(text) - BPE-style pre-tokenizer token count (alnum runs + " +
           "one per other non-space char), long",

@@ -126,6 +126,52 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Fractional contamination scores — the graded form of
+    * [[contaminated]]: for EVERY training doc, the fraction of its
+    * distinct word n-grams that appear in the eval corpus
+    * (`overlap_frac`), plus the raw counts and a threshold flag. A
+    * binary any-overlap flag over-fires on idiomatic shared trigrams;
+    * real pipelines gate on the fraction (and audit the distribution),
+    * so the score is the operator.
+    *
+    * Same scale shape as [[contaminated]]: the Bloom probe prunes the
+    * train-side n-gram explode inside codegen BEFORE anything shuffles,
+    * the exact verify join sees only the fpr-bounded candidates, and
+    * the per-doc total is a projection off the scan (`size` of the
+    * native kernel's array — no second explode). Docs with no n-grams
+    * (< n words) score null and flag false, the engine-wide
+    * wordless-docs-fail rule.
+    */
+  def contaminationScores(train: DataFrame, eval: DataFrame, n: Int = 3,
+                          minFrac: Double = 0.05, fpr: Double = 1e-3,
+                          expectedEvalNgrams: Long = 0L,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val spark = train.sparkSession
+    // one evaluation feeds filter + verify (see contaminated)
+    val evalNg = docNgrams(eval, n, textCol, idCol)
+      .select(col("ng")).distinct()
+      .localCheckpoint()
+    val probe = F.bloomProbeAuto(spark,
+      filterFromNgrams(evalNg, fpr, expectedEvalNgrams))
+    val hits = docNgrams(train, n, textCol, idCol)
+      .filter(probe(F.fnv_hash64_native(col("ng"))))
+      .join(evalNg, Seq("ng"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col(idCol),
+        size(wordNgrams(col(textCol), n)).cast("bigint").as("n_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_ngrams") > 0,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_ngrams"), 4)).as("overlap_frac"))
+      .withColumn("contaminated",
+        coalesce(col("overlap_frac") >= minFrac, lit(false)))
+  }
+
   /** Row-local distinct word n-grams of one text — the same
     * tokenization as [[docNgrams]] (split on ' ', empties dropped), for
     * paths where a DataFrame column is unavailable (streaming

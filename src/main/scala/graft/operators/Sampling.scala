@@ -72,6 +72,114 @@ object Sampling {
       .drop("__graft_cum")
   }
 
+  /** Deterministic global shuffle into `numShards` training shards —
+    * the reproducible alternative to `repartition(rand())` for writing
+    * the final training set. Every doc gets
+    *  - `shard`: the index of the hex-threshold bucket its sample key
+    *    falls in (equal-probability buckets of the md5 key space —
+    *    shard boundaries are the same [[hexThreshold]] strings any
+    *    engine can compare lexicographically, the q53 oracle);
+    *  - `pos`: its rank within the shard in key order — a reproducible
+    *    random order WITHIN each shard, so a trainer reading shard
+    *    files sequentially sees a deterministic global shuffle.
+    * Stable under retries, partitioning, and cluster size; a different
+    * salt is an independent reshuffle.
+    *
+    * Scale: the shard column is a pure codegen projection on the scan
+    * (a when-chain over numShards-1 string compares — zero shuffle,
+    * PlanSpec-pinned); `pos` adds the ONE shuffle the op fundamentally
+    * needs (hash-partition by shard + in-partition spill-backed sort).
+    * [[writeShards]] rides that same exchange straight into a
+    * partitioned, sorted write.
+    */
+  def shardAssignments(df: DataFrame, numShards: Int,
+                       salt: String = "graft",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(numShards >= 1 && numShards <= 4096,
+      s"numShards must be in [1, 4096], got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = sampleKey(col(idCol), salt)
+    // descending when-chain: shard = max i with key >= threshold(i/S)
+    def ge(i: Int): Column =
+      col("__graft_key") >= lit(hexThreshold(i.toDouble / numShards))
+    val shardCol =
+      if (numShards == 1) lit(0)
+      else (numShards - 2 to 1 by -1)
+        .foldLeft(when(ge(numShards - 1), lit(numShards - 1))) {
+          (acc, i) => acc.when(ge(i), lit(i))
+        }.otherwise(lit(0))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__graft_key"), col(idCol))
+    df.withColumn("__graft_key", key)
+      .withColumn("shard", shardCol)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .drop("__graft_key")
+  }
+
+  /** Write `df` as `numShards` sorted training shards under `dir`
+    * (parquet, `partitionBy(shard)`, rows in `pos` order within each
+    * shard): the one shard-keyed exchange plus an in-partition sort,
+    * then a straight write — the 100 TB shape.
+    */
+  def writeShards(df: DataFrame, dir: String, numShards: Int,
+                  salt: String = "graft", idCol: String = "doc_id"): Unit =
+    shardAssignments(df, numShards, salt, idCol)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Per-stratum token budgets for a temperature-flattened domain
+    * mixture at tau = 1/2 (the standard "sqrt scaling" that upweights
+    * small domains): budget_s = floor(totalBudget * t_s / sum(t_s))
+    * with t_s = floor(sqrt(sum of weight in stratum s)). Everything is
+    * integer arithmetic over exactly-rounded IEEE sqrt/division, so any
+    * engine reproduces the budgets bit-for-bit (the q55 oracle) —
+    * a free-tau float power would differ in the last ulp across
+    * engines. Output: (stratum, weight_total, budget).
+    *
+    * Scale: one tiny stratum aggregate; the normalizer joins in as a
+    * one-row cross join (no driver collect).
+    */
+  def mixtureBudgets(df: DataFrame, totalBudget: Long,
+                     weightCol: String = "n_chars",
+                     strataCol: String = "source"): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0")
+    val p = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("bigint").as("weight_total"))
+      .withColumn("__t", floor(sqrt(col("weight_total").cast("double"))))
+    val tot = p.agg(sum(col("__t")).cast("bigint").as("__tot"))
+    p.crossJoin(tot)
+      .select(col(strataCol), col("weight_total"),
+        floor((lit(totalBudget) * col("__t")).cast("double") / col("__tot"))
+          .cast("bigint").as("budget"))
+  }
+
+  /** Resample `df` to the tau=1/2 temperature mixture: within each
+    * stratum, keep docs in reproducible hash-key order until the
+    * stratum's [[mixtureBudgets]] budget is filled (the
+    * [[sampleByBudget]] prefix rule with data-dependent budgets). The
+    * kept set is deterministic, retry-stable, and exactly
+    * SQL-recomputable end to end.
+    *
+    * Scale: budgets are stratum-count-sized and broadcast into the
+    * corpus join; the fill is the one stratum-keyed window shuffle.
+    */
+  def sampleToMixture(df: DataFrame, totalBudget: Long,
+                      salt: String = "graft",
+                      weightCol: String = "n_chars",
+                      idCol: String = "doc_id",
+                      strataCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = mixtureBudgets(df, totalBudget, weightCol, strataCol)
+      .select(col(strataCol), col("budget"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(idCol), salt), col(idCol))
+    df.join(broadcast(budgets), Seq(strataCol))
+      .withColumn("__graft_cum", sum(col(weightCol)).over(w))
+      .filter(col("__graft_cum") <= col("budget"))
+      .drop("__graft_cum", "budget")
+  }
+
   /** Stratified Bernoulli sample: per-stratum fractions (e.g. balance
     * sources or languages), `defaultFraction` for strata not listed.
     */

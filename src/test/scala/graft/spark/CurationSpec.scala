@@ -1,0 +1,225 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Decontaminate, LmScore, Sampling}
+
+/** Unit tests for the round-5 curation additions: LM quality scoring,
+  * deterministic shard assignment, fractional contamination scores, and
+  * temperature-mixture resampling — hand-computed fixtures plus the
+  * determinism / plan properties each op promises.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // ---------------- LM scoring ----------------
+
+  test("wordNgramsAll keeps duplicates in position order") {
+    val out = Seq(("a b a b"))
+      .toDF("text")
+      .select(graft.functions.expressions.word_ngrams_all(col("text"), 2))
+      .head().getSeq[String](0)
+    assert(out == Seq("a b", "b a", "a b"))
+    val empty = Seq(("a")).toDF("text")
+      .select(graft.functions.expressions.word_ngrams_all(col("text"), 2))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  // ref unigrams: a:3 b:2 c:1 (V=3); bigrams: "a b":2 "b a":1 "a c":1
+  private def lmRef = Seq(
+    (100L, "a b a c"), (101L, "a b")).toDF("doc_id", "text")
+
+  test("LM score: hand-computed bucketed bits") {
+    val docs = Seq((1L, "a b c"), (2L, "zzz"), (3L, "")).toDF("doc_id", "text")
+    val out = LmScore.scoreDocs(docs, lmRef).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "a b": blog2(3+3)-blog2(2+1) = 2-1 = 1; "b c": blog2(2+3)-blog2(0+1)
+    // = 2-0 = 2 -> sum 3 over 2 bigrams
+    assert(out(1L).getAs[Long]("n_bigrams") == 2L)
+    assert(out(1L).getAs[Long]("sum_bits") == 3L)
+    assert(out(1L).getAs[Double]("bits_per_bigram") == 1.5)
+    assert(out(1L).getAs[Boolean]("keep"))
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id).getAs[Long]("n_bigrams") == 0L)
+      assert(out(id).getAs[Long]("sum_bits") == 0L)
+      assert(out(id).isNullAt(out(id).fieldIndex("bits_per_bigram")))
+      assert(!out(id).getAs[Boolean]("keep"))
+    }
+  }
+
+  test("LM precise score matches direct computation") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = LmScore.scoreDocsPrecise(docs, lmRef).head()
+    val expected =
+      ((math.log(6) - math.log(3)) + (math.log(5) - math.log(1))) / 2
+    assert(math.abs(out.getAs[Double]("avg_nll") - expected) < 1e-12)
+  }
+
+  test("bucketed bits within 1 bit of precise NLL on random docs") {
+    val rnd = new scala.util.Random(7)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(10 + rnd.nextInt(20))(s"w${rnd.nextInt(50)}").mkString(" "))
+    val ref = (0 until 30).map(doc).toDF("doc_id", "text")
+    val docs = (100 until 130).map(doc).toDF("doc_id", "text")
+    val bits = LmScore.scoreDocs(docs, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bits_per_bigram"))
+      .toMap
+    val precise = LmScore.scoreDocsPrecise(docs, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(bits.nonEmpty)
+    // per-term bucket error is in (-1, 1) bits, so the averages agree
+    // within a bit — the ranking-preservation contract of the bucketing
+    bits.foreach { case (id, b) =>
+      assert(math.abs(b - precise(id) / math.log(2)) < 1.0,
+        s"doc $id: bucketed $b vs precise ${precise(id) / math.log(2)}")
+    }
+  }
+
+  // ---------------- shard assignment ----------------
+
+  test("shard assignment: correct buckets, dense pos, deterministic") {
+    val docs = (1L to 500L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Sampling.shardAssignments(docs, numShards = 8, salt = "sh1")
+      .collect()
+    assert(out.length == 500)
+    val thresholds = (1 to 7).map(i => Sampling.hexThreshold(i / 8.0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"$id|sh1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    out.foreach { r =>
+      val expected = thresholds.count(_ <= key(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Int]("shard") == expected)
+    }
+    // pos is a dense 1..n rank within each shard, in key order
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (key(r.getAs[Long]("doc_id")),
+        r.getAs[Long]("doc_id")))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // partitioning-independence (the reason rand() is banned here)
+    val again = Sampling
+      .shardAssignments(docs.repartition(7), numShards = 8, salt = "sh1")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(again.toSeq == out
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos"))).sorted.toSeq)
+  }
+
+  test("writeShards: partitioned layout, pos-sorted within shard") {
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shards").toString
+    Sampling.writeShards(docs, dir, numShards = 4, salt = "sh1")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    assert(back.select("shard").distinct().collect()
+      .map(_.getAs[Int]("shard")).sorted.toSeq == Seq(0, 1, 2, 3))
+    // each shard file holds its rows in pos order (trainer reads
+    // sequentially => deterministic global shuffle)
+    (0 to 3).foreach { sh =>
+      val files = new java.io.File(s"$dir/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val pos = spark.read.parquet(f.getAbsolutePath)
+          .select("pos").collect().map(_.getAs[Long]("pos"))
+        assert(pos.sameElements(pos.sorted))
+      }
+    }
+  }
+
+  // ---------------- contamination scores ----------------
+
+  test("contamination scores: planted overlap fraction, clean and short docs") {
+    val eval = Seq((900L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 x3 q1 q2 q3"), // 4 trigrams, 1 shared -> 0.25
+      (2L, "p1 p2 p3 p4"),       // 2 trigrams, 0 shared
+      (3L, "s1 s2")              // no trigrams
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.contaminationScores(train, eval, n = 3,
+        minFrac = 0.05).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_ngrams") == 4L)
+    assert(out(1L).getAs[Long]("n_hits") == 1L)
+    assert(out(1L).getAs[Double]("overlap_frac") == 0.25)
+    assert(out(1L).getAs[Boolean]("contaminated"))
+    assert(out(2L).getAs[Long]("n_hits") == 0L)
+    assert(out(2L).getAs[Double]("overlap_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+    assert(out(3L).getAs[Long]("n_ngrams") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("overlap_frac")))
+    assert(!out(3L).getAs[Boolean]("contaminated"))
+  }
+
+  // ---------------- temperature mixture ----------------
+
+  test("mixture budgets: integer-exact sqrt scaling") {
+    // A mass 100 -> t=10, B mass 400 -> t=20; budget 90 -> 30/60
+    val docs = ((1 to 10).map(i => (i.toLong, "A", 10L)) ++
+      (11 to 50).map(i => (i.toLong, "B", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val budgets = Sampling.mixtureBudgets(docs, totalBudget = 90)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("weight_total"), r.getAs[Long]("budget"))).toMap
+    assert(budgets("A") == ((100L, 30L)))
+    assert(budgets("B") == ((400L, 60L)))
+  }
+
+  test("mixture fill: budget-maximal prefix per source, deterministic") {
+    val docs = ((1 to 10).map(i => (i.toLong, "A", 10L)) ++
+      (11 to 50).map(i => (i.toLong, "B", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.sampleToMixture(docs, totalBudget = 90, salt = "mx")
+      .collect()
+    val bySource = kept.groupBy(_.getAs[String]("source"))
+    // 30/10 = 3 docs from A, 60/10 = 6 from B
+    assert(bySource("A").length == 3)
+    assert(bySource("B").length == 6)
+    // the kept docs are exactly the smallest sample keys of each source
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"$id|mx".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(bySource("A").map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      (1L to 10L).sortBy(key).take(3).sorted.toSeq)
+    assert(bySource("B").map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      (11L to 50L).sortBy(key).take(6).sorted.toSeq)
+    val again = Sampling
+      .sampleToMixture(docs.repartition(7), totalBudget = 90, salt = "mx")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(again.toSeq == kept.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  // ---------------- plan shapes ----------------
+
+  test("plans: shard = one exchange; mixture join broadcasts; LM has no UDF") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val shardPlan = Sampling.shardAssignments(docs, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(shardPlan).length == 1,
+      s"shard+pos needs exactly the one shard-keyed shuffle:\n$shardPlan")
+    val mixPlan = Sampling.sampleToMixture(docs, 10000)
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"budget join must broadcast:\n$mixPlan")
+    assert(!mixPlan.contains("SortMergeJoin"), mixPlan)
+    val lmPlan = LmScore.scoreDocs(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+      .queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("ScalaUDF"), lmPlan)
+    assert(lmPlan.contains("graft_word_ngrams_all"), lmPlan)
+  }
+}
