@@ -1095,6 +1095,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // same scores answered from a PERSISTED count-table model, built as
+    // an initial batch plus a fold-in append (reference corpus never
+    // rescanned) — the oracle is identical to q52's by construction
+    "q56_lm_vs_model" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 5 === 0)
+      val mdl = java.nio.file.Files
+        .createTempDirectory("graft-q56-lm").toString
+      LmScore.writeLmModel(ref.filter(col("doc_id") % 2 === 0), mdl)
+      LmScore.appendToLmModel(ref.filter(col("doc_id") % 2 =!= 0), mdl,
+        batchId = 1L)
+      LmScore.scoreDocsVsModel(docs.filter(col("doc_id") % 5 =!= 0), mdl,
+          maxBitsPerBigram = 4.67)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- deterministic training shards -------------
     //
     // Reproducible global shuffle into 8 shards: shard = hex-threshold
@@ -1649,43 +1665,9 @@ object SparkEntry {
     // add-one-smoothed bigram LM in power-of-two-bucketed bits:
     // floor(log2(x)) = length(bin(x))-1 over integer counts, so both
     // engines agree bit-for-bit (see LmScore scaladoc)
-    "q52_lm_quality" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |big AS (
-        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ng
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
-        |refbig AS (
-        |  SELECT ng, count(*) AS c2 FROM big WHERE doc_id % 5 = 0
-        |  GROUP BY ng),
-        |refuni AS (
-        |  SELECT w, count(*) AS c1 FROM (
-        |    SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 = 0)
-        |  GROUP BY w),
-        |v AS (SELECT count(*) AS vocab FROM refuni),
-        |occ AS (SELECT doc_id, ng FROM big WHERE doc_id % 5 <> 0),
-        |bits AS (
-        |  SELECT occ.doc_id,
-        |    (length(bin(coalesce(refuni.c1, 0) + v.vocab)) - 1)
-        |    - (length(bin(coalesce(refbig.c2, 0) + 1)) - 1) AS b
-        |  FROM occ CROSS JOIN v
-        |  LEFT JOIN refbig ON occ.ng = refbig.ng
-        |  LEFT JOIN refuni ON split_part(occ.ng, ' ', 1) = refuni.w),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(b) AS BIGINT) AS sum_bits
-        |  FROM bits GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
-        |  coalesce(agg.sum_bits, 0) AS sum_bits,
-        |  round(CAST(agg.sum_bits AS DOUBLE) / agg.n_bigrams, 4)
-        |    AS bits_per_bigram,
-        |  coalesce(round(CAST(agg.sum_bits AS DOUBLE) / agg.n_bigrams, 4)
-        |    <= 4.67, false) AS keep
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
-        |LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q52_lm_quality" -> lmQualityOracle,
+    // persisted-model path computes the SAME answer from count tables
+    "q56_lm_vs_model" -> lmQualityOracle,
 
     // shard boundaries are the SAME hexThreshold strings the engine
     // compares (interpolated below), so the CASE chain is bit-identical
@@ -2065,6 +2047,44 @@ object SparkEntry {
   /** Shared oracle for the direct (q35) and index-backed (q40)
     * decontamination paths — identical answers by construction.
     */
+  private val lmQualityOracle: String =
+    """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ng
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+        |refbig AS (
+        |  SELECT ng, count(*) AS c2 FROM big WHERE doc_id % 5 = 0
+        |  GROUP BY ng),
+        |refuni AS (
+        |  SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 = 0)
+        |  GROUP BY w),
+        |v AS (SELECT count(*) AS vocab FROM refuni),
+        |occ AS (SELECT doc_id, ng FROM big WHERE doc_id % 5 <> 0),
+        |bits AS (
+        |  SELECT occ.doc_id,
+        |    (length(bin(coalesce(refuni.c1, 0) + v.vocab)) - 1)
+        |    - (length(bin(coalesce(refbig.c2, 0) + 1)) - 1) AS b
+        |  FROM occ CROSS JOIN v
+        |  LEFT JOIN refbig ON occ.ng = refbig.ng
+        |  LEFT JOIN refuni ON split_part(occ.ng, ' ', 1) = refuni.w),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(b) AS BIGINT) AS sum_bits
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(agg.sum_bits, 0) AS sum_bits,
+        |  round(CAST(agg.sum_bits AS DOUBLE) / agg.n_bigrams, 4)
+        |    AS bits_per_bigram,
+        |  coalesce(round(CAST(agg.sum_bits AS DOUBLE) / agg.n_bigrams, 4)
+        |    <= 4.67, false) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   private val decontaminateOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

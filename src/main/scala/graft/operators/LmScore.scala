@@ -65,9 +65,17 @@ object LmScore {
   def scoreDocs(docs: DataFrame, ref: DataFrame,
                 maxBitsPerBigram: Double = 12.0,
                 textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame = {
-    val uni = unigramCounts(ref, textCol)
-    val big = bigramCounts(ref, textCol)
+                idCol: String = "doc_id"): DataFrame =
+    scoreWithCounts(docs, unigramCounts(ref, textCol),
+      bigramCounts(ref, textCol), maxBitsPerBigram, textCol, idCol)
+
+  /** The scoring core both the direct and the persisted-model paths
+    * share — one evaluation of the count-table semantics, so the two
+    * paths cannot drift (q56 pins equality anyway).
+    */
+  private def scoreWithCounts(docs: DataFrame, uni: DataFrame,
+                              big: DataFrame, maxBitsPerBigram: Double,
+                              textCol: String, idCol: String): DataFrame = {
     val vocab = uni.agg(count(lit(1)).as("__v"))
     // floor(log2(x)) for x >= 1, exact in integers on any engine
     def blog2(x: Column): Column = length(bin(x)) - 1
@@ -92,6 +100,88 @@ object LmScore {
           .as("bits_per_bigram"))
       .withColumn("keep",
         coalesce(col("bits_per_bigram") <= maxBitsPerBigram, lit(false)))
+  }
+
+  // ----------------- persisted LM model -----------------
+  //
+  // The production shape (the eval-index / dedup-index twin for LM
+  // scoring): the reference corpus changes rarely, training snapshots
+  // keep coming — so the count tables persist and new reference batches
+  // fold in WITHOUT rescanning old ones. Layout:
+  //   dir/uni/batch_id=<b>/   (w, c1)  per-batch unigram counts
+  //   dir/big/batch_id=<b>/   (ng, c2) per-batch bigram counts
+  //   dir/batches             one (batch_id) row per COMMITTED batch
+  //   dir/manifest            (order) — probe-compatibility guard
+  // Counts are log-structured: each batch holds ITS OWN counts and the
+  // reader sums across committed batches (counts are mergeable, the
+  // same partial->final property every sketch here leans on). The
+  // WRITE ORDER is the crash-recovery contract: batch data first,
+  // commit row second. A crash in between leaves an uncommitted
+  // partition the reader ignores; re-running the same append OVERWRITES
+  // that partition and then commits — no double counting, no partial
+  // reads (the eval-index append discipline, applied to count tables).
+
+  /** Build and persist the model from the initial reference batch. */
+  def writeLmModel(ref: DataFrame, dir: String,
+                   textCol: String = "text"): Unit = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    unigramCounts(ref, textCol)
+      .write.mode("overwrite").parquet(s"$dir/uni/batch_id=0")
+    bigramCounts(ref, textCol)
+      .write.mode("overwrite").parquet(s"$dir/big/batch_id=0")
+    Seq(2).toDF("order")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    Seq(0L).toDF("batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches")
+  }
+
+  /** Fold a NEW reference batch into the model under caller-chosen
+    * `batchId` (exactly-once key: an id already committed is a no-op,
+    * so retries are safe). Scales with the new batch only — stored
+    * batches are never read, let alone rescanned.
+    */
+  def appendToLmModel(newRef: DataFrame, dir: String, batchId: Long,
+                      textCol: String = "text"): Unit = {
+    require(batchId > 0, "batchId 0 is the initial build; use > 0")
+    val spark = newRef.sparkSession
+    import spark.implicits._
+    val committed = spark.read.parquet(s"$dir/batches")
+      .collect().map(_.getAs[Long]("batch_id")).toSet // bounded: #appends
+    if (committed(batchId)) return
+    unigramCounts(newRef, textCol)
+      .write.mode("overwrite").parquet(s"$dir/uni/batch_id=$batchId")
+    bigramCounts(newRef, textCol)
+      .write.mode("overwrite").parquet(s"$dir/big/batch_id=$batchId")
+    // data durable -> now commit (see write-order contract above)
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").parquet(s"$dir/batches")
+  }
+
+  /** [[scoreDocs]] against a persisted model: counts sum across the
+    * committed batches (partition-pruned to exactly those — an
+    * uncommitted crash leftover is never read), the reference corpus is
+    * never rescanned. Identical answer to a direct [[scoreDocs]] over
+    * the union of the batches (q56 pins this against the q52 oracle).
+    */
+  def scoreDocsVsModel(docs: DataFrame, dir: String,
+                       maxBitsPerBigram: Double = 12.0,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val order = spark.read.parquet(s"$dir/manifest")
+      .head().getAs[Int]("order")
+    require(order == 2, s"model at $dir has order $order, scorer is bigram")
+    val committed = spark.read.parquet(s"$dir/batches")
+      .collect().map(_.getAs[Long]("batch_id")).toSeq // bounded: #appends
+    require(committed.nonEmpty, s"no committed batches at $dir")
+    val uni = spark.read.parquet(s"$dir/uni")
+      .filter(col("batch_id").isin(committed: _*))
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+    val big = spark.read.parquet(s"$dir/big")
+      .filter(col("batch_id").isin(committed: _*))
+      .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
+    scoreWithCounts(docs, uni, big, maxBitsPerBigram, textCol, idCol)
   }
 
   /** Full-precision twin of [[scoreDocs]]: per-occurrence NLL

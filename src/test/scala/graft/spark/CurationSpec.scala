@@ -83,6 +83,54 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted LM model: batched build+append == direct scoring") {
+    val rnd = new scala.util.Random(11)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(10 + rnd.nextInt(20))(s"w${rnd.nextInt(40)}").mkString(" "))
+    val refA = (0 until 20).map(doc).toDF("doc_id", "text")
+    val refB = (20 until 45).map(doc).toDF("doc_id", "text")
+    val docs = (100 until 140).map(doc).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    LmScore.writeLmModel(refA, dir)
+    LmScore.appendToLmModel(refB, dir, batchId = 1L)
+    val direct = LmScore.scoreDocs(docs, refA.union(refB)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val vsModel = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(vsModel.toSeq == direct.toSeq)
+    // exactly-once: re-appending the same batchId is a no-op
+    LmScore.appendToLmModel(refB, dir, batchId = 1L)
+    val again = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(again.toSeq == direct.toSeq)
+  }
+
+  test("LM model crash recovery: uncommitted batch ignored, re-run heals") {
+    val refA = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val refB = Seq((2L, "c d c d e")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmc").toString
+    LmScore.writeLmModel(refA, dir)
+    val before = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // simulate a crash AFTER batch data landed but BEFORE the commit
+    // row: write the partition dirs by hand, no batches append
+    LmScore.bigramCounts(refB)
+      .write.mode("overwrite").parquet(s"$dir/big/batch_id=7")
+    LmScore.unigramCounts(refB)
+      .write.mode("overwrite").parquet(s"$dir/uni/batch_id=7")
+    // the reader must NOT see the uncommitted partition
+    assert(LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq == before)
+    // the retried append overwrites the leftover and commits it
+    LmScore.appendToLmModel(refB, dir, batchId = 7L)
+    val healed = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val direct = LmScore.scoreDocs(docs, refA.union(refB)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(healed.toSeq == direct.toSeq)
+  }
+
   // ---------------- shard assignment ----------------
 
   test("shard assignment: correct buckets, dense pos, deterministic") {
