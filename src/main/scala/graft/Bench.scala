@@ -557,6 +557,61 @@ object Bench {
       corpus.unpersist(); snap.unpersist()
     }
 
+    // ---- LM quality scoring: direct vs persisted count-table model ----
+    // CCNet-shape workload: bigram model over a 20k-doc reference slice,
+    // 100k docs scored (two count-table joins on uniform string keys +
+    // one per-doc reduce). Direct (counts recomputed from the reference)
+    // vs persisted model (counts read from committed batches) measures
+    // what the model read path costs/saves end to end. Interleaved
+    // trials, arrays published; both paths must keep the same docs.
+    var b14DirectTrials = List.empty[Double]
+    var b14ModelTrials = List.empty[Double]
+    var b14Kept = 0L
+    locally {
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val ref = toText(TokenDocGen.generateDf(spark, 20000, 36L, cpus))
+        .persist()
+      ref.count()
+      val corpus = toText(TokenDocGen.generateDf(spark, 100000, 37L, cpus))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .persist()
+      corpus.count()
+      val lmDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-lm").toString
+      graft.operators.LmScore.writeLmModel(ref, lmDir)
+      // keep threshold = the corpus's MEDIAN score, so the keep
+      // predicate always splits the data whatever the synthetic score
+      // distribution looks like (this probe doubles as the warm-up)
+      val thr = graft.operators.LmScore.scoreDocsVsModel(corpus, lmDir)
+        .stat.approxQuantile("bits_per_bigram", Array(0.5), 0.001).head
+      def direct(): Long =
+        graft.operators.LmScore.scoreDocs(corpus, ref, thr)
+          .filter(col("keep")).count()
+      def vsModel(): Long =
+        graft.operators.LmScore.scoreDocsVsModel(corpus, lmDir, thr)
+          .filter(col("keep")).count()
+      direct(); vsModel() // warm-up
+      val dTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val mTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 3).foreach { _ =>
+        val (nd, td) = time(direct())
+        val (nm, tm) = time(vsModel())
+        require(nd == nm, s"b14 paths disagree: direct=$nd model=$nm")
+        b14Kept = nd
+        dTrials += td; mTrials += tm
+      }
+      require(b14Kept > 0 && b14Kept < 100000,
+        "b14: keep threshold must not be degenerate")
+      b14DirectTrials = dTrials.toList
+      b14ModelTrials = mTrials.toList
+      results += "b14_lm_score_direct" -> dTrials.min
+      results += "b14_lm_score_model" -> mTrials.min
+      ref.unpersist(); corpus.unpersist()
+    }
+
     // ---- IVF recall/nprobe curve (index-quality regression guard) ----
     // q25/q32 gate a single recall point; the curve makes index-quality
     // regressions visible across rounds the way perf ones are.
@@ -654,6 +709,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }
