@@ -1151,6 +1151,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- quality-aware cluster dedup -------------
+    //
+    // The q31 components with a KEEP-BEST policy: from each near-dup
+    // cluster keep the doc with the most content (n_chars; any quality
+    // signal works), ties to the smallest id — instead of min-id
+    // regardless of quality. Oracle = the q31 recursive-CTE components
+    // plus a ranking window, so the kept set is hash-checked.
+
+    "q57_dedup_keep_best" -> ((s, dir) => {
+      val toks = TokenDocs.fromDocumentsPath(s, dir)
+        .withColumn("doc_id", regexp_extract(col("doc_id"), "(\\d+)$", 1)
+          .cast("long"))
+      val pairs = Dedup.minhashLshPairs(toks, 0.9, numBands = 32,
+        rowsPerBand = 4).select(col("a"), col("b"))
+      val labels = Dedup.nearDupClusters(pairs)
+      Dedup.keepBestPerCluster(
+          tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          labels, "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2024,7 +2045,41 @@ object SparkEntry {
         |  FROM reach GROUP BY u)
         |SELECT l.doc_id, l.cluster_id,
         |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
-        |FROM lab l ORDER BY doc_id""".stripMargin
+        |FROM lab l ORDER BY doc_id""".stripMargin,
+
+    "q57_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok AS (SELECT * FROM w WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT a, b FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = cnt.a
+        |  JOIN sizes sb ON sb.doc_id = cnt.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lab AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |rk AS (
+        |  SELECT l.doc_id,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |                       ORDER BY d.n_chars DESC, l.doc_id ASC) AS r
+        |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE r > 1)
+        |ORDER BY d.doc_id""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact and LSH embedding near-dup queries (the

@@ -1084,6 +1084,41 @@ object Dedup {
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
 
+  /** QUALITY-aware keep policy over near-dup clusters: keep, from each
+    * cluster, the doc with the HIGHEST `scoreCol` (ties to the smallest
+    * id — deterministic), instead of the smallest id regardless of
+    * quality. Real pipelines dedup this way: inside a duplicate group
+    * the copies differ in boilerplate and truncation, and min-id keeps
+    * whichever crawled first, not whichever is worth training on.
+    * `labels` is a [[nearDupClusters]] output ((id, cluster_id), only
+    * CLUSTERED docs present); `docs` is the full corpus carrying
+    * `scoreCol` (any quality signal — Gopher battery output, LM bits,
+    * n_chars). Works unchanged for embeddings (labels from the vector
+    * pair set, idCol = vec_id).
+    *
+    * Scale: clustered docs are a small fraction of any deduped corpus,
+    * so the ranking window runs over the LABELS-sized frame, never the
+    * corpus; the corpus sees exactly two broadcast-able joins on the id
+    * (scores in, losers anti-joined out) and ZERO corpus-keyed
+    * shuffles. No driver collect.
+    */
+  def keepBestPerCluster(docs: DataFrame, labels: DataFrame,
+                         scoreCol: String,
+                         idCol: String = "doc_id"): DataFrame = {
+    val scored = labels.select(col("id"), col("cluster_id"))
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+        Seq("id"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__s").desc, col("id").asc)
+    val losers = scored
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number()
+        .over(rk))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------- incremental EMBEDDING dedup -------------
   //
   // The vector twin of the text index: persist (vid, emb, band keys) of

@@ -136,6 +136,29 @@ object LmScore {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches")
   }
 
+  /** Roll the batches log forward/backward after a crashed
+    * [[compactLmModel]]: the compaction switch stages the new log at
+    * `batches.next` and then delete-renames it over `batches`, so the
+    * only non-atomic window leaves either (a) `batches` missing with
+    * `batches.next` present — the switch was past the point of no
+    * return (the compacted batch is durable), complete it by renaming
+    * forward — or (b) both present — the switch never started, the
+    * staged log is garbage, drop it and let the re-run redo it. Called
+    * from every reader/writer entry point, so the protocol is
+    * self-healing: any crash at any point heals on the next touch.
+    */
+  private def healBatchesLog(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = log.getFileSystem(conf)
+    val next = new org.apache.hadoop.fs.Path(s"$dir/batches.next")
+    if (fs.exists(next)) {
+      if (!fs.exists(log)) fs.rename(next, log)
+      else fs.delete(next, true)
+    }
+  }
+
   /** Fold a NEW reference batch into the model under caller-chosen
     * `batchId` (exactly-once key: an id already committed is a no-op,
     * so retries are safe). Scales with the new batch only — stored
@@ -146,6 +169,7 @@ object LmScore {
     require(batchId > 0, "batchId 0 is the initial build; use > 0")
     val spark = newRef.sparkSession
     import spark.implicits._
+    healBatchesLog(spark, dir)
     val committed = spark.read.parquet(s"$dir/batches")
       .collect().map(_.getAs[Long]("batch_id")).toSet // bounded: #appends
     if (committed(batchId)) return
@@ -168,7 +192,17 @@ object LmScore {
                        maxBitsPerBigram: Double = 12.0,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
+    val (uni, big) = modelCounts(docs.sparkSession, dir)
+    scoreWithCounts(docs, uni, big, maxBitsPerBigram, textCol, idCol)
+  }
+
+  /** The summed count tables of a persisted model (committed batches
+    * only, partition-pruned), shared by the relational scorer and the
+    * local-model loader.
+    */
+  private def modelCounts(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
+    healBatchesLog(spark, dir)
     val order = spark.read.parquet(s"$dir/manifest")
       .head().getAs[Int]("order")
     require(order == 2, s"model at $dir has order $order, scorer is bigram")
@@ -181,7 +215,65 @@ object LmScore {
     val big = spark.read.parquet(s"$dir/big")
       .filter(col("batch_id").isin(committed: _*))
       .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
-    scoreWithCounts(docs, uni, big, maxBitsPerBigram, textCol, idCol)
+    (uni, big)
+  }
+
+  /** Fold every committed batch of a persisted model into ONE
+    * consolidated batch — the count-table twin of
+    * [[Dedup.compactDedupIndexTables]]: appends stay cheap and
+    * log-structured, compaction periodically pays one summing pass so
+    * the read path stops re-summing N batch partitions per score.
+    * Crash-safe at every step, in write order:
+    *  1. summed counts land under a FRESH batch id (uncommitted —
+    *     invisible to every reader; a crash here leaves garbage the
+    *     final GC of a re-run removes);
+    *  2. the new one-row batches log is staged at `batches.next`;
+    *  3. the switch: delete `batches`, rename the staged log over it
+    *     ([[healBatchesLog]] rolls a crash inside the switch forward
+    *     from any entry point — the staged log IS the commit record);
+    *  4. GC: batch directories no longer referenced by the log (the
+    *     just-folded ones, plus any append/crash leftovers) are
+    *     deleted; a crash mid-GC leaves uncommitted dirs that stay
+    *     invisible and go away on the next compaction.
+    * Answers are unchanged by construction (counts are mergeable;
+    * CurationSpec pins score equality before/after), and appends keep
+    * working afterwards — the folded batch is just a big batch.
+    */
+  def compactLmModel(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    import spark.implicits._
+    healBatchesLog(spark, dir)
+    val committed = spark.read.parquet(s"$dir/batches")
+      .collect().map(_.getAs[Long]("batch_id")).toSet // bounded: #appends
+    require(committed.nonEmpty, s"no committed batches at $dir")
+    val newId = committed.max + 1
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (committed.size > 1) {
+      spark.read.parquet(s"$dir/uni")
+        .filter(col("batch_id").isin(committed.toSeq: _*))
+        .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+        .write.mode("overwrite").parquet(s"$dir/uni/batch_id=$newId")
+      spark.read.parquet(s"$dir/big")
+        .filter(col("batch_id").isin(committed.toSeq: _*))
+        .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
+        .write.mode("overwrite").parquet(s"$dir/big/batch_id=$newId")
+      Seq(newId).toDF("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
+      val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
+      fs.delete(log, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/batches.next"), log)
+    }
+    val live = if (committed.size > 1) Set(newId) else committed
+    Seq("uni", "big").foreach { side =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$side"))
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch_id="))
+        .filterNot(st =>
+          live(st.getPath.getName.stripPrefix("batch_id=").toLong))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   /** Full-precision twin of [[scoreDocs]]: per-occurrence NLL
@@ -215,5 +307,81 @@ object LmScore {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_nll"))
       .withColumn("keep", coalesce(col("avg_nll") <= maxAvgNll, lit(false)))
+  }
+
+  // ----------------- row-local model -----------------
+
+  /** An LM model held in memory for ROW-LOCAL scoring — the shape
+    * production CCNet-style pipelines actually ship (the KenLM binary
+    * every worker loads), and the shape a STREAMING screen needs: the
+    * relational scorer's per-doc reduce is a streaming aggregation
+    * (state store, watermark, output-mode limits), while a broadcast
+    * model scores each row where it stands — stateless, any output
+    * mode. The bucketed-bits arithmetic is pure integer, so this path
+    * agrees with [[scoreDocs]]/[[scoreDocsVsModel]] BIT-FOR-BIT
+    * (CurationSpec pins column equality; StreamingSpec pins micro-batch
+    * flags == the batch path) — the same rounding included
+    * ([[LocalLmModel.bitsPerBigram]] reproduces Spark's HALF_UP
+    * `round(x, 4)` exactly).
+    */
+  final case class LocalLmModel(vocab: Long,
+                                uni: java.util.HashMap[String, Long],
+                                big: java.util.HashMap[String, Long])
+      extends Serializable {
+
+    /** (n_bigrams, sum_bits) of a text — [[scoreDocs]]'s integer core,
+      * one pass, same tokenization as
+      * [[graft.functions.kernels.wordNgramsAll]] (non-empty
+      * single-space-split tokens).
+      */
+    def score(text: String): (Long, Long) = {
+      if (text == null) return (0L, 0L)
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) return (0L, 0L)
+      def blog2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      var sum = 0L
+      var i = 0
+      while (i + 2 <= toks.length) {
+        val c1 = uni.getOrDefault(toks(i), 0L)
+        val c2 = big.getOrDefault(toks(i) + " " + toks(i + 1), 0L)
+        sum += blog2(c1 + vocab) - blog2(c2 + 1L)
+        i += 1
+      }
+      (toks.length - 1L, sum)
+    }
+
+    /** `bits_per_bigram` as the relational scorer emits it (4dp,
+      * HALF_UP — Spark's `round` on doubles); None when unscorable.
+      */
+    def bitsPerBigram(text: String): Option[Double] = {
+      val (n, sum) = score(text)
+      if (n == 0L) None
+      else Some(BigDecimal(sum.toDouble / n)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+
+    /** The q52 keep rule, row-locally: false when unscorable. */
+    def keep(text: String, maxBitsPerBigram: Double): Boolean =
+      bitsPerBigram(text).exists(_ <= maxBitsPerBigram)
+  }
+
+  /** Load a persisted model ([[writeLmModel]] layout) into a
+    * [[LocalLmModel]]. The collect is bounded by the MODEL (the
+    * reference slice's vocabulary, small by construction — the same
+    * artifact production ships to every worker), never the corpus;
+    * broadcast the result once per streaming query
+    * ([[graft.streaming.StreamingSketches.streamingLmScreen]]).
+    */
+  def loadLmModelLocal(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): LocalLmModel = {
+    val (uniDf, bigDf) = modelCounts(spark, dir)
+    val uni = new java.util.HashMap[String, Long]()
+    uniDf.collect().foreach(r =>
+      uni.put(r.getAs[String]("w"), r.getAs[Long]("c1")))
+    val big = new java.util.HashMap[String, Long]()
+    bigDf.collect().foreach(r =>
+      big.put(r.getAs[String]("ng"), r.getAs[Long]("c2")))
+    LocalLmModel(uni.size.toLong, uni, big)
   }
 }

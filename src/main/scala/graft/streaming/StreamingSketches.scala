@@ -325,6 +325,43 @@ object StreamingSketches {
         < minOverlap)
   }
 
+  /** Streaming LM-quality screen: keep stream rows whose CCNet-style
+    * bucketed-bits score under a persisted bigram model
+    * ([[graft.operators.LmScore.writeLmModel]]) is at most
+    * `maxBitsPerBigram` — the streaming twin of
+    * [[graft.operators.LmScore.scoreDocsVsModel]]'s keep rule. The
+    * relational scorer's per-doc reduce would be a streaming
+    * AGGREGATION (state store, watermark, output-mode limits), so this
+    * screen scores ROW-LOCALLY against a broadcast
+    * [[graft.operators.LmScore.LocalLmModel]] instead — the production
+    * CCNet shape (every worker loads the model) — and the pure-integer
+    * bucketed-bits arithmetic makes the two paths agree bit-for-bit
+    * (StreamingSpec pins micro-batch keeps == the batch path).
+    * Stateless, any output mode. Unscorable rows (< 2 tokens) are
+    * DROPPED, the engine-wide wordless-docs-fail rule.
+    * Broadcast LIFETIME: lives until the context stops — long-lived
+    * sessions should use [[streamingLmScreenBc]] and destroy() the
+    * handle when the query terminates.
+    */
+  def streamingLmScreen[T](ds: Dataset[T], textFn: T => String,
+                           model: graft.operators.LmScore.LocalLmModel,
+                           maxBitsPerBigram: Double = 12.0)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    streamingLmScreenBc(ds, textFn,
+      ds.sparkSession.sparkContext.broadcast(model), maxBitsPerBigram)
+
+  /** Caller-owned-broadcast form of [[streamingLmScreen]]:
+    * `bc.destroy()` after the streaming query terminates to reclaim
+    * the count maps.
+    */
+  def streamingLmScreenBc[T](
+      ds: Dataset[T], textFn: T => String,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.operators.LmScore.LocalLmModel],
+      maxBitsPerBigram: Double = 12.0)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    ds.filter((t: T) => bc.value.keep(textFn(t), maxBitsPerBigram))
+
   /** Streaming quantiles of a numeric field per group via t-digest state.
     * Emits (group, n, p50, p99) per micro-batch.
     */

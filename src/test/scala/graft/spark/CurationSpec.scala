@@ -131,6 +131,108 @@ class CurationSpec extends AnyFunSuite {
     assert(healed.toSeq == direct.toSeq)
   }
 
+  test("compactLmModel: one folded batch, same answers, appends keep working") {
+    val rnd = new scala.util.Random(13)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(10 + rnd.nextInt(20))(s"w${rnd.nextInt(40)}").mkString(" "))
+    val refA = (0 until 15).map(doc).toDF("doc_id", "text")
+    val refB = (15 until 30).map(doc).toDF("doc_id", "text")
+    val refC = (30 until 50).map(doc).toDF("doc_id", "text")
+    val docs = (100 until 130).map(doc).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmf").toString
+    LmScore.writeLmModel(refA, dir)
+    LmScore.appendToLmModel(refB, dir, batchId = 1L)
+    def scores() = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = scores()
+    LmScore.compactLmModel(spark, dir)
+    assert(scores() == before, "compaction must not change answers")
+    // the log holds ONE batch and the folded dirs are gone
+    val committed = spark.read.parquet(s"$dir/batches").collect()
+      .map(_.getAs[Long]("batch_id")).toSeq
+    assert(committed == Seq(2L))
+    val uniDirs = new java.io.File(s"$dir/uni").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(uniDirs == Seq("batch_id=2"), s"folded batch dirs must be GC'd: $uniDirs")
+    // compaction is idempotent when there is nothing to fold
+    LmScore.compactLmModel(spark, dir)
+    assert(scores() == before)
+    assert(spark.read.parquet(s"$dir/batches").count() == 1L)
+    // appends after compaction: the folded batch is just a big batch
+    LmScore.appendToLmModel(refC, dir, batchId = 3L)
+    val direct = LmScore.scoreDocs(docs, refA.union(refB).union(refC))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(scores() == direct)
+  }
+
+  test("compactLmModel crash windows: staged log rolls forward, pre-switch crash redoes") {
+    val refA = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val refB = Seq((2L, "c d c d e")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    def scores(dir: String) = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // (a) crash INSIDE the switch: batches deleted, batches.next staged
+    // -> the next reader rolls the log forward and answers correctly
+    val dirA = java.nio.file.Files.createTempDirectory("graft-lmx").toString
+    LmScore.writeLmModel(refA, dirA)
+    LmScore.appendToLmModel(refB, dirA, batchId = 1L)
+    val want = scores(dirA)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dirA).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    spark.read.parquet(s"$dirA/uni")
+      .filter(col("batch_id").isin(0L, 1L))
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+      .write.parquet(s"$dirA/uni/batch_id=2")
+    spark.read.parquet(s"$dirA/big")
+      .filter(col("batch_id").isin(0L, 1L))
+      .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
+      .write.parquet(s"$dirA/big/batch_id=2")
+    Seq(2L).toDF("batch_id")
+      .coalesce(1).write.parquet(s"$dirA/batches.next")
+    fs.delete(new Path(s"$dirA/batches"), true) // crash point
+    assert(scores(dirA) == want, "reader must roll the staged log forward")
+    assert(spark.read.parquet(s"$dirA/batches").collect()
+      .map(_.getAs[Long]("batch_id")).toSeq == Seq(2L))
+    // (b) crash BEFORE the switch: staged log beside the live one -> the
+    // staged copy is dropped and a re-run compaction converges
+    val dirB = java.nio.file.Files.createTempDirectory("graft-lmy").toString
+    LmScore.writeLmModel(refA, dirB)
+    LmScore.appendToLmModel(refB, dirB, batchId = 1L)
+    Seq(2L).toDF("batch_id")
+      .coalesce(1).write.parquet(s"$dirB/batches.next") // crash point
+    assert(scores(dirB) == want, "stale staged log must be ignored")
+    LmScore.compactLmModel(spark, dirB)
+    assert(scores(dirB) == want)
+    assert(spark.read.parquet(s"$dirB/batches").count() == 1L)
+  }
+
+  test("LocalLmModel row-local scoring is bit-identical to the relational path") {
+    val rnd = new scala.util.Random(17)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(2 + rnd.nextInt(25))(s"w${rnd.nextInt(40)}").mkString(" "))
+    val ref = (0 until 25).map(doc).toDF("doc_id", "text")
+    val docRows = (100 until 140).map(doc) ++
+      Seq((200L, "oneword"), (201L, ""), (202L, "  "))
+    val docs = docRows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lml").toString
+    LmScore.writeLmModel(ref, dir)
+    val local = LmScore.loadLmModelLocal(spark, dir)
+    val relational = LmScore.scoreDocsVsModel(docs, dir, 4.67).collect()
+    assert(relational.nonEmpty)
+    relational.foreach { r =>
+      val text = docRows.find(_._1 == r.getAs[Long]("doc_id")).get._2
+      val (n, sum) = local.score(text)
+      assert(n == r.getAs[Long]("n_bigrams"), s"n_bigrams at $text")
+      assert(sum == r.getAs[Long]("sum_bits"), s"sum_bits at $text")
+      val bpb = local.bitsPerBigram(text)
+      if (r.isNullAt(r.fieldIndex("bits_per_bigram"))) assert(bpb.isEmpty)
+      else assert(bpb.contains(r.getAs[Double]("bits_per_bigram")))
+      assert(local.keep(text, 4.67) == r.getAs[Boolean]("keep"))
+    }
+  }
+
   // ---------------- shard assignment ----------------
 
   test("shard assignment: correct buckets, dense pos, deterministic") {

@@ -533,6 +533,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(cc == Seq(4L, 11L), s"CC keeps one per component: $cc")
   }
 
+  test("keepBestPerCluster keeps the top-scored doc, ties to min id") {
+    // components: {1,2,3} scores (5,9,9) -> keep 2 (top score, tie to
+    // the smaller id); {10,11} scores (1,4) -> keep 11 (quality beats
+    // min-id); 7 unclustered -> kept regardless of score
+    val labels = Dedup.nearDupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"))
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 0L), (10L, 1L),
+      (11L, 4L)).toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(docs, labels, "score")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 7L, 11L))
+    // min-id policy on the same clusters would keep {1, 7, 10}
+    val minId = docs.join(labels.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 7L, 10L))
+  }
+
+  test("keepBestPerCluster plan: no corpus-keyed exchange") {
+    // corpus sees two joins on the id (scores in, losers anti-joined
+    // out), both broadcast-able; the ranking window shuffles only the
+    // labels-sized side
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val plan = Dedup.keepBestPerCluster(docs, labels, "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("CC clustering matches GraphX ConnectedComponents on random graphs") {
     // independent oracle: GraphX's CC also labels every vertex with the
     // minimum vertex id of its component — compare on deterministic

@@ -484,4 +484,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L),
       s"streaming flags {10,12}; batch must drop the same: kept=$kept")
   }
+
+  test("streaming LM screen keeps exactly the batch scorer's keep set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(2 + rnd.nextInt(25))(s"w${rnd.nextInt(40)}").mkString(" "))
+    val ref = (0 until 30).map(doc).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-lm").toString
+    graft.operators.LmScore.writeLmModel(ref, dir)
+    val model = graft.operators.LmScore.loadLmModelLocal(spark, dir)
+    // threshold between the score quantiles so both outcomes occur
+    val maxBits = 4.9
+    val rows = (100 until 160).map(doc) ++
+      Seq((200L, "oneword"), (201L, null.asInstanceOf[String]))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingSketches.streamingLmScreen[(Long, String)](
+      stream.toDS(), _._2, model, maxBits)
+    assert(out.isStreaming, "the screen must stay a streaming plan")
+    val q = out.writeStream.format("memory").queryName("lm_kept")
+      .outputMode(OutputMode.Append()) // stateless: append works
+      .start()
+    try {
+      stream.addData(rows.take(30)); q.processAllAvailable()
+      stream.addData(rows.drop(30)); q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.sql("SELECT _1 FROM lm_kept").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val batchKept = graft.operators.LmScore
+      .scoreDocsVsModel(rows.toDF("doc_id", "text"), dir, maxBits)
+      .filter(col("keep")).select("doc_id").as[Long].collect()
+      .sorted.toSeq
+    assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+    assert(streamKept.nonEmpty && streamKept.size < rows.size,
+      "threshold must separate the fixture for the test to bite")
+  }
 }
