@@ -45,45 +45,76 @@ import graft.functions.{expressions => E}
   */
 object LmScore {
 
+  /** Occurrence counts of the reference slice's word n-grams of a given
+    * order: (ng, c2). Order 2 = the bigram table.
+    */
+  def ngramCounts(ref: DataFrame, order: Int,
+                  textCol: String = "text"): DataFrame =
+    ref.select(explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("c2"))
+
   /** Bigram occurrence counts of the reference slice: (ng, c2). */
   def bigramCounts(ref: DataFrame, textCol: String = "text"): DataFrame =
-    ref.select(explode(E.word_ngrams_all(col(textCol), 2)).as("ng"))
-      .groupBy(col("ng")).agg(count(lit(1)).as("c2"))
+    ngramCounts(ref, 2, textCol)
+
+  /** Context (= order-1 gram) occurrence counts: (w, c1). Order 2 =
+    * the unigram table.
+    */
+  def contextCounts(ref: DataFrame, order: Int,
+                    textCol: String = "text"): DataFrame =
+    ref.select(explode(E.word_ngrams_all(col(textCol), order - 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
 
   /** Unigram (word) occurrence counts of the reference slice: (w, c1). */
   def unigramCounts(ref: DataFrame, textCol: String = "text"): DataFrame =
-    ref.select(explode(E.word_ngrams_all(col(textCol), 1)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    contextCounts(ref, 2, textCol)
 
-  /** Per-document bucketed-bits LM score of `docs` under a bigram model
-    * trained on `ref`. Output per doc (every doc, including those with
-    * no bigrams): `n_bigrams` (long, 0 for short docs), `sum_bits`
-    * (long, 0), `bits_per_bigram` (double 4dp, null when unscorable),
-    * `keep` = bits_per_bigram <= maxBitsPerBigram (false when
-    * unscorable — the engine-wide wordless-docs-fail rule).
+  /** Per-document bucketed-bits LM score of `docs` under an `order`-gram
+    * model trained on `ref` (order 2 = bigram, the default; production
+    * CCNet models run order 5). Per occurrence the score is
+    * floor(log2(c(context)+V)) - floor(log2(c(gram)+1)) with context =
+    * the gram's first order-1 words and V = the reference's distinct
+    * WORD count (the add-one alphabet is the continuation word,
+    * whatever the order). Output per doc (every doc, including those
+    * too short to score): `n_bigrams` (long, 0 — the column keeps its
+    * q52-pinned name at every order; it counts scored grams),
+    * `sum_bits` (long, 0), `bits_per_bigram` (double 4dp, null when
+    * unscorable), `keep` = bits_per_bigram <= maxBitsPerBigram (false
+    * when unscorable — the engine-wide wordless-docs-fail rule).
     */
   def scoreDocs(docs: DataFrame, ref: DataFrame,
                 maxBitsPerBigram: Double = 12.0,
                 textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame =
-    scoreWithCounts(docs, unigramCounts(ref, textCol),
-      bigramCounts(ref, textCol), maxBitsPerBigram, textCol, idCol)
+                idCol: String = "doc_id",
+                order: Int = 2): DataFrame = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    val ctx = contextCounts(ref, order, textCol)
+    // at order 2 the context table IS the word table — don't pay a
+    // third reference pass for the vocab scalar
+    val vocab = (if (order == 2) ctx else unigramCounts(ref, textCol))
+      .agg(count(lit(1)).as("__v"))
+    scoreWithCounts(docs, ctx, ngramCounts(ref, order, textCol), vocab,
+      maxBitsPerBigram, textCol, idCol, order)
+  }
 
   /** The scoring core both the direct and the persisted-model paths
     * share — one evaluation of the count-table semantics, so the two
-    * paths cannot drift (q56 pins equality anyway).
+    * paths cannot drift (q56 pins equality anyway). `vocab` is a
+    * one-row (__v: long) frame holding the distinct-word count.
     */
   private def scoreWithCounts(docs: DataFrame, uni: DataFrame,
-                              big: DataFrame, maxBitsPerBigram: Double,
-                              textCol: String, idCol: String): DataFrame = {
-    val vocab = uni.agg(count(lit(1)).as("__v"))
+                              big: DataFrame, vocab: DataFrame,
+                              maxBitsPerBigram: Double,
+                              textCol: String, idCol: String,
+                              order: Int): DataFrame = {
     // floor(log2(x)) for x >= 1, exact in integers on any engine
     def blog2(x: Column): Column = length(bin(x)) - 1
     val occ = docs
-      .select(col(idCol), explode(E.word_ngrams_all(col(textCol), 2)).as("ng"))
+      .select(col(idCol),
+        explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
       .crossJoin(vocab) // one row: BroadcastNestedLoopJoin, no shuffle
       .join(big, Seq("ng"), "left")
-      .withColumn("__prev", substring_index(col("ng"), " ", 1))
+      .withColumn("__prev", substring_index(col("ng"), " ", order - 1))
       .join(uni, col("__prev") === uni("w"), "left")
       .select(col(idCol),
         (blog2(coalesce(col("c1"), lit(0L)) + col("__v")) -
@@ -121,16 +152,23 @@ object LmScore {
   // that partition and then commits — no double counting, no partial
   // reads (the eval-index append discipline, applied to count tables).
 
-  /** Build and persist the model from the initial reference batch. */
+  /** Build and persist the model from the initial reference batch.
+    * `order` > 2 adds a third per-batch count table, `words/` (the
+    * distinct-word alphabet the add-one denominator needs; at order 2
+    * the context table already is it).
+    */
   def writeLmModel(ref: DataFrame, dir: String,
-                   textCol: String = "text"): Unit = {
+                   textCol: String = "text", order: Int = 2): Unit = {
+    require(order >= 2, s"order must be >= 2, got $order")
     val spark = ref.sparkSession
     import spark.implicits._
-    unigramCounts(ref, textCol)
+    contextCounts(ref, order, textCol)
       .write.mode("overwrite").parquet(s"$dir/uni/batch_id=0")
-    bigramCounts(ref, textCol)
+    ngramCounts(ref, order, textCol)
       .write.mode("overwrite").parquet(s"$dir/big/batch_id=0")
-    Seq(2).toDF("order")
+    if (order > 2) unigramCounts(ref, textCol)
+      .write.mode("overwrite").parquet(s"$dir/words/batch_id=0")
+    Seq(order).toDF("order")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     Seq(0L).toDF("batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches")
@@ -170,13 +208,17 @@ object LmScore {
     val spark = newRef.sparkSession
     import spark.implicits._
     healBatchesLog(spark, dir)
+    val order = spark.read.parquet(s"$dir/manifest")
+      .head().getAs[Int]("order")
     val committed = spark.read.parquet(s"$dir/batches")
       .collect().map(_.getAs[Long]("batch_id")).toSet // bounded: #appends
     if (committed(batchId)) return
-    unigramCounts(newRef, textCol)
+    contextCounts(newRef, order, textCol)
       .write.mode("overwrite").parquet(s"$dir/uni/batch_id=$batchId")
-    bigramCounts(newRef, textCol)
+    ngramCounts(newRef, order, textCol)
       .write.mode("overwrite").parquet(s"$dir/big/batch_id=$batchId")
+    if (order > 2) unigramCounts(newRef, textCol)
+      .write.mode("overwrite").parquet(s"$dir/words/batch_id=$batchId")
     // data durable -> now commit (see write-order contract above)
     Seq(batchId).toDF("batch_id")
       .write.mode("append").parquet(s"$dir/batches")
@@ -192,20 +234,26 @@ object LmScore {
                        maxBitsPerBigram: Double = 12.0,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val (uni, big) = modelCounts(docs.sparkSession, dir)
-    scoreWithCounts(docs, uni, big, maxBitsPerBigram, textCol, idCol)
+    val m = modelCounts(docs.sparkSession, dir)
+    scoreWithCounts(docs, m.uni, m.big, m.vocab, maxBitsPerBigram,
+      textCol, idCol, m.order)
   }
+
+  private case class ModelCounts(order: Int, uni: DataFrame,
+                                 big: DataFrame, vocab: DataFrame)
 
   /** The summed count tables of a persisted model (committed batches
     * only, partition-pruned), shared by the relational scorer and the
-    * local-model loader.
+    * local-model loader. `vocab` is the one-row distinct-word count —
+    * at order 2 straight off the context table, above that off the
+    * `words/` table (distinct across batches, NOT summed: the same
+    * word in two batches is still one alphabet entry).
     */
   private def modelCounts(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): (DataFrame, DataFrame) = {
+                          dir: String): ModelCounts = {
     healBatchesLog(spark, dir)
     val order = spark.read.parquet(s"$dir/manifest")
       .head().getAs[Int]("order")
-    require(order == 2, s"model at $dir has order $order, scorer is bigram")
     val committed = spark.read.parquet(s"$dir/batches")
       .collect().map(_.getAs[Long]("batch_id")).toSeq // bounded: #appends
     require(committed.nonEmpty, s"no committed batches at $dir")
@@ -215,7 +263,12 @@ object LmScore {
     val big = spark.read.parquet(s"$dir/big")
       .filter(col("batch_id").isin(committed: _*))
       .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
-    (uni, big)
+    val vocab =
+      if (order == 2) uni.agg(count(lit(1)).as("__v"))
+      else spark.read.parquet(s"$dir/words")
+        .filter(col("batch_id").isin(committed: _*))
+        .agg(countDistinct(col("w")).as("__v"))
+    ModelCounts(order, uni, big, vocab)
   }
 
   /** Fold every committed batch of a persisted model into ONE
@@ -250,6 +303,8 @@ object LmScore {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
+    val hasWords =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/words"))
     if (committed.size > 1) {
       spark.read.parquet(s"$dir/uni")
         .filter(col("batch_id").isin(committed.toSeq: _*))
@@ -259,6 +314,10 @@ object LmScore {
         .filter(col("batch_id").isin(committed.toSeq: _*))
         .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
         .write.mode("overwrite").parquet(s"$dir/big/batch_id=$newId")
+      if (hasWords) spark.read.parquet(s"$dir/words")
+        .filter(col("batch_id").isin(committed.toSeq: _*))
+        .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+        .write.mode("overwrite").parquet(s"$dir/words/batch_id=$newId")
       Seq(newId).toDF("batch_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
       val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
@@ -266,14 +325,15 @@ object LmScore {
       fs.rename(new org.apache.hadoop.fs.Path(s"$dir/batches.next"), log)
     }
     val live = if (committed.size > 1) Set(newId) else committed
-    Seq("uni", "big").foreach { side =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$side"))
-        .filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("batch_id="))
-        .filterNot(st =>
-          live(st.getPath.getName.stripPrefix("batch_id=").toLong))
-        .foreach(st => fs.delete(st.getPath, true))
-    }
+    (Seq("uni", "big") ++ (if (hasWords) Seq("words") else Nil))
+      .foreach { side =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$side"))
+          .filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("batch_id="))
+          .filterNot(st =>
+            live(st.getPath.getName.stripPrefix("batch_id=").toLong))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
   }
 
   /** Full-precision twin of [[scoreDocs]]: per-occurrence NLL
@@ -324,7 +384,7 @@ object LmScore {
     * ([[LocalLmModel.bitsPerBigram]] reproduces Spark's HALF_UP
     * `round(x, 4)` exactly).
     */
-  final case class LocalLmModel(vocab: Long,
+  final case class LocalLmModel(order: Int, vocab: Long,
                                 uni: java.util.HashMap[String, Long],
                                 big: java.util.HashMap[String, Long])
       extends Serializable {
@@ -337,17 +397,26 @@ object LmScore {
     def score(text: String): (Long, Long) = {
       if (text == null) return (0L, 0L)
       val toks = text.split(" ").filter(_.nonEmpty)
-      if (toks.length < 2) return (0L, 0L)
+      if (toks.length < order) return (0L, 0L)
       def blog2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
       var sum = 0L
       var i = 0
-      while (i + 2 <= toks.length) {
-        val c1 = uni.getOrDefault(toks(i), 0L)
-        val c2 = big.getOrDefault(toks(i) + " " + toks(i + 1), 0L)
+      val sb = new java.lang.StringBuilder
+      while (i + order <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < order - 1) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val c1 = uni.getOrDefault(sb.toString, 0L)
+        sb.append(' ').append(toks(i + order - 1))
+        val c2 = big.getOrDefault(sb.toString, 0L)
         sum += blog2(c1 + vocab) - blog2(c2 + 1L)
         i += 1
       }
-      (toks.length - 1L, sum)
+      (toks.length - order + 1L, sum)
     }
 
     /** `bits_per_bigram` as the relational scorer emits it (4dp,
@@ -375,13 +444,13 @@ object LmScore {
     */
   def loadLmModelLocal(spark: org.apache.spark.sql.SparkSession,
                        dir: String): LocalLmModel = {
-    val (uniDf, bigDf) = modelCounts(spark, dir)
+    val m = modelCounts(spark, dir)
     val uni = new java.util.HashMap[String, Long]()
-    uniDf.collect().foreach(r =>
+    m.uni.collect().foreach(r =>
       uni.put(r.getAs[String]("w"), r.getAs[Long]("c1")))
     val big = new java.util.HashMap[String, Long]()
-    bigDf.collect().foreach(r =>
+    m.big.collect().foreach(r =>
       big.put(r.getAs[String]("ng"), r.getAs[Long]("c2")))
-    LocalLmModel(uni.size.toLong, uni, big)
+    LocalLmModel(m.order, m.vocab.head().getAs[Long]("__v"), uni, big)
   }
 }

@@ -131,6 +131,59 @@ class CurationSpec extends AnyFunSuite {
     assert(healed.toSeq == direct.toSeq)
   }
 
+  test("order-3 LM score: hand-computed bucketed bits") {
+    // ref "a b c a b c": words a:2 b:2 c:2 (V=3); contexts "a b":2
+    // "b c":2 "c a":1; trigrams "a b c":2 "b c a":1 "c a b":1
+    val ref = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "b c c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = LmScore.scoreDocs(docs, ref, 12.0, order = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "a b c": blog2(2+3) - blog2(2+1) = 2 - 1 = 1
+    assert(out(1L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1L).getAs[Long]("sum_bits") == 1L)
+    // "b c c" unseen: blog2(2+3) - blog2(0+1) = 2 - 0 = 2
+    assert(out(2L).getAs[Long]("sum_bits") == 2L)
+    // two words cannot carry a trigram
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(!out(3L).getAs[Boolean]("keep"))
+  }
+
+  test("order-5 persisted model: append, local scorer, compaction all agree") {
+    val rnd = new scala.util.Random(29)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(5 + rnd.nextInt(20))(s"w${rnd.nextInt(12)}").mkString(" "))
+    val refA = (0 until 25).map(doc).toDF("doc_id", "text")
+    val refB = (25 until 50).map(doc).toDF("doc_id", "text")
+    val docRows = (100 until 130).map(doc) ++ Seq((200L, "w1 w2 w3 w4"))
+    val docs = docRows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm5").toString
+    LmScore.writeLmModel(refA, dir, order = 5)
+    LmScore.appendToLmModel(refB, dir, batchId = 1L)
+    def scores() = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = LmScore.scoreDocs(docs, refA.union(refB), 12.0, order = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(scores() == direct, "model path must equal direct order-5")
+    // 4 words carry no 5-gram
+    assert(direct.find(_._1 == 200L).get._2 == 0L)
+    val local = LmScore.loadLmModelLocal(spark, dir)
+    assert(local.order == 5)
+    docRows.foreach { case (id, text) =>
+      val (n, sum) = local.score(text)
+      val row = direct.find(_._1 == id).get
+      assert((n, sum) == ((row._2, row._3)), s"local scorer at doc $id")
+    }
+    // compaction folds the words/ table too (V must survive exactly:
+    // distinct across batches, not summed)
+    LmScore.compactLmModel(spark, dir)
+    assert(scores() == direct, "compaction must not change order-5 answers")
+    val wordDirs = new java.io.File(s"$dir/words").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(wordDirs == Seq("batch_id=2"), s"words dirs: $wordDirs")
+  }
+
   test("compactLmModel: one folded batch, same answers, appends keep working") {
     val rnd = new scala.util.Random(13)
     def doc(i: Int) = (i.toLong,
