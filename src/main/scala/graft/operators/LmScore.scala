@@ -170,8 +170,23 @@ object LmScore {
       .write.mode("overwrite").parquet(s"$dir/words/batch_id=0")
     Seq(order).toDF("order")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
-    Seq(0L).toDF("batch_id")
+    Seq((0L, -1L)).toDF("batch_id", "folded_up_to")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches")
+  }
+
+  /** The batches log: (committed batch ids, highest batch id ever
+    * folded by a compaction). `folded_up_to` is what keeps the append
+    * exactly-once key valid ACROSS compactions: a replayed
+    * `appendToLmModel(batchId = k)` whose batch was folded away no
+    * longer finds k in the committed set — without the high-water mark
+    * it would re-append and silently double-count the batch.
+    */
+  private def readBatchesLog(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Set[Long], Long) = {
+    val rows = spark.read.parquet(s"$dir/batches")
+      .collect() // bounded: #appends
+    (rows.map(_.getAs[Long]("batch_id")).toSet,
+      rows.map(_.getAs[Long]("folded_up_to")).max)
   }
 
   /** Roll the batches log forward/backward after a crashed
@@ -210,9 +225,11 @@ object LmScore {
     healBatchesLog(spark, dir)
     val order = spark.read.parquet(s"$dir/manifest")
       .head().getAs[Int]("order")
-    val committed = spark.read.parquet(s"$dir/batches")
-      .collect().map(_.getAs[Long]("batch_id")).toSet // bounded: #appends
-    if (committed(batchId)) return
+    val (committed, foldedUpTo) = readBatchesLog(spark, dir)
+    // exactly-once across compactions: a batch id at or under the fold
+    // high-water mark was committed once and then folded away — a
+    // replay must stay a no-op, not a double count
+    if (committed(batchId) || batchId <= foldedUpTo) return
     contextCounts(newRef, order, textCol)
       .write.mode("overwrite").parquet(s"$dir/uni/batch_id=$batchId")
     ngramCounts(newRef, order, textCol)
@@ -220,7 +237,7 @@ object LmScore {
     if (order > 2) unigramCounts(newRef, textCol)
       .write.mode("overwrite").parquet(s"$dir/words/batch_id=$batchId")
     // data durable -> now commit (see write-order contract above)
-    Seq(batchId).toDF("batch_id")
+    Seq((batchId, -1L)).toDF("batch_id", "folded_up_to")
       .write.mode("append").parquet(s"$dir/batches")
   }
 
@@ -254,8 +271,7 @@ object LmScore {
     healBatchesLog(spark, dir)
     val order = spark.read.parquet(s"$dir/manifest")
       .head().getAs[Int]("order")
-    val committed = spark.read.parquet(s"$dir/batches")
-      .collect().map(_.getAs[Long]("batch_id")).toSeq // bounded: #appends
+    val committed = readBatchesLog(spark, dir)._1.toSeq
     require(committed.nonEmpty, s"no committed batches at $dir")
     val uni = spark.read.parquet(s"$dir/uni")
       .filter(col("batch_id").isin(committed: _*))
@@ -296,8 +312,7 @@ object LmScore {
                      dir: String): Unit = {
     import spark.implicits._
     healBatchesLog(spark, dir)
-    val committed = spark.read.parquet(s"$dir/batches")
-      .collect().map(_.getAs[Long]("batch_id")).toSet // bounded: #appends
+    val (committed, foldedUpTo) = readBatchesLog(spark, dir)
     require(committed.nonEmpty, s"no committed batches at $dir")
     val newId = committed.max + 1
     val conf = spark.sessionState.newHadoopConf()
@@ -318,7 +333,11 @@ object LmScore {
         .filter(col("batch_id").isin(committed.toSeq: _*))
         .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
         .write.mode("overwrite").parquet(s"$dir/words/batch_id=$newId")
-      Seq(newId).toDF("batch_id")
+      // the fold high-water mark rides in the SAME atomic log switch:
+      // every id folded here (up to committed.max) is permanently
+      // burned for appends, so replays of folded batches stay no-ops
+      Seq((newId, math.max(foldedUpTo, committed.max)))
+        .toDF("batch_id", "folded_up_to")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
       val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
       fs.delete(log, true)
@@ -345,15 +364,19 @@ object LmScore {
   def scoreDocsPrecise(docs: DataFrame, ref: DataFrame,
                        maxAvgNll: Double = 9.0,
                        textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
-    val uni = unigramCounts(ref, textCol)
-    val big = bigramCounts(ref, textCol)
-    val vocab = uni.agg(count(lit(1)).as("__v"))
+                       idCol: String = "doc_id",
+                       order: Int = 2): DataFrame = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    val uni = contextCounts(ref, order, textCol)
+    val big = ngramCounts(ref, order, textCol)
+    val vocab = (if (order == 2) uni else unigramCounts(ref, textCol))
+      .agg(count(lit(1)).as("__v"))
     val occ = docs
-      .select(col(idCol), explode(E.word_ngrams_all(col(textCol), 2)).as("ng"))
+      .select(col(idCol),
+        explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
       .crossJoin(vocab)
       .join(big, Seq("ng"), "left")
-      .withColumn("__prev", substring_index(col("ng"), " ", 1))
+      .withColumn("__prev", substring_index(col("ng"), " ", order - 1))
       .join(uni, col("__prev") === uni("w"), "left")
       .select(col(idCol),
         (log((coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")) -

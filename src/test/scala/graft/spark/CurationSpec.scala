@@ -219,6 +219,34 @@ class CurationSpec extends AnyFunSuite {
     assert(scores() == direct)
   }
 
+  test("append replay of a FOLDED batch stays a no-op (exactly-once across compaction)") {
+    val refA = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val refB = Seq((2L, "c d c d e")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmr").toString
+    LmScore.writeLmModel(refA, dir)
+    LmScore.appendToLmModel(refB, dir, batchId = 1L)
+    LmScore.compactLmModel(spark, dir) // folds {0,1} -> 2
+    val want = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // a crashed orchestrator replays the append of batch 1 AFTER the
+    // compaction folded it away: without the fold high-water mark this
+    // re-commits refB's counts and silently doubles them
+    LmScore.appendToLmModel(refB, dir, batchId = 1L)
+    val after = LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after == want, "replayed folded append must not double-count")
+    assert(spark.read.parquet(s"$dir/batches").count() == 1L)
+    // a genuinely NEW batch id above the mark still appends fine
+    LmScore.appendToLmModel(refB, dir, batchId = 9L)
+    val direct = LmScore
+      .scoreDocs(docs, refA.union(refB).union(refB)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(LmScore.scoreDocsVsModel(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == direct)
+  }
+
   test("compactLmModel crash windows: staged log rolls forward, pre-switch crash redoes") {
     val refA = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     val refB = Seq((2L, "c d c d e")).toDF("doc_id", "text")
@@ -242,7 +270,7 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("batch_id").isin(0L, 1L))
       .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
       .write.parquet(s"$dirA/big/batch_id=2")
-    Seq(2L).toDF("batch_id")
+    Seq((2L, 1L)).toDF("batch_id", "folded_up_to")
       .coalesce(1).write.parquet(s"$dirA/batches.next")
     fs.delete(new Path(s"$dirA/batches"), true) // crash point
     assert(scores(dirA) == want, "reader must roll the staged log forward")
@@ -253,7 +281,7 @@ class CurationSpec extends AnyFunSuite {
     val dirB = java.nio.file.Files.createTempDirectory("graft-lmy").toString
     LmScore.writeLmModel(refA, dirB)
     LmScore.appendToLmModel(refB, dirB, batchId = 1L)
-    Seq(2L).toDF("batch_id")
+    Seq((2L, 1L)).toDF("batch_id", "folded_up_to")
       .coalesce(1).write.parquet(s"$dirB/batches.next") // crash point
     assert(scores(dirB) == want, "stale staged log must be ignored")
     LmScore.compactLmModel(spark, dirB)
@@ -424,5 +452,21 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!lmPlan.contains("ScalaUDF"), lmPlan)
     assert(lmPlan.contains("graft_word_ngrams_all"), lmPlan)
+  }
+
+  test("model read path partition-prunes to the committed batches") {
+    // the commit protocol only works if uncommitted partitions are
+    // pruned at the SCAN, not post-filtered: the isin(committed) must
+    // land in the FileSourceScan's PartitionFilters
+    val ref = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmp").toString
+    LmScore.writeLmModel(ref, dir)
+    LmScore.appendToLmModel(ref, dir, batchId = 1L)
+    val plan = LmScore.scoreDocsVsModel(docs, dir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*batch_id".r
+      .findFirstIn(plan).isDefined,
+      s"committed-batch filter must prune partitions at the scan:\n$plan")
   }
 }
