@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, SpanDedup, TextAnalysis}
+import graft.operators.{Ann, Audit, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, SpanDedup, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -1172,6 +1172,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- per-doc curation audit (funnel) -------------
+    //
+    // The q37 pipeline's "explain" twin: every stage's verdict per doc
+    // plus the first-drop reason, with SEQUENTIAL stage populations
+    // (dedup tiers see quality survivors, contamination sees dedup
+    // survivors) so the funnel sums to the corpus. The oracle
+    // recomputes the WHOLE composition — Gopher battery, repetition
+    // gate, exact-md5 tier, recursive-CTE CC near-dup tier,
+    // n-gram-overlap contamination — in one SQL query.
+
+    "q58_curation_audit" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Audit.curationAudit(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0),
+          maxDup2gramFrac = 0.04)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2079,7 +2098,127 @@ object SparkEntry {
         |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE r > 1)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the whole audited pipeline recomputed in one query: Gopher keep
+    // (q44's predicate), repetition gate (q39's dup_2gram), md5 exact
+    // tier over quality survivors, recursive-CTE CC near-dup tier over
+    // exact survivors, 3-gram contamination over near survivors
+    "q58_curation_audit" ->
+      """WITH RECURSIVE
+        |base AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  WHERE doc_id % 11 <> 0),
+        |w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
+        |    string_split(text, chr(10)) AS ll
+        |  FROM base),
+        |gop AS (
+        |  SELECT doc_id,
+        |    coalesce(len(wl) BETWEEN 50 AND 100000
+        |      AND (CASE WHEN len(wl) > 0 THEN
+        |        round(CAST(list_sum(list_transform(wl, x -> len(x)))
+        |          AS DOUBLE) / len(wl), 4) END) BETWEEN 3 AND 10
+        |      AND (CASE WHEN len(wl) > 0 THEN
+        |        round(CAST((len(text) - len(replace(text, '#', '')))
+        |          + (len(text) - len(replace(text, '...', ''))) / 3
+        |          AS DOUBLE) / len(wl), 4) END) <= 0.1
+        |      AND round(CAST(len(list_filter(ll, x -> starts_with(x, '- ')
+        |        OR starts_with(x, '* '))) AS DOUBLE) / len(ll), 4) <= 0.9
+        |      AND round(CAST(len(list_filter(ll, x -> ends_with(x, '...')))
+        |        AS DOUBLE) / len(ll), 4) <= 0.3
+        |      AND (CASE WHEN len(wl) > 0 THEN
+        |        round(CAST(len(list_filter(wl, x ->
+        |          regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |          / len(wl), 4) END) >= 0.8
+        |      AND len(list_intersect(
+        |        list_distinct(list_transform(wl, x -> lower(x))),
+        |        ['the','be','to','of','and','that','have','with'])) >= 2,
+        |      false) AS gopher_ok
+        |  FROM w),
+        |g2 AS (
+        |  SELECT doc_id, count(*) AS total, count(DISTINCT ng) AS dist FROM (
+        |    SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS ng
+        |    FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM w))
+        |  GROUP BY doc_id),
+        |rep AS (
+        |  SELECT w.doc_id,
+        |    round(coalesce(1 - CAST(g2.dist AS DOUBLE) / g2.total, 0), 4)
+        |      <= 0.04 AS repetition_ok
+        |  FROM w LEFT JOIN g2 USING (doc_id)),
+        |q AS (
+        |  SELECT gop.doc_id, gop.gopher_ok, rep.repetition_ok
+        |  FROM gop JOIN rep USING (doc_id)),
+        |qs AS (
+        |  SELECT b.doc_id, b.text FROM base b JOIN q USING (doc_id)
+        |  WHERE q.gopher_ok AND q.repetition_ok),
+        |exg AS (SELECT md5(text) AS d, min(doc_id) AS keep_id
+        |  FROM qs GROUP BY 1),
+        |exdrop AS (
+        |  SELECT qs.doc_id FROM qs JOIN exg ON md5(qs.text) = exg.d
+        |  WHERE qs.doc_id <> exg.keep_id),
+        |exs AS (SELECT * FROM qs
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+        |tokd AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS wd
+        |  FROM exs),
+        |tk AS (SELECT * FROM tokd WHERE wd <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tk x JOIN tk y ON x.wd = y.wd AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT a, b FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = cnt.a
+        |  JOIN sizes sb ON sb.doc_id = cnt.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lab AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u),
+        |neardrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+        |ns AS (SELECT * FROM exs
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+        |evt AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |evi AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM evt),
+        |evng AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ng
+        |  FROM evi),
+        |nst AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM ns),
+        |nsi AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |  FROM nst),
+        |nsng AS (SELECT DISTINCT doc_id,
+        |    array_to_string(t[i:i+2], ' ') AS ng FROM nsi),
+        |contam AS (
+        |  SELECT doc_id FROM nsng JOIN evng USING (ng)
+        |  GROUP BY doc_id HAVING count(*) >= 1)
+        |SELECT q.doc_id, q.gopher_ok, q.repetition_ok,
+        |  (q.doc_id IN (SELECT doc_id FROM exdrop)) AS dup_exact,
+        |  (q.doc_id IN (SELECT doc_id FROM neardrop)) AS dup_near,
+        |  (q.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
+        |  (q.gopher_ok AND q.repetition_ok
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM exdrop)
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM neardrop)
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM contam)) AS keep,
+        |  CASE WHEN NOT q.gopher_ok THEN 'gopher'
+        |    WHEN NOT q.repetition_ok THEN 'repetition'
+        |    WHEN q.doc_id IN (SELECT doc_id FROM exdrop) THEN 'dup_exact'
+        |    WHEN q.doc_id IN (SELECT doc_id FROM neardrop) THEN 'dup_near'
+        |    WHEN q.doc_id IN (SELECT doc_id FROM contam)
+        |      THEN 'contaminated'
+        |  END AS drop_reason
+        |FROM q ORDER BY q.doc_id""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact and LSH embedding near-dup queries (the

@@ -314,6 +314,50 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- curation audit ----------------
+
+  test("curation audit: planted docs land in their stages; funnel sums") {
+    import graft.operators.Audit
+    def words(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d")
+    // each doc engineered to fail exactly one stage (or none):
+    val good = ("the" +: "of" +: words("wd", 58)).mkString(" ")
+    val tooShort = "the of wd01 wd02 wd03" // < 50 words -> gopher
+    val nearDup = // good's 60 words + 3 fresh -> J = 60/63 ~ 0.95
+      (("the" +: "of" +: words("wd", 58)) ++ Seq("zx01", "zx02", "zx03"))
+        .mkString(" ")
+    val repet = // passes gopher, dup_2gram ~ 0.92
+      ("the" +: "of" +: Seq.fill(25)(Seq("abcd", "efgh")).flatten)
+        .mkString(" ")
+    val contamDoc = // carries an eval trigram, else clean
+      (("the" +: "of" +: words("xd", 55)) ++
+        Seq("alpha", "beta", "gamma")).mkString(" ")
+    val docs = Seq((1L, good), (2L, tooShort), (3L, good), (4L, nearDup),
+      (5L, contamDoc), (6L, repet)).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val audit = Audit.curationAudit(docs, evalDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def reason(id: Long) = audit(id).getAs[String]("drop_reason")
+    assert(audit(1L).getAs[Boolean]("keep"))
+    assert(audit(1L).isNullAt(audit(1L).fieldIndex("drop_reason")))
+    assert(reason(2L) == "gopher")
+    assert(reason(3L) == "dup_exact") // the copy with the larger id
+    assert(reason(4L) == "dup_near")
+    assert(reason(5L) == "contaminated")
+    assert(reason(6L) == "repetition")
+    // sequential populations: a quality-dropped doc never reaches the
+    // dedup tiers, so its corpus-dependent flags stay false
+    assert(!audit(2L).getAs[Boolean]("dup_exact"))
+    assert(!audit(2L).getAs[Boolean]("dup_near"))
+    assert(!audit(6L).getAs[Boolean]("contaminated"))
+    val funnel = Audit.curationFunnel(
+        Audit.curationAudit(docs, evalDocs)).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(funnel == Map("kept" -> 1L, "gopher" -> 1L,
+      "repetition" -> 1L, "dup_exact" -> 1L, "dup_near" -> 1L,
+      "contaminated" -> 1L))
+  }
+
   // ---------------- shard assignment ----------------
 
   test("shard assignment: correct buckets, dense pos, deterministic") {
@@ -452,6 +496,16 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!lmPlan.contains("ScalaUDF"), lmPlan)
     assert(lmPlan.contains("graft_word_ngrams_all"), lmPlan)
+  }
+
+  test("audit plan carries no UDF (all stages native/codegen)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.Audit.curationAudit(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
   }
 
   test("model read path partition-prunes to the committed batches") {
