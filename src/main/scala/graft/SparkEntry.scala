@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Audit, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, SpanDedup, TextAnalysis}
+import graft.operators.{Ann, Audit, Decontaminate, Dedup, LmScore, Multimodal, Packing, Redact, Sampling, SpanDedup, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -1187,7 +1187,85 @@ object SparkEntry {
       Audit.curationAudit(
           docs.filter(col("doc_id") % 11 =!= 0),
           docs.filter(col("doc_id") % 11 === 0),
-          maxDup2gramFrac = 0.04)
+          maxDup2gramFrac = 0.04,
+          // the synthetic vocabulary carries ONE of the Gopher
+          // stopwords ('the') — at the default 2 every doc fails the
+          // battery and the funnel degenerates to all-'gopher'; the
+          // tiny vocab also makes incidental 3-gram overlap with the
+          // eval slice near-universal (median 5 grams), so the
+          // contamination gate sits above it — every funnel stage
+          // including 'kept' is populated on this corpus
+          minStopwords = 1, minOverlap = 6)
+        .orderBy(col("doc_id"))
+    }),
+
+    // regression triage between two audit configurations: relaxing the
+    // repetition gate 0.04 -> 0.06 moves docs between stages
+    // NON-LOCALLY (a newly-admitted doc enters the dedup tiers and can
+    // evict a different doc from its cluster) — the diff is over final
+    // outcomes. Oracle instantiates the whole q58 composition twice.
+    "q61_audit_diff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 11 =!= 0)
+      val ev = docs.filter(col("doc_id") % 11 === 0)
+      Audit.auditDiff(
+          Audit.curationAudit(train, ev, maxDup2gramFrac = 0.04,
+            minStopwords = 1, minOverlap = 6),
+          Audit.curationAudit(train, ev, maxDup2gramFrac = 0.06,
+            minStopwords = 1, minOverlap = 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------- C4-style blocklist screen -------------
+    //
+    // Word-level wordlist filter (one native kernel pass per row, no
+    // token explode): occurrence count, distinct matched words, keep =
+    // no hits. 'dup' is the corpus's one rare word, 'vector' a common
+    // one — both flag directions populated.
+
+    "q59_blocklist" -> ((s, dir) => {
+      TextAnalysis.blocklistFlags(tbl(s, dir, "documents"),
+          Seq("dup", "vector"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------- PII redaction -------------
+    //
+    // The scrub pass (emails, dotted quads, long ID numbers ->
+    // placeholders + per-type counts, sequential semantics). The
+    // corpus is synthetic, so the query PLANTS deterministic PII on
+    // 1/7 of docs — both engines construct the same text, then each
+    // runs its own regex engine over it (patterns live in the
+    // java.util.regex / RE2 common subset).
+
+    "q60_pii_redact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(
+          coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0."),
+          (col("doc_id") % 250).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"), lit(" acct "),
+          (col("doc_id") * 1000003L + 123456789L).cast("string")))
+          .otherwise(col("text")).as("text"))
+      Redact.scrubPii(planted).orderBy(col("doc_id"))
+    }),
+
+    // ------------- contrastive LM quality filter -------------
+    //
+    // The fastText/CCNet classifier shape: margin = bucketed LM bits
+    // under a trusted reference minus bits under a rejected reference,
+    // ONE corpus gram pass meeting all four count tables. Same exact
+    // integer arithmetic as q52, so the margin is oracle-hashable.
+
+    "q62_contrastive_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      LmScore.contrastiveScore(
+          docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          maxMarginBits = 0.0)
         .orderBy(col("doc_id"))
     }),
 
@@ -2105,120 +2183,134 @@ object SparkEntry {
     // tier over quality survivors, recursive-CTE CC near-dup tier over
     // exact survivors, 3-gram contamination over near survivors
     "q58_curation_audit" ->
-      """WITH RECURSIVE
-        |base AS (
-        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
-        |  WHERE doc_id % 11 <> 0),
-        |w AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
-        |    string_split(text, chr(10)) AS ll
-        |  FROM base),
-        |gop AS (
+      (s"WITH RECURSIVE ${curationAuditCtes("", "0.04", "1", "6")}" +
+        """
+          |SELECT doc_id, gopher_ok, repetition_ok, dup_exact, dup_near,
+          |  contaminated, keep, drop_reason
+          |FROM aud ORDER BY doc_id""".stripMargin),
+
+    // both audit configurations recomputed in full, outcomes diffed
+    "q61_audit_diff" ->
+      (s"WITH RECURSIVE ${curationAuditCtes("_x", "0.04", "1", "6")},\n" +
+        curationAuditCtes("_y", "0.06", "1", "6") +
+        """
+          |SELECT coalesce(x.doc_id, y.doc_id) AS doc_id,
+          |  x.keep AS keep_a, x.drop_reason AS reason_a,
+          |  y.keep AS keep_b, y.drop_reason AS reason_b
+          |FROM aud_x x FULL OUTER JOIN aud_y y ON x.doc_id = y.doc_id
+          |WHERE (x.keep IS DISTINCT FROM y.keep)
+          |   OR (x.drop_reason IS DISTINCT FROM y.drop_reason)
+          |ORDER BY 1""".stripMargin),
+
+    "q59_blocklist" ->
+      """WITH w AS (
         |  SELECT doc_id,
-        |    coalesce(len(wl) BETWEEN 50 AND 100000
-        |      AND (CASE WHEN len(wl) > 0 THEN
-        |        round(CAST(list_sum(list_transform(wl, x -> len(x)))
-        |          AS DOUBLE) / len(wl), 4) END) BETWEEN 3 AND 10
-        |      AND (CASE WHEN len(wl) > 0 THEN
-        |        round(CAST((len(text) - len(replace(text, '#', '')))
-        |          + (len(text) - len(replace(text, '...', ''))) / 3
-        |          AS DOUBLE) / len(wl), 4) END) <= 0.1
-        |      AND round(CAST(len(list_filter(ll, x -> starts_with(x, '- ')
-        |        OR starts_with(x, '* '))) AS DOUBLE) / len(ll), 4) <= 0.9
-        |      AND round(CAST(len(list_filter(ll, x -> ends_with(x, '...')))
-        |        AS DOUBLE) / len(ll), 4) <= 0.3
-        |      AND (CASE WHEN len(wl) > 0 THEN
-        |        round(CAST(len(list_filter(wl, x ->
-        |          regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-        |          / len(wl), 4) END) >= 0.8
-        |      AND len(list_intersect(
-        |        list_distinct(list_transform(wl, x -> lower(x))),
-        |        ['the','be','to','of','and','that','have','with'])) >= 2,
-        |      false) AS gopher_ok
-        |  FROM w),
-        |g2 AS (
-        |  SELECT doc_id, count(*) AS total, count(DISTINCT ng) AS dist FROM (
-        |    SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS ng
-        |    FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM w))
-        |  GROUP BY doc_id),
-        |rep AS (
-        |  SELECT w.doc_id,
-        |    round(coalesce(1 - CAST(g2.dist AS DOUBLE) / g2.total, 0), 4)
-        |      <= 0.04 AS repetition_ok
-        |  FROM w LEFT JOIN g2 USING (doc_id)),
-        |q AS (
-        |  SELECT gop.doc_id, gop.gopher_ok, rep.repetition_ok
-        |  FROM gop JOIN rep USING (doc_id)),
-        |qs AS (
-        |  SELECT b.doc_id, b.text FROM base b JOIN q USING (doc_id)
-        |  WHERE q.gopher_ok AND q.repetition_ok),
-        |exg AS (SELECT md5(text) AS d, min(doc_id) AS keep_id
-        |  FROM qs GROUP BY 1),
-        |exdrop AS (
-        |  SELECT qs.doc_id FROM qs JOIN exg ON md5(qs.text) = exg.d
-        |  WHERE qs.doc_id <> exg.keep_id),
-        |exs AS (SELECT * FROM qs
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
-        |tokd AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS wd
-        |  FROM exs),
-        |tk AS (SELECT * FROM tokd WHERE wd <> ''),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
-        |cnt AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-        |  FROM tk x JOIN tk y ON x.wd = y.wd AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT a, b FROM cnt
-        |  JOIN sizes sa ON sa.doc_id = cnt.a
-        |  JOIN sizes sb ON sb.doc_id = cnt.b
-        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
-        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-        |  WHERE e.v <> r.u),
-        |lab AS (
-        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-        |  FROM reach GROUP BY u),
-        |neardrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
-        |ns AS (SELECT * FROM exs
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
-        |evt AS (
-        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id % 11 = 0),
-        |evi AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM evt),
-        |evng AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ng
-        |  FROM evi),
-        |nst AS (
+        |    list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> x <> '') AS wl
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(wl, x -> lower(x)),
+        |      x -> list_contains(['dup', 'vector'], x)) AS ml
+        |  FROM w)
+        |SELECT doc_id, CAST(len(ml) AS BIGINT) AS n_hits,
+        |  array_to_string(list_sort(list_distinct(ml)), ',') AS matched,
+        |  len(ml) = 0 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q60_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '')
+        |      || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.0.'
+        |      || CAST(doc_id % 250 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 100 AS VARCHAR) || ' acct '
+        |      || CAST(doc_id * 1000003 + 123456789 AS VARCHAR)
+        |    ELSE coalesce(text, '') END AS s0
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(s0,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_email,
+        |    regexp_replace(s0,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS s1
+        |  FROM p),
+        |i AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(s1,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS n_ipv4,
+        |    regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |      '<IP>', 'g') AS s2
+        |  FROM e),
+        |n AS (
+        |  SELECT doc_id, n_email, n_ipv4,
+        |    CAST(len(regexp_extract_all(s2, '\b\d{9,}\b')) AS BIGINT)
+        |      AS n_longnum,
+        |    regexp_replace(s2, '\b\d{9,}\b', '<NUM>', 'g')
+        |      AS text_redacted
+        |  FROM i)
+        |SELECT doc_id, n_email, n_ipv4, n_longnum, text_redacted,
+        |  n_email = 0 AND n_ipv4 = 0 AND n_longnum = 0 AS pii_free
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // two add-one bigram models (trusted %5, rejected %7), margin in
+    // the q52 bucketed-bits integer arithmetic
+    "q62_contrastive_lm" ->
+      """WITH tok AS (
         |  SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM ns),
-        |nsi AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-        |  FROM nst),
-        |nsng AS (SELECT DISTINCT doc_id,
-        |    array_to_string(t[i:i+2], ' ') AS ng FROM nsi),
-        |contam AS (
-        |  SELECT doc_id FROM nsng JOIN evng USING (ng)
-        |  GROUP BY doc_id HAVING count(*) >= 1)
-        |SELECT q.doc_id, q.gopher_ok, q.repetition_ok,
-        |  (q.doc_id IN (SELECT doc_id FROM exdrop)) AS dup_exact,
-        |  (q.doc_id IN (SELECT doc_id FROM neardrop)) AS dup_near,
-        |  (q.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
-        |  (q.gopher_ok AND q.repetition_ok
-        |    AND q.doc_id NOT IN (SELECT doc_id FROM exdrop)
-        |    AND q.doc_id NOT IN (SELECT doc_id FROM neardrop)
-        |    AND q.doc_id NOT IN (SELECT doc_id FROM contam)) AS keep,
-        |  CASE WHEN NOT q.gopher_ok THEN 'gopher'
-        |    WHEN NOT q.repetition_ok THEN 'repetition'
-        |    WHEN q.doc_id IN (SELECT doc_id FROM exdrop) THEN 'dup_exact'
-        |    WHEN q.doc_id IN (SELECT doc_id FROM neardrop) THEN 'dup_near'
-        |    WHEN q.doc_id IN (SELECT doc_id FROM contam)
-        |      THEN 'contaminated'
-        |  END AS drop_reason
-        |FROM q ORDER BY q.doc_id""".stripMargin
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ng
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+        |rbg AS (
+        |  SELECT ng, count(*) AS c2g FROM big WHERE doc_id % 5 = 0
+        |  GROUP BY ng),
+        |rbb AS (
+        |  SELECT ng, count(*) AS c2b FROM big WHERE doc_id % 7 = 0
+        |  GROUP BY ng),
+        |rug AS (
+        |  SELECT w, count(*) AS c1g FROM (
+        |    SELECT unnest(t) AS w FROM tok WHERE doc_id % 5 = 0)
+        |  GROUP BY w),
+        |rub AS (
+        |  SELECT w, count(*) AS c1b FROM (
+        |    SELECT unnest(t) AS w FROM tok WHERE doc_id % 7 = 0)
+        |  GROUP BY w),
+        |vg AS (SELECT count(*) AS vcg FROM rug),
+        |vb AS (SELECT count(*) AS vcb FROM rub),
+        |occ AS (SELECT doc_id, ng FROM big
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        |bits AS (
+        |  SELECT occ.doc_id,
+        |    ((length(bin(coalesce(rug.c1g, 0) + vg.vcg)) - 1)
+        |      - (length(bin(coalesce(rbg.c2g, 0) + 1)) - 1))
+        |    - ((length(bin(coalesce(rub.c1b, 0) + vb.vcb)) - 1)
+        |      - (length(bin(coalesce(rbb.c2b, 0) + 1)) - 1)) AS b
+        |  FROM occ CROSS JOIN vg CROSS JOIN vb
+        |  LEFT JOIN rbg ON occ.ng = rbg.ng
+        |  LEFT JOIN rbb ON occ.ng = rbb.ng
+        |  LEFT JOIN rug ON split_part(occ.ng, ' ', 1) = rug.w
+        |  LEFT JOIN rub ON split_part(occ.ng, ' ', 1) = rub.w),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(b) AS BIGINT) AS sum_margin_bits
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_grams, 0) AS n_grams,
+        |  coalesce(agg.sum_margin_bits, 0) AS sum_margin_bits,
+        |  round(CAST(agg.sum_margin_bits AS DOUBLE) / agg.n_grams, 4)
+        |    AS margin_bits_per_gram,
+        |  coalesce(round(CAST(agg.sum_margin_bits AS DOUBLE)
+        |    / agg.n_grams, 4) <= 0.0, false) AS keep
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact and LSH embedding near-dup queries (the
@@ -2241,6 +2333,145 @@ object SparkEntry {
   /** Shared oracle for the direct (q35) and index-backed (q40)
     * decontamination paths — identical answers by construction.
     */
+
+  /** The q58 audit composition as a reusable CTE chain: every CTE name
+    * gets `sfx` appended (word-boundary rename at runtime, so the SQL
+    * lives here ONCE) and the repetition threshold is `maxDup` — q61's
+    * diff oracle instantiates the WHOLE pipeline twice in one query.
+    * Ends with aud$sfx(doc_id, gopher_ok, repetition_ok, dup_exact,
+    * dup_near, contaminated, keep, drop_reason).
+    */
+  private def curationAuditCtes(sfx: String, maxDup: String,
+                                minStop: String,
+                                minOvr: String): String = {
+    val names = Seq("base", "w", "gop", "g2", "rep", "q", "qs", "exg",
+      "exdrop", "exs", "tokd", "tk", "sizes", "cnt", "jp", "edges",
+      "reach", "lab", "neardrop", "ns", "evt", "evi", "evng", "nst",
+      "nsi", "nsng", "contam", "aud")
+    val filled = curationAuditTemplate.replace("@MAXDUP@", maxDup)
+      .replace("@MINSTOP@", minStop)
+      .replace("@MINOVR@", minOvr)
+    if (sfx.isEmpty) filled
+    else names.foldLeft(filled)((s, n) =>
+      s.replaceAll("\\b" + n + "\\b", n + sfx))
+  }
+
+  private val curationAuditTemplate: String =
+    """base AS (
+      |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+      |  WHERE doc_id % 11 <> 0),
+      |w AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS wl,
+      |    string_split(text, chr(10)) AS ll
+      |  FROM base),
+      |gop AS (
+      |  SELECT doc_id,
+      |    coalesce(len(wl) BETWEEN 50 AND 100000
+      |      AND (CASE WHEN len(wl) > 0 THEN
+      |        round(CAST(list_sum(list_transform(wl, x -> len(x)))
+      |          AS DOUBLE) / len(wl), 4) END) BETWEEN 3 AND 10
+      |      AND (CASE WHEN len(wl) > 0 THEN
+      |        round(CAST((len(text) - len(replace(text, '#', '')))
+      |          + (len(text) - len(replace(text, '...', ''))) / 3
+      |          AS DOUBLE) / len(wl), 4) END) <= 0.1
+      |      AND round(CAST(len(list_filter(ll, x -> starts_with(x, '- ')
+      |        OR starts_with(x, '* '))) AS DOUBLE) / len(ll), 4) <= 0.9
+      |      AND round(CAST(len(list_filter(ll, x -> ends_with(x, '...')))
+      |        AS DOUBLE) / len(ll), 4) <= 0.3
+      |      AND (CASE WHEN len(wl) > 0 THEN
+      |        round(CAST(len(list_filter(wl, x ->
+      |          regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |          / len(wl), 4) END) >= 0.8
+      |      AND len(list_intersect(
+      |        list_distinct(list_transform(wl, x -> lower(x))),
+      |        ['the','be','to','of','and','that','have','with'])) >= @MINSTOP@,
+      |      false) AS gopher_ok
+      |  FROM w),
+      |g2 AS (
+      |  SELECT doc_id, count(*) AS total, count(DISTINCT ng) AS dist FROM (
+      |    SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS ng
+      |    FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM w))
+      |  GROUP BY doc_id),
+      |rep AS (
+      |  SELECT w.doc_id,
+      |    round(coalesce(1 - CAST(g2.dist AS DOUBLE) / g2.total, 0), 4)
+      |      <= @MAXDUP@ AS repetition_ok
+      |  FROM w LEFT JOIN g2 USING (doc_id)),
+      |q AS (
+      |  SELECT gop.doc_id, gop.gopher_ok, rep.repetition_ok
+      |  FROM gop JOIN rep USING (doc_id)),
+      |qs AS (
+      |  SELECT b.doc_id, b.text FROM base b JOIN q USING (doc_id)
+      |  WHERE q.gopher_ok AND q.repetition_ok),
+      |exg AS (SELECT md5(text) AS d, min(doc_id) AS keep_id
+      |  FROM qs GROUP BY 1),
+      |exdrop AS (
+      |  SELECT qs.doc_id FROM qs JOIN exg ON md5(qs.text) = exg.d
+      |  WHERE qs.doc_id <> exg.keep_id),
+      |exs AS (SELECT * FROM qs
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+      |tokd AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS wd
+      |  FROM exs),
+      |tk AS (SELECT * FROM tokd WHERE wd <> ''),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY doc_id),
+      |cnt AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM tk x JOIN tk y ON x.wd = y.wd AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT a, b FROM cnt
+      |  JOIN sizes sa ON sa.doc_id = cnt.a
+      |  JOIN sizes sb ON sb.doc_id = cnt.b
+      |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+      |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |  WHERE e.v <> r.u),
+      |lab AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |  FROM reach GROUP BY u),
+      |neardrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+      |ns AS (SELECT * FROM exs
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+      |evt AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |evi AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM evt),
+      |evng AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ng
+      |  FROM evi),
+      |nst AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM ns),
+      |nsi AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |  FROM nst),
+      |nsng AS (SELECT DISTINCT doc_id,
+      |    array_to_string(t[i:i+2], ' ') AS ng FROM nsi),
+      |contam AS (
+      |  SELECT doc_id FROM nsng JOIN evng USING (ng)
+      |  GROUP BY doc_id HAVING count(*) >= @MINOVR@),
+      |aud AS (
+      |  SELECT q.doc_id, q.gopher_ok, q.repetition_ok,
+      |    (q.doc_id IN (SELECT doc_id FROM exdrop)) AS dup_exact,
+      |    (q.doc_id IN (SELECT doc_id FROM neardrop)) AS dup_near,
+      |    (q.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
+      |    (q.gopher_ok AND q.repetition_ok
+      |      AND q.doc_id NOT IN (SELECT doc_id FROM exdrop)
+      |      AND q.doc_id NOT IN (SELECT doc_id FROM neardrop)
+      |      AND q.doc_id NOT IN (SELECT doc_id FROM contam)) AS keep,
+      |    CASE WHEN NOT q.gopher_ok THEN 'gopher'
+      |      WHEN NOT q.repetition_ok THEN 'repetition'
+      |      WHEN q.doc_id IN (SELECT doc_id FROM exdrop) THEN 'dup_exact'
+      |      WHEN q.doc_id IN (SELECT doc_id FROM neardrop) THEN 'dup_near'
+      |      WHEN q.doc_id IN (SELECT doc_id FROM contam)
+      |        THEN 'contaminated'
+      |    END AS drop_reason
+      |  FROM q)""".stripMargin
+
   private val lmQualityOracle: String =
     """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

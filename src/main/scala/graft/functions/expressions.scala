@@ -394,6 +394,55 @@ object expressions {
       copy(child = c)
   }
 
+  /** Blocklisted-word occurrences (string -> array<string> of the
+    * ASCII-lowercased matched word per occurrence, position order) in
+    * one codegen kernel pass — the C4-style wordlist screen
+    * ([[kernels.blocklistMatches]]). The word set rides the expression
+    * (real blocklists are a few hundred entries) and is folded to an
+    * ASCII-lowercase HashSet once per plan, not per row. Null text
+    * behaves as empty (no matches).
+    */
+  case class BlocklistMatches(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    require(words.nonEmpty, "blocklist is empty")
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](words.size * 2)
+      words.foreach { w =>
+        s.add(w.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c))
+      }
+      s
+    }
+    override def prettyName: String = "graft_blocklist_matches"
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+
+    /** Called from generated code, hence public. */
+    def matches(text: org.apache.spark.unsafe.types.UTF8String):
+        org.apache.spark.sql.catalyst.util.ArrayData =
+      kernels.blocklistMatches(text, set)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      matches(child.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("graftBlk", this, getClass.getName)
+      val c = child.genCode(ctx)
+      val tpe = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+      ev.copy(code =
+        code"""
+              |${c.code}
+              |$tpe ${ev.value} = $ref.matches(
+              |  ${c.isNull} ? null : ${c.value});
+              |""".stripMargin,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildInternal(c: Expression): BlocklistMatches =
+      copy(child = c)
+  }
+
   /** Deterministic tokenizer (string -> array<int>), the native form of
     * TokenDocs.tokenize — inside codegen, no udf dispatch. NULL text
     * tokenizes to the EMPTY array (TokenDocs.tokenize(null) contract),
@@ -755,6 +804,10 @@ object expressions {
 
   def gopher_signals(c: Column): Column =
     catalyst.aggColExpr(GopherSignals(catalyst.expr(c.cast("string"))))
+
+  def blocklist_matches(c: Column, words: Seq[String]): Column =
+    catalyst.aggColExpr(
+      BlocklistMatches(catalyst.expr(c.cast("string")), words))
 
   def gram_hashes(c: Column, n: Int): Column =
     catalyst.aggColExpr(GramHashes(catalyst.expr(c.cast("string")), n))

@@ -285,6 +285,45 @@ object kernels {
       nLines, nBullet, nEllLines, nHash, nEll))
   }
 
+  /** Blocklisted-word occurrences of a text: one entry per word (the
+    * [[wordNgrams]] tokenization — non-empty runs between single
+    * spaces) whose ASCII-lowercased form is in `set`, position order,
+    * lowercased. One text pass per row — the C4-style wordlist screen
+    * without exploding the corpus token stream (100 TB of tokens) into
+    * a join. ASCII-only case folding on purpose: the match targets are
+    * ASCII wordlists, and full-Unicode lowercasing differs between
+    * engines (the gopher-stopword rule). Null text -> empty array.
+    */
+  def blocklistMatches(text: UTF8String,
+                       set: java.util.HashSet[String]): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val s = text.toString
+    val L = s.length
+    val out = new java.util.ArrayList[Any]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var wStart = 0
+    while (i <= L) {
+      if (i == L || s.charAt(i) == ' ') {
+        if (i > wStart) {
+          sb.setLength(0)
+          var j = wStart
+          while (j < i) {
+            var c = s.charAt(j)
+            if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+            sb.append(c)
+            j += 1
+          }
+          val w = sb.toString
+          if (set.contains(w)) out.add(UTF8String.fromString(w)): Unit
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def minhashSignature(tokens: ArrayData, numPerms: Int): ArrayData = {
     require(numPerms <= maxCachedPerms, s"numPerms > $maxCachedPerms")
     val sig = Array.fill(numPerms)(Long.MaxValue)

@@ -40,6 +40,7 @@ object Audit {
                     nearDupThreshold: Double = 0.9,
                     numBands: Int = 32, rowsPerBand: Int = 4,
                     contamN: Int = 3, minOverlap: Int = 1,
+                    minStopwords: Int = 2,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     val id = col(idCol)
@@ -55,8 +56,8 @@ object Audit {
           (toksSize - 1).cast("double"), 4))
       .otherwise(lit(0.0))
     val quality = TextAnalysis
-      .gopherQualityFlags(docs, textCol = textCol, idCol = idCol,
-        carry = Seq(textCol))
+      .gopherQualityFlags(docs, minStopwords = minStopwords,
+        textCol = textCol, idCol = idCol, carry = Seq(textCol))
       .select(id, col("keep").as("gopher_ok"),
         (dup2 <= maxDup2gramFrac).as("repetition_ok"))
     val qualitySurv = docs.join(
@@ -99,4 +100,28 @@ object Audit {
   def curationFunnel(audit: DataFrame): DataFrame =
     audit.groupBy(coalesce(col("drop_reason"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Regression triage between two audit runs (different thresholds,
+    * different pipeline versions, different corpus snapshots): the docs
+    * whose outcome CHANGED, with both sides' keep and drop_reason. A
+    * threshold change moves docs between stages non-locally — a doc the
+    * relaxed repetition gate now admits enters the dedup tiers and can
+    * evict a DIFFERENT doc from its near-dup cluster — so the diff is
+    * over final outcomes, not gate flags. Full-outer on the id: docs
+    * present in only one run surface with nulls on the other side
+    * (corpus drift is an outcome change too).
+    *
+    * Scale: one id-keyed join of two id-sized frames (null-safe
+    * comparisons so reason NULLs — kept docs — diff correctly); the
+    * expensive part is the audits themselves.
+    */
+  def auditDiff(auditA: DataFrame, auditB: DataFrame,
+                idCol: String = "doc_id"): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol), col("keep").as(s"keep_$tag"),
+        col("drop_reason").as(s"reason_$tag"))
+    side(auditA, "a").join(side(auditB, "b"), Seq(idCol), "full_outer")
+      .filter(!(col("keep_a") <=> col("keep_b")) ||
+        !(col("reason_a") <=> col("reason_b")))
+  }
 }

@@ -97,6 +97,73 @@ object LmScore {
       maxBitsPerBigram, textCol, idCol, order)
   }
 
+  /** CCNet/fastText-style CONTRASTIVE quality score under two models in
+    * ONE corpus pass: per gram, margin = bucketed bits under the
+    * good-reference model minus bucketed bits under the bad-reference
+    * model (the exact integer arithmetic of [[scoreDocs]], see the
+    * object scaladoc — the margin of two bucketed scores is itself
+    * cross-engine exact). A doc better modeled by the trusted slice
+    * than by the rejected slice scores negative; `keep` =
+    * margin_bits_per_gram <= maxMarginBits (false when unscorable).
+    *
+    * Scale: calling [[scoreDocs]] twice would scan + explode the
+    * 100 TB corpus twice and pay the per-doc reduce shuffle twice —
+    * here the gram stream explodes ONCE and meets all four count
+    * tables (each reference-sized, broadcast when they fit), then one
+    * per-doc reduce. Output per doc: n_grams, sum_margin_bits,
+    * margin_bits_per_gram (4dp, null when unscorable), keep.
+    */
+  def contrastiveScore(docs: DataFrame, goodRef: DataFrame,
+                       badRef: DataFrame, maxMarginBits: Double = 0.0,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       order: Int = 2): DataFrame = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    def blog2(x: Column): Column = length(bin(x)) - 1
+    val bigG = ngramCounts(goodRef, order, textCol)
+      .withColumnRenamed("c2", "c2g")
+    val bigB = ngramCounts(badRef, order, textCol)
+      .withColumnRenamed("c2", "c2b")
+    val ctxG = contextCounts(goodRef, order, textCol)
+      .withColumnRenamed("w", "wg").withColumnRenamed("c1", "c1g")
+    val ctxB = contextCounts(badRef, order, textCol)
+      .withColumnRenamed("w", "wb").withColumnRenamed("c1", "c1b")
+    // order 2: the context tables already are the word tables (the
+    // scoreDocs vocab-reuse rule, once per side)
+    val vG = (if (order == 2) ctxG.select(col("wg").as("w"))
+              else unigramCounts(goodRef, textCol))
+      .agg(count(lit(1)).as("__vg"))
+    val vB = (if (order == 2) ctxB.select(col("wb").as("w"))
+              else unigramCounts(badRef, textCol))
+      .agg(count(lit(1)).as("__vb"))
+    val occ = docs
+      .select(col(idCol),
+        explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
+      .crossJoin(vG).crossJoin(vB) // one row each: no shuffle
+      .join(bigG, Seq("ng"), "left")
+      .join(bigB, Seq("ng"), "left")
+      .withColumn("__prev", substring_index(col("ng"), " ", order - 1))
+      .join(ctxG, col("__prev") === col("wg"), "left")
+      .join(ctxB, col("__prev") === col("wb"), "left")
+      .select(col(idCol),
+        ((blog2(coalesce(col("c1g"), lit(0L)) + col("__vg")) -
+          blog2(coalesce(col("c2g"), lit(0L)) + lit(1L))) -
+          (blog2(coalesce(col("c1b"), lit(0L)) + col("__vb")) -
+            blog2(coalesce(col("c2b"), lit(0L)) + lit(1L)))).as("__mb"))
+    val perDoc = occ.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_grams"),
+      sum(col("__mb")).cast("bigint").as("sum_margin_bits"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_margin_bits"), lit(0L)).as("sum_margin_bits"),
+        round(col("sum_margin_bits").cast("double") / col("n_grams"), 4)
+          .as("margin_bits_per_gram"))
+      .withColumn("keep",
+        coalesce(col("margin_bits_per_gram") <= maxMarginBits, lit(false)))
+  }
+
   /** The scoring core both the direct and the persisted-model paths
     * share — one evaluation of the count-table semantics, so the two
     * paths cannot drift (q56 pins equality anyway). `vocab` is a

@@ -156,6 +156,33 @@ object TextAnalysis {
           lit(false)))
   }
 
+  /** C4-style wordlist screen: per document, the count of blocklisted
+    * word occurrences, the distinct matched words (sorted,
+    * comma-joined), and `keep` = no hits (C4 drops a doc on ANY
+    * blocklist hit; callers wanting a tolerance threshold filter on
+    * `n_hits` instead). Matching is word-level (the house whitespace
+    * tokenization) and ASCII-case-insensitive — the published wordlist
+    * screens match lowercase word forms, not substrings ("class" must
+    * not hit a 3-letter entry).
+    *
+    * Scale: ONE native kernel pass per row
+    * ([[graft.functions.expressions.BlocklistMatches]]) with the word
+    * set riding the plan — zero shuffle, no token explode (the join
+    * formulation explodes the corpus's full token stream and shuffles
+    * it on word just to meet a few-hundred-row wordlist), streaming-safe.
+    */
+  def blocklistFlags(docs: DataFrame, words: Seq[String],
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), graft.functions.expressions
+        .blocklist_matches(col(textCol), words).as("__m"))
+      .select(col(idCol),
+        size(col("__m")).cast("long").as("n_hits"),
+        array_join(array_sort(array_distinct(col("__m"))), ",")
+          .as("matched"),
+        (size(col("__m")) === 0).as("keep"))
+
   /** Per-document token counts for budget estimation over RAW text —
     * whitespace tokens (the corpus tokenizer's unit) and the BPE-style
     * pre-tokenizer segmentation count (`kernels.segTokenCount`: one
