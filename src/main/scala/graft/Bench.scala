@@ -612,6 +612,137 @@ object Bench {
       ref.unpersist(); corpus.unpersist()
     }
 
+    // ---- b15: audit explain-view overhead vs survivors-only pipeline ----
+    // The q58 claim quantified: emitting per-doc stage verdicts + drop
+    // reasons (the funnel) should cost about the same as computing the
+    // surviving set alone — the audit's additions are id-keyed joins of
+    // id-sized flag frames. Both paths run the same gates on the same
+    // 30k generated docs ("wx"-prefixed tokens so the Gopher battery's
+    // alpha/word-length gates see word-like text); kept counts must
+    // agree. Interleaved trials, arrays published.
+    var b15AuditTrials = List.empty[Double]
+    var b15PipeTrials = List.empty[Double]
+    var b15Kept = 0L
+    locally {
+      import graft.operators.{Audit, Decontaminate, TextAnalysis}
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"),
+          t => concat(lit("wx"), t.cast("string")))).as("text"))
+      val docs = toText(TokenDocGen.generateDf(spark, 30000, 51L, cpus))
+        .persist()
+      docs.count()
+      val ev = toText(TokenDocGen.generateDf(spark, 3000, 52L, cpus))
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .persist()
+      ev.count()
+      def audit(): Long = {
+        // digit-derived text has no stopwords -> minStopwords 0;
+        // 5-gram contamination splits this corpus ~40/35/25 across
+        // kept/contaminated/gopher (3-grams flag 75% — Zipf-hot
+        // trigram mass — leaving a 1-doc kept set)
+        val funnel = Audit.curationFunnel(Audit.curationAudit(docs, ev,
+            contamN = 5, minStopwords = 0))
+          .collect().map(r => r.getAs[String]("stage") ->
+            r.getAs[Long]("n_docs")).toMap
+        funnel.getOrElse("kept", 0L)
+      }
+      def pipeline(): Long = {
+        // the survivors-only composition (what q37-style pipelines
+        // compute), mirroring the audit's gates exactly
+        val toksSize = size(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), t => t =!= ""))
+        val dup2 = when(toksSize - 1 >= 1,
+          round(lit(1.0) -
+            size(Decontaminate.wordNgrams(col("text"), 2)).cast("double") /
+              (toksSize - 1).cast("double"), 4))
+          .otherwise(lit(0.0))
+        val quality = TextAnalysis.gopherQualityFlags(docs,
+            minStopwords = 0, carry = Seq("text"))
+          .filter(col("keep") && dup2 <= 0.2)
+          .select(col("doc_id"), col("text"))
+        val exact = quality.join(Dedup.exactDropIds(quality),
+          Seq("doc_id"), "left_anti")
+        val toks = exact.select(col("doc_id"),
+          F.tokenize(col("text")).as("tokens"))
+        val near = exact.join(
+          Dedup.nearDupDropIdsCC(Dedup.minhashLshPairs(toks, 0.9, 32, 4)
+            .select(col("a"), col("b"))),
+          Seq("doc_id"), "left_anti")
+        near.join(
+          Decontaminate.contaminated(near, ev, 5, 1).select(col("doc_id")),
+          Seq("doc_id"), "left_anti").count()
+      }
+      audit(); pipeline() // warm-up
+      val aTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val pTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 3).foreach { _ =>
+        val (na, ta) = time(audit())
+        val (np, tp) = time(pipeline())
+        require(na == np, s"b15 paths disagree: audit=$na pipeline=$np")
+        b15Kept = na
+        aTrials += ta; pTrials += tp
+      }
+      require(b15Kept > 0 && b15Kept < 30000,
+        s"b15 kept=$b15Kept must be non-degenerate")
+      b15AuditTrials = aTrials.toList
+      b15PipeTrials = pTrials.toList
+      results += "b15_audit_30k" -> aTrials.min
+      results += "b15_pipeline_30k" -> pTrials.min
+      docs.unpersist(); ev.unpersist()
+    }
+
+    // ---- b16: single-pass screens (blocklist kernel, PII redaction) ----
+    // Per-row projection throughput over 200k docs: the blocklist
+    // kernel (200-word set riding the plan, one text pass) and the
+    // 3-pattern sequential regex scrub. PII planted on 1/1000 docs so
+    // the redaction bench also verifies matches happen.
+    var b16BlkTrials = List.empty[Double]
+    var b16RedTrials = List.empty[Double]
+    var b16PiiDocs = 0L
+    locally {
+      import graft.operators.{Redact, TextAnalysis}
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val docs = toText(TokenDocGen.generateDf(spark, 200000, 53L, cpus))
+        .select(col("doc_id"),
+          when(col("doc_id") % 1000 === 0, concat(col("text"),
+            lit(" user"), col("doc_id").cast("string"),
+            lit("@example.com 10.0.0.7 9"), col("doc_id").cast("string"),
+            lit("12345678"))).otherwise(col("text")).as("text"))
+        .persist()
+      docs.count()
+      val blkWords = (0 until 200).map(i => ((i * 251) % 50000).toString)
+      def blkJob(): Long =
+        TextAnalysis.blocklistFlags(docs, blkWords)
+          .agg(sum(col("n_hits"))).head().getLong(0)
+      def redJob(): Long =
+        Redact.scrubPii(docs)
+          .agg(sum(length(col("text_redacted"))).as("len"),
+            count(when(!col("pii_free"), 1)).as("pii"))
+          .select(col("pii")).head().getLong(0)
+      blkJob(); redJob() // warm-up
+      val bTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val rTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      var blkHits = 0L
+      (1 to 3).foreach { _ =>
+        val (nb, tb) = time(blkJob())
+        val (nr, tr) = time(redJob())
+        blkHits = nb; b16PiiDocs = nr
+        bTrials += tb; rTrials += tr
+      }
+      require(blkHits > 0, "b16: blocklist must hit Zipf-hot words")
+      require(b16PiiDocs == docs.filter(col("doc_id") % 1000 === 0).count(),
+        s"b16: planted PII docs must all be flagged, got $b16PiiDocs")
+      b16BlkTrials = bTrials.toList
+      b16RedTrials = rTrials.toList
+      results += "b16_blocklist_200k" -> bTrials.min
+      results += "b16_redact_200k" -> rTrials.min
+      docs.unpersist()
+    }
+
     // ---- IVF recall/nprobe curve (index-quality regression guard) ----
     // q25/q32 gate a single recall point; the curve makes index-quality
     // regressions visible across rounds the way perf ones are.
@@ -709,6 +840,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

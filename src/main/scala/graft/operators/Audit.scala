@@ -26,7 +26,17 @@ import org.apache.spark.sql.functions._
   * tiers are the q27/q31 machinery (digest groupBy, band-bucket join —
   * never all-pairs); contamination is the q35 Bloom-prune + exact
   * verify; the audit adds only id-keyed joins of id-sized flag frames
-  * on top. No driver collect anywhere.
+  * on top. No driver collect anywhere. Each tier's NARROW result
+  * (ids + booleans — corpus-row count but a few bytes per row) is
+  * eagerly localCheckpoint'ed: every flag frame is referenced at least
+  * twice (once to gate the next tier's population, once in the final
+  * flag join), and without materialization Catalyst re-evaluates the
+  * whole upstream subtree per reference — the Gopher battery and the
+  * LSH band join are exactly the work that must run ONCE at 100 TB.
+  * (localCheckpoint, not persist: nothing registers in the
+  * CacheManager, so no caller-owned lifetime to leak — the house Ann
+  * discipline. The op is therefore eager, which a diagnostics pass
+  * can afford.)
   */
 object Audit {
 
@@ -60,10 +70,12 @@ object Audit {
         textCol = textCol, idCol = idCol, carry = Seq(textCol))
       .select(id, col("keep").as("gopher_ok"),
         (dup2 <= maxDup2gramFrac).as("repetition_ok"))
+      .localCheckpoint()
     val qualitySurv = docs.join(
       quality.filter(col("gopher_ok") && col("repetition_ok")).select(id),
       Seq(idCol), "left_semi")
     val exactDrops = Dedup.exactDropIds(qualitySurv, textCol, idCol)
+      .localCheckpoint()
     val exactSurv = qualitySurv.join(exactDrops, Seq(idCol), "left_anti")
     val toks = exactSurv.select(id.as("doc_id"),
       graft.functions.functions.tokenize(col(textCol)).as("tokens"))
@@ -71,10 +83,12 @@ object Audit {
         Dedup.minhashLshPairs(toks, nearDupThreshold, numBands,
           rowsPerBand).select(col("a"), col("b")))
       .withColumnRenamed("doc_id", idCol)
+      .localCheckpoint()
     val nearSurv = exactSurv.join(nearDrops, Seq(idCol), "left_anti")
     val contamIds = Decontaminate.contaminated(nearSurv, evalDocs,
         contamN, minOverlap, textCol = textCol, idCol = idCol)
       .select(id)
+      .localCheckpoint()
     quality
       .join(exactDrops.withColumn("__ex", lit(true)), Seq(idCol), "left")
       .join(nearDrops.withColumn("__nr", lit(true)), Seq(idCol), "left")
