@@ -1218,14 +1218,15 @@ object SparkEntry {
 
     // ------------- C4-style blocklist screen -------------
     //
-    // Word-level wordlist filter (one native kernel pass per row, no
-    // token explode): occurrence count, distinct matched words, keep =
-    // no hits. 'dup' is the corpus's one rare word, 'vector' a common
-    // one — both flag directions populated.
+    // Word/phrase wordlist filter (one native kernel pass per row, no
+    // n-gram explode): occurrence count, distinct matched entries,
+    // keep = no hits. 'dup' is the corpus's one rare word, 'vector' a
+    // common one, and 'batch batch' a consecutive-word phrase — both
+    // flag directions and the phrase path populated.
 
     "q59_blocklist" -> ((s, dir) => {
       TextAnalysis.blocklistFlags(tbl(s, dir, "documents"),
-          Seq("dup", "vector"))
+          Seq("dup", "vector", "batch batch"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2205,18 +2206,30 @@ object SparkEntry {
     "q59_blocklist" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(coalesce(text, ''), ' '),
-        |      x -> x <> '') AS wl
+        |    list_transform(
+        |      list_filter(string_split(coalesce(text, ''), ' '),
+        |        x -> x <> ''),
+        |      x -> lower(x)) AS wl
         |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(wl) AS g FROM w),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM w)),
         |m AS (
-        |  SELECT doc_id,
-        |    list_filter(list_transform(wl, x -> lower(x)),
-        |      x -> list_contains(['dup', 'vector'], x)) AS ml
-        |  FROM w)
-        |SELECT doc_id, CAST(len(ml) AS BIGINT) AS n_hits,
-        |  array_to_string(list_sort(list_distinct(ml)), ',') AS matched,
-        |  len(ml) = 0 AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  SELECT doc_id, g FROM g1 WHERE g IN ('dup', 'vector')
+        |  UNION ALL
+        |  SELECT doc_id, g FROM g2 WHERE g = 'batch batch'),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_hits,
+        |    array_to_string(list_sort(list_distinct(list(g))), ',')
+        |      AS matched
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(agg.matched, '') AS matched,
+        |  agg.doc_id IS NULL AS keep
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q60_pii_redact" ->
       """WITH p AS (

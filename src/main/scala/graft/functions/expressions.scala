@@ -394,23 +394,31 @@ object expressions {
       copy(child = c)
   }
 
-  /** Blocklisted-word occurrences (string -> array<string> of the
-    * ASCII-lowercased matched word per occurrence, position order) in
-    * one codegen kernel pass — the C4-style wordlist screen
-    * ([[kernels.blocklistMatches]]). The word set rides the expression
-    * (real blocklists are a few hundred entries) and is folded to an
-    * ASCII-lowercase HashSet once per plan, not per row. Null text
-    * behaves as empty (no matches).
+  /** Blocklisted word/phrase occurrences (string -> array<string> of
+    * the ASCII-lowercased matched entry per occurrence, position
+    * order) in one codegen kernel pass — the C4-style wordlist screen
+    * ([[kernels.blocklistMatches]]). Entries may be multi-word phrases
+    * (consecutive-word match). The entry set rides the expression
+    * (real blocklists are a few hundred entries) and is normalized —
+    * ASCII-lowercased, whitespace-collapsed — into per-length
+    * HashSets once per plan, not per row. Null text behaves as empty
+    * (no matches).
     */
   case class BlocklistMatches(child: Expression, words: Seq[String])
       extends UnaryExpression {
     require(words.nonEmpty, "blocklist is empty")
-    @transient private lazy val set: java.util.HashSet[String] = {
-      val s = new java.util.HashSet[String](words.size * 2)
-      words.foreach { w =>
-        s.add(w.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c))
+    @transient private lazy val byLen:
+        Array[(Int, java.util.HashSet[String])] = {
+      val norm = words.map { w =>
+        w.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+          .split(' ').filter(_.nonEmpty)
       }
-      s
+      require(norm.forall(_.nonEmpty), "blocklist entry has no words")
+      norm.groupBy(_.length).toArray.sortBy(_._1).map { case (len, es) =>
+        val s = new java.util.HashSet[String](es.size * 2)
+        es.foreach(e => s.add(e.mkString(" ")))
+        (len, s)
+      }
     }
     override def prettyName: String = "graft_blocklist_matches"
     override def dataType: DataType =
@@ -420,7 +428,7 @@ object expressions {
     /** Called from generated code, hence public. */
     def matches(text: org.apache.spark.unsafe.types.UTF8String):
         org.apache.spark.sql.catalyst.util.ArrayData =
-      kernels.blocklistMatches(text, set)
+      kernels.blocklistMatches(text, byLen)
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
       matches(child.eval(input)
         .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])

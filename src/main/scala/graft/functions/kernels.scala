@@ -285,21 +285,29 @@ object kernels {
       nLines, nBullet, nEllLines, nHash, nEll))
   }
 
-  /** Blocklisted-word occurrences of a text: one entry per word (the
-    * [[wordNgrams]] tokenization — non-empty runs between single
-    * spaces) whose ASCII-lowercased form is in `set`, position order,
-    * lowercased. One text pass per row — the C4-style wordlist screen
-    * without exploding the corpus token stream (100 TB of tokens) into
-    * a join. ASCII-only case folding on purpose: the match targets are
-    * ASCII wordlists, and full-Unicode lowercasing differs between
-    * engines (the gopher-stopword rule). Null text -> empty array.
+  /** Blocklisted word/phrase occurrences of a text: one entry per
+    * START POSITION (the [[wordNgrams]] tokenization — non-empty runs
+    * between single spaces) whose ASCII-lowercased n-word window is in
+    * the entry set for that n, position order, lowercased. `byLen`
+    * groups the normalized entries by word count — real wordlist
+    * screens (C4's) mix single words and multi-word phrases, and a
+    * phrase must match CONSECUTIVE words, not a bag. One text pass per
+    * row: O(words x sum of entry lengths) with no token explode (the
+    * join formulation ships 100 TB of n-gram streams to meet a
+    * few-hundred-row wordlist). ASCII-only case folding on purpose:
+    * the match targets are ASCII wordlists, and full-Unicode
+    * lowercasing differs between engines (the gopher-stopword rule).
+    * Overlapping matches all count (each start position is judged
+    * independently at every entry length). Null text -> empty array.
     */
   def blocklistMatches(text: UTF8String,
-                       set: java.util.HashSet[String]): ArrayData = {
+                       byLen: Array[(Int, java.util.HashSet[String])]):
+      ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
     val s = text.toString
     val L = s.length
-    val out = new java.util.ArrayList[Any]()
+    // one pass: lowered words
+    val words = new java.util.ArrayList[String]()
     val sb = new java.lang.StringBuilder
     var i = 0
     var wStart = 0
@@ -314,12 +322,38 @@ object kernels {
             sb.append(c)
             j += 1
           }
-          val w = sb.toString
-          if (set.contains(w)) out.add(UTF8String.fromString(w)): Unit
+          words.add(sb.toString): Unit
         }
         wStart = i + 1
       }
       i += 1
+    }
+    val n = words.size
+    val out = new java.util.ArrayList[Any]()
+    var p = 0
+    while (p < n) {
+      var k = 0
+      while (k < byLen.length) {
+        val (len, set) = byLen(k)
+        if (p + len <= n) {
+          val gram =
+            if (len == 1) words.get(p)
+            else {
+              sb.setLength(0)
+              var j = 0
+              while (j < len) {
+                if (j > 0) sb.append(' ')
+                sb.append(words.get(p + j))
+                j += 1
+              }
+              sb.toString
+            }
+          if (set.contains(gram))
+            out.add(UTF8String.fromString(gram)): Unit
+        }
+        k += 1
+      }
+      p += 1
     }
     new GenericArrayData(out.toArray)
   }

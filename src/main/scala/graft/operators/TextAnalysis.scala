@@ -157,19 +157,21 @@ object TextAnalysis {
   }
 
   /** C4-style wordlist screen: per document, the count of blocklisted
-    * word occurrences, the distinct matched words (sorted,
+    * entry occurrences, the distinct matched entries (sorted,
     * comma-joined), and `keep` = no hits (C4 drops a doc on ANY
     * blocklist hit; callers wanting a tolerance threshold filter on
-    * `n_hits` instead). Matching is word-level (the house whitespace
-    * tokenization) and ASCII-case-insensitive — the published wordlist
+    * `n_hits` instead). Entries may be single words or multi-word
+    * phrases — the published lists mix both — and a phrase matches
+    * only CONSECUTIVE words. Matching is word-level (the house
+    * whitespace tokenization) and ASCII-case-insensitive — wordlist
     * screens match lowercase word forms, not substrings ("class" must
     * not hit a 3-letter entry).
     *
     * Scale: ONE native kernel pass per row
-    * ([[graft.functions.expressions.BlocklistMatches]]) with the word
-    * set riding the plan — zero shuffle, no token explode (the join
-    * formulation explodes the corpus's full token stream and shuffles
-    * it on word just to meet a few-hundred-row wordlist), streaming-safe.
+    * ([[graft.functions.expressions.BlocklistMatches]]) with the
+    * normalized entry set riding the plan — zero shuffle, no n-gram
+    * explode (the join formulation ships the corpus's full n-gram
+    * stream to meet a few-hundred-row wordlist), streaming-safe.
     */
   def blocklistFlags(docs: DataFrame, words: Seq[String],
                      textCol: String = "text",

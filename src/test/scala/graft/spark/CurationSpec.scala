@@ -386,6 +386,29 @@ class CurationSpec extends AnyFunSuite {
     assert(m.getAs[String]("matched") == "bad,worse")
   }
 
+  test("blocklist phrases: consecutive words only, overlaps count") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a Very Bad phrase here"),   // phrase hit (mixed case)
+      (2L, "very phrase bad here"),     // words present, NOT consecutive
+      (3L, "bad bad bad"),              // overlapping "bad bad" twice
+      (4L, "very bad and bad too")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFlags(docs,
+        Seq("very bad", "bad bad"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[String]("matched")))).toMap
+    assert(out(1L) == ((1L, "very bad")))
+    assert(out(2L) == ((0L, "")))
+    assert(out(3L) == ((2L, "bad bad"))) // start positions 0 and 1
+    assert(out(4L) == ((1L, "very bad")))
+    // mixed single + phrase entries on one pass, both lengths hit
+    val mixed = TextAnalysis.blocklistFlags(
+        Seq((9L, "x very bad x")).toDF("doc_id", "text"),
+        Seq("x", "very bad")).head()
+    assert(mixed.getAs[Long]("n_hits") == 3L)
+    assert(mixed.getAs[String]("matched") == "very bad,x")
+  }
+
   test("blocklist plan: one kernel projection, no UDF, no exchange") {
     import graft.operators.TextAnalysis
     val docs = spark.read
