@@ -1253,6 +1253,38 @@ object SparkEntry {
       Redact.scrubPii(planted).orderBy(col("doc_id"))
     }),
 
+    // ------------- within-doc repetition excision -------------
+    //
+    // Remove duplicate lines per doc, first occurrence kept in order.
+    // The corpus is single-line, so the query LINE-IFIES it the same
+    // way in both engines (every " merge " word boundary becomes a
+    // newline) and plants a repeated boilerplate tail on 1/9 of docs.
+
+    "q63_dedup_lines" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val lined = docs.select(col("doc_id"),
+        concat(
+          regexp_replace(coalesce(col("text"), lit("")), " merge ", "\n"),
+          when(col("doc_id") % 9 === 0,
+            lit("\ncopyright footer\ncopyright footer\nnav bar"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.dedupLinesWithin(lined).orderBy(col("doc_id"))
+    }),
+
+    // ------------- per-group caps -------------
+    //
+    // RefinedWeb-style per-domain cap: at most 12 docs per source,
+    // ranked by n_chars desc (ties to smallest id) — deterministic
+    // total order, exactly SQL-recomputable.
+
+    "q64_cap_per_source" -> ((s, dir) => {
+      Sampling.capPerGroup(tbl(s, dir, "documents"), "source", 12,
+          "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("group_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- contrastive LM quality filter -------------
     //
     // The fastText/CCNet classifier shape: margin = bucketed LM bits
@@ -2269,6 +2301,47 @@ object SparkEntry {
         |SELECT doc_id, n_email, n_ipv4, n_longnum, text_redacted,
         |  n_email = 0 AND n_ipv4 = 0 AND n_longnum = 0 AS pii_free
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // order-preserving line dedup recomputed with a first-index window
+    "q63_dedup_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(coalesce(text, ''), ' merge ', chr(10), 'g')
+        |      || CASE WHEN doc_id % 9 = 0 THEN
+        |           chr(10) || 'copyright footer' || chr(10)
+        |           || 'copyright footer' || chr(10) || 'nav bar'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(t, chr(10)) AS ll FROM p),
+        |ix AS (
+        |  SELECT doc_id, ll, unnest(range(1, len(ll) + 1)) AS i FROM w),
+        |fl AS (
+        |  SELECT doc_id, i, ll[i] AS line,
+        |    min(i) OVER (PARTITION BY doc_id, ll[i]) AS fi
+        |  FROM ix),
+        |kept AS (SELECT doc_id, i, line FROM fl WHERE i = fi),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY i) AS text_deduped,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(ll) AS n_lines FROM w)
+        |SELECT tot.doc_id, agg.text_deduped,
+        |  CAST(tot.n_lines AS BIGINT) AS n_lines,
+        |  CAST(tot.n_lines - agg.n_kept AS BIGINT) AS n_lines_removed
+        |FROM tot JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q64_cap_per_source" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS group_rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CAST(group_rank AS BIGINT) AS group_rank
+        |FROM r WHERE group_rank <= 12
+        |ORDER BY doc_id""".stripMargin,
 
     // two add-one bigram models (trusted %5, rejected %7), margin in
     // the q52 bucketed-bits integer arithmetic

@@ -116,6 +116,33 @@ object Sampling {
       .drop("__graft_key")
   }
 
+  /** Per-group document cap (the RefinedWeb/C4 per-domain cap: no
+    * single domain may dominate the corpus): keep at most `k` docs per
+    * group, ranked by `orderCol` DESCENDING with ties broken by id
+    * ascending — a deterministic total order, so the kept set is
+    * exactly reproducible (and exactly SQL-recomputable, the q64
+    * oracle). Output = the input rows that survive, plus their
+    * `group_rank` (1-based).
+    *
+    * Scale: one hash exchange on the group key + an in-partition sort
+    * — the minimum a per-group rank fundamentally needs. A
+    * pathologically hot group (half the corpus one domain) makes that
+    * group's partition large; the sort spills rather than OOMs, and
+    * callers who only need the cap (not exact ranks) can pre-thin hot
+    * groups with [[sample]] before ranking. Rank, don't groupBy-agg:
+    * collecting a group's docs to one row is the anti-pattern.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, k: Int,
+                  orderCol: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("group_rank", row_number().over(w).cast("bigint"))
+      .filter(col("group_rank") <= k)
+  }
+
   /** Write `df` as `numShards` sorted training shards under `dir`
     * (parquet, `partitionBy(shard)`, rows in `pos` order within each
     * shard): the one shard-keyed exchange plus an in-partition sort,

@@ -185,6 +185,31 @@ object TextAnalysis {
           .as("matched"),
         (size(col("__m")) === 0).as("keep"))
 
+  /** Within-document repetition excision (the MassiveText/Gopher
+    * preprocessing step the q39 metrics only FLAG): remove duplicate
+    * lines from each document, keeping each line's first occurrence in
+    * original order. Boilerplate headers/footers and templated nav
+    * lines are the dominant within-doc repetition mode in web text;
+    * doc-level dedup never sees them. Output per doc: `text_deduped`,
+    * `n_lines` (long), `n_lines_removed` (long).
+    *
+    * Pure builtin projection — `array_distinct` keeps first
+    * occurrences in order (pinned by spec AND by the q63 oracle, which
+    * recomputes the order-preserving semantics with a window) — so the
+    * op is codegen, zero shuffle, streaming-safe. The line array is
+    * bound once (HOF trees get no codegen subexpression elimination).
+    */
+  def dedupLinesWithin(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), "\n").as("__l"))
+      .select(col(idCol),
+        array_join(array_distinct(col("__l")), "\n").as("text_deduped"),
+        size(col("__l")).cast("long").as("n_lines"),
+        (size(col("__l")) - size(array_distinct(col("__l"))))
+          .cast("long").as("n_lines_removed"))
+
   /** Per-document token counts for budget estimation over RAW text —
     * whitespace tokens (the corpus tokenizer's unit) and the BPE-style
     * pre-tokenizer segmentation count (`kernels.segTokenCount`: one

@@ -420,6 +420,59 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("graft_blocklist_matches"), plan)
   }
 
+  // ---------------- within-doc line dedup ----------------
+
+  test("dedupLinesWithin: first occurrence kept in order") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "c\na\nc\nb\na\nc"),
+      (2L, "only line"),
+      (3L, ""),                          // one empty line, kept
+      (4L, null.asInstanceOf[String]),   // null == empty
+      (5L, "x\n\nx\n\ny")).toDF("doc_id", "text") // empty lines dedup too
+    val out = TextAnalysis.dedupLinesWithin(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_deduped"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_lines_removed")))).toMap
+    assert(out(1L) == (("c\na\nb", 6L, 3L)))
+    assert(out(2L) == (("only line", 1L, 0L)))
+    assert(out(3L) == (("", 1L, 0L)))
+    assert(out(4L) == (("", 1L, 0L)))
+    assert(out(5L) == (("x\n\ny", 5L, 2L)))
+  }
+
+  test("dedupLinesWithin plan: builtin projection, no UDF, no exchange") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.dedupLinesWithin(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---------------- per-group caps ----------------
+
+  test("capPerGroup: top-k by score, deterministic tie-break") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 7L)).toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.capPerGroup(docs, "source", 2, "n_chars")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("group_rank"))).toSet
+    // ties on 30 break to the smaller id: 2 then 3; 10 and 5 capped out
+    assert(kept == Set((2L, 1L), (3L, 2L), (5L, 1L)))
+    // exactly ONE exchange (the group-key hash partitioning the rank
+    // fundamentally needs)
+    val plan = Sampling.capPerGroup(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "source", 3, "n_chars")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   // ---------------- PII redaction ----------------
 
   test("pii redaction: typed placeholders, sequential counts") {
