@@ -332,6 +332,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("blocklist/redaction/line-dedup screens run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // all three are pure codegen projections: the batch operators ARE
+    // the streaming operators, no variant needed — composed as one
+    // redact -> line-dedup chain plus a blocklist branch
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDS().toDF("doc_id", "text")
+    val blk = graft.operators.TextAnalysis.blocklistFlags(df,
+      Seq("bad", "very bad"))
+    assert(blk.isStreaming)
+    val one = graft.operators.TextAnalysis.dedupLinesWithin(
+      graft.operators.Redact.scrubPii(df)
+        .select(col("doc_id"), col("n_email"),
+          col("text_redacted").as("text")))
+    assert(one.isStreaming)
+    val q = one.writeStream.format("memory").queryName("screen_stream")
+      .outputMode(OutputMode.Append()).start()
+    val qb = blk.writeStream.format("memory").queryName("blk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(
+        (0L, "write to a@b.org\nnav bar\nnav bar"),
+        (1L, "clean\ntext"),
+        (2L, "a very bad doc")))
+      q.processAllAvailable(); qb.processAllAvailable()
+      val out = spark.sql(
+          "SELECT doc_id, text_deduped, n_lines_removed FROM screen_stream")
+        .as[(Long, String, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(out(0L) == (("write to <EMAIL>\nnav bar", 1L)), s"$out")
+      assert(out(1L) == (("clean\ntext", 0L)))
+      val hits = spark.sql("SELECT doc_id, n_hits FROM blk_stream")
+        .as[(Long, Long)].collect().toMap
+      assert(hits == Map(0L -> 0L, 1L -> 0L, 2L -> 2L), s"$hits")
+    } finally { q.stop(); qb.stop() }
+  }
+
   test("streaming near-dup screen flags indexed near-dups per micro-batch") {
     import spark.implicits._
     def words(r: Range, p: String): Seq[String] = r.map(i => s"$p$i")
