@@ -1302,6 +1302,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ------------- cross-source overlap matrix (theta sketch) -------------
+    //
+    // Which sources share 3-gram content: exact pairwise distinct-gram
+    // counts (the oracle side) beside the theta-sketch estimates HLL
+    // cannot produce (no intersection). theta_ok is the 6-sigma gate
+    // (oracle pins true, like q46's hll_ok).
+
+    "q65_source_overlap" -> ((s, dir) => {
+      TextAnalysis.sourceOverlapMatrix(tbl(s, dir, "documents"),
+          n = 3, thetaK = 4096)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2342,6 +2355,34 @@ object SparkEntry {
         |  CAST(group_rank AS BIGINT) AS group_rank
         |FROM r WHERE group_rank <= 12
         |ORDER BY doc_id""".stripMargin,
+
+    // exact distinct 3-grams per source + pairwise common via the
+    // gram-keyed self-join; theta_ok is statistical (pinned true)
+    "q65_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT source, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+        |ng AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM idx),
+        |per AS (SELECT source, count(*) AS exact FROM ng GROUP BY source),
+        |com AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS exact_common
+        |  FROM ng a JOIN ng b USING (g)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS source_a, pb.source AS source_b,
+        |  pa.exact AS exact_a, pb.exact AS exact_b,
+        |  coalesce(c.exact_common, 0) AS exact_common,
+        |  round(CAST(coalesce(c.exact_common, 0) AS DOUBLE)
+        |    / (pa.exact + pb.exact - coalesce(c.exact_common, 0)), 4)
+        |    AS jaccard,
+        |  true AS theta_ok
+        |FROM per pa JOIN per pb ON pa.source < pb.source
+        |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // two add-one bigram models (trusted %5, rejected %7), margin in
     // the q52 bucketed-bits integer arithmetic

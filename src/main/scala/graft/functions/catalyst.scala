@@ -290,6 +290,84 @@ object catalyst {
       copy(child = c)
   }
 
+  /** Theta (KMV) distinct sketch over array<int> token columns — the
+    * intersectable distinct counter (core/ThetaSketch.scala); HLL is
+    * smaller at equal error but cannot intersect.
+    */
+  case class ThetaTokensAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TokenArrayAggregate[ThetaSketch] {
+    override def prettyName: String = "theta_agg_tokens"
+    def createAggregationBuffer(): ThetaSketch = ThetaSketch(k)
+    protected def updateArray(b: ThetaSketch, arr: ArrayData): Unit = {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) b.add(Hashing.tokenHash(arr.getInt(i)))
+        i += 1
+      }
+    }
+    def merge(b: ThetaSketch, o: ThetaSketch): ThetaSketch = b.merge(o)
+    def eval(b: ThetaSketch): Any = b.serialize()
+    def serialize(b: ThetaSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): ThetaSketch =
+      ThetaSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): ThetaTokensAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): ThetaTokensAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): ThetaTokensAggregate =
+      copy(child = c)
+  }
+
+  /** Theta build over pre-hashed int64 key columns. */
+  case class ThetaHashAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends ScalarAggregate[ThetaSketch] {
+    override def prettyName: String = "theta_agg_hash"
+    def createAggregationBuffer(): ThetaSketch = ThetaSketch(k)
+    protected def updateValue(b: ThetaSketch, v: Any): Unit =
+      b.add(v.asInstanceOf[Long])
+    def merge(b: ThetaSketch, o: ThetaSketch): ThetaSketch = b.merge(o)
+    def eval(b: ThetaSketch): Any = b.serialize()
+    def serialize(b: ThetaSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): ThetaSketch =
+      ThetaSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): ThetaHashAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): ThetaHashAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): ThetaHashAggregate =
+      copy(child = c)
+  }
+
+  /** Theta union re-aggregation over serialized-sketch columns (the
+    * load-is-union form: roll per-source sketches up to a corpus
+    * sketch without touching the corpus).
+    */
+  case class ThetaUnionAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends ScalarAggregate[ThetaSketch] {
+    override def prettyName: String = "theta_union_agg"
+    def createAggregationBuffer(): ThetaSketch = ThetaSketch(k)
+    protected def updateValue(b: ThetaSketch, v: Any): Unit =
+      b.merge(ThetaSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    def merge(b: ThetaSketch, o: ThetaSketch): ThetaSketch = b.merge(o)
+    def eval(b: ThetaSketch): Any = b.serialize()
+    def serialize(b: ThetaSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): ThetaSketch =
+      ThetaSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): ThetaUnionAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): ThetaUnionAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): ThetaUnionAggregate =
+      copy(child = c)
+  }
+
   /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
     * Insert is O(k) only when the candidate beats the current worst;
     * typical rows fail the cheap worst-score test.

@@ -89,6 +89,25 @@ object functions {
   def cms_union_agg(sketches: Column, depth: Int = 5, width: Int = 65536): Column =
     udaf(new aggregators.CmsUnionAgg(depth, width), Encoders.BINARY)(sketches)
 
+  /** Theta (KMV) distinct sketch over token arrays — the intersectable
+    * distinct counter. Use HLL when only unions/estimates are needed
+    * (smaller at equal error); use theta when the question involves
+    * set INTERSECTION or DIFFERENCE (cross-source overlap, A-not-B),
+    * which HLL cannot answer. RSE ~ 1/sqrt(k-1) in estimation mode.
+    */
+  def theta_agg_tokens(tokens: Column, k: Int = 4096): Column =
+    catalyst.aggCol(catalyst.ThetaTokensAggregate(
+      catalyst.expr(tokens.cast("array<int>")), k))
+
+  def theta_agg_hash(hash: Column, k: Int = 4096): Column =
+    catalyst.aggCol(catalyst.ThetaHashAggregate(
+      catalyst.expr(hash.cast("bigint")), k))
+
+  /** Merge pre-built theta sketches stored in a column (load-is-union). */
+  def theta_union_agg(sketches: Column, k: Int = 4096): Column =
+    catalyst.aggCol(catalyst.ThetaUnionAggregate(
+      catalyst.expr(sketches), k))
+
   def tdigest_agg(values: Column, compression: Double = 100.0): Column =
     catalyst.aggCol(catalyst.TDigestAggregate(
       catalyst.expr(values.cast("double")), compression))
@@ -230,6 +249,34 @@ object functions {
 
   val cms_total: UserDefinedFunction =
     udf((bytes: Array[Byte]) => CountMinSketch.deserialize(bytes).total)
+
+  /** Distinct estimate of a theta sketch (native build twin:
+    * [[theta_agg_tokens]]/[[theta_agg_hash]] — this accessor reads
+    * already-aggregated per-group rows only, like [[hll_estimate]]).
+    */
+  val theta_estimate: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => ThetaSketch.deserialize(bytes).estimate)
+
+  /** Retained-entry count (exact distinct when below k). */
+  val theta_retained: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => ThetaSketch.deserialize(bytes).retained)
+
+  /** Pairwise set operations over two serialized theta sketches: the
+    * result is itself a sketch, so expressions compose
+    * (|A ∩ B| = theta_estimate(theta_intersect(a, b))). Per-group rows
+    * only, same contract as every sketch scalar in this block.
+    */
+  val theta_union: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      ThetaSketch.deserialize(a).merge(ThetaSketch.deserialize(b)).serialize())
+
+  val theta_intersect: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      ThetaSketch.deserialize(a).intersect(ThetaSketch.deserialize(b)).serialize())
+
+  val theta_a_not_b: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      ThetaSketch.deserialize(a).aNotB(ThetaSketch.deserialize(b)).serialize())
 
   val tdigest_quantile: UserDefinedFunction =
     udf((bytes: Array[Byte], q: Double) => TDigest.deserialize(bytes).quantile(q))

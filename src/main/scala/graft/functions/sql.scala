@@ -118,6 +118,24 @@ object sql {
           val w = if (es.length > 2) lng(es(2), "width").toInt else 65536
           catalyst.CmsHashAggregate(asLong(es.head), d, w).toAggregateExpression()
         }),
+      "graft_theta_agg_tokens" -> (
+        "(tokens[, k]) - theta (KMV) distinct sketch; intersectable",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
+          catalyst.ThetaTokensAggregate(asIntArray(es.head), k).toAggregateExpression()
+        }),
+      "graft_theta_agg_hash" -> (
+        "(hash64[, k]) - theta (KMV) distinct sketch; intersectable",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
+          catalyst.ThetaHashAggregate(asLong(es.head), k).toAggregateExpression()
+        }),
+      "graft_theta_union_agg" -> (
+        "(sketch[, k]) - union of theta sketches",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
+          catalyst.ThetaUnionAggregate(es.head, k).toAggregateExpression()
+        }),
       "graft_tdigest_agg" -> (
         "(value[, compression]) - t-digest sketch",
         (es: Seq[Expression]) => {
@@ -269,6 +287,14 @@ object sql {
     })
     u.register("graft_hll_estimate",
       (bytes: Array[Byte]) => HyperLogLog.deserialize(bytes).estimate)
+    u.register("graft_theta_estimate",
+      (bytes: Array[Byte]) => ThetaSketch.deserialize(bytes).estimate)
+    u.register("graft_theta_intersect",
+      (a: Array[Byte], b: Array[Byte]) =>
+        ThetaSketch.deserialize(a).intersect(ThetaSketch.deserialize(b)).serialize())
+    u.register("graft_theta_a_not_b",
+      (a: Array[Byte], b: Array[Byte]) =>
+        ThetaSketch.deserialize(a).aNotB(ThetaSketch.deserialize(b)).serialize())
     u.register("graft_cms_estimate",
       (bytes: Array[Byte], h: Long) =>
         CountMinSketch.deserialize(bytes).estimate(h))

@@ -90,6 +90,85 @@ object TextAnalysis {
         col("dup_docs"), col("keep_rate"))
   }
 
+  /** Cross-source n-gram overlap matrix — which sources share content
+    * (mirrors, syndication, cross-source boilerplate). HLL cannot
+    * answer this (no intersection); the theta sketch
+    * (core/ThetaSketch.scala) can: one sketch per source, pairwise
+    * `intersect` on the tiny per-source frame.
+    *
+    * Production shape (`withExact = false`): ONE n-gram explode ->
+    * per-source theta aggregation (the sketch dedups internally, so no
+    * distinct shuffle) -> pairwise estimates over the sources-sized
+    * frame. Cost at any corpus size: one explode + one k-sized-row
+    * shuffle; the quadratic distinct-gram self-join never happens.
+    *
+    * Audit shape (`withExact = true`, what q65 checks): additionally
+    * computes the EXACT per-source and pairwise-common distinct-gram
+    * counts (distinct + gram-keyed self-join — the expensive query the
+    * sketch path replaces) and gates the sketch against them:
+    * `theta_ok` = marginals within 6 sigma of the KMV RSE and the
+    * intersection within 6 sigma of the framework error
+    * sqrt(|U|/|I|)/sqrt(k). Like q46's `hll_ok`, the gate is
+    * statistical — the SQL oracle pins it true and the width makes a
+    * correct implementation trip with probability ~1e-9 per pair; the
+    * tight error assertions live in ThetaSketchSpec.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3, thetaK: Int = 4096,
+                          withExact: Boolean = true): DataFrame = {
+    val F = graft.functions.functions
+    val E = graft.functions.expressions
+    val grams = docs.select(col("source"),
+      explode(E.word_ngrams(col("text"), n)).as("g"))
+    if (!withExact) {
+      val sk = grams.groupBy(col("source"))
+        .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("__sk"))
+      val a = sk.select(col("source").as("source_a"), col("__sk").as("__ska"))
+      val b = sk.select(col("source").as("source_b"), col("__sk").as("__skb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("__common",
+          F.theta_estimate(F.theta_intersect(col("__ska"), col("__skb"))))
+        .select(col("source_a"), col("source_b"),
+          round(F.theta_estimate(col("__ska"))).cast("long").as("est_a"),
+          round(F.theta_estimate(col("__skb"))).cast("long").as("est_b"),
+          round(col("__common")).cast("long").as("est_common"),
+          round(col("__common") /
+            (F.theta_estimate(col("__ska")) + F.theta_estimate(col("__skb"))
+              - col("__common")), 4).as("est_jaccard"))
+    } else {
+      val dg = grams.distinct().localCheckpoint(true)
+      val perSource = dg.groupBy(col("source")).agg(
+        count(lit(1)).as("exact"),
+        F.theta_agg_hash(xxhash64(col("g")), thetaK).as("__sk"))
+      val xa = dg.select(col("source").as("source_a"), col("g"))
+      val xb = dg.select(col("source").as("source_b"), col("g"))
+      val common = xa.join(xb, "g").where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_common"))
+      val pa = perSource.select(col("source").as("source_a"),
+        col("exact").as("exact_a"), col("__sk").as("__ska"))
+      val pb = perSource.select(col("source").as("source_b"),
+        col("exact").as("exact_b"), col("__sk").as("__skb"))
+      val marginSigma = 6.0 / math.sqrt((thetaK - 1).toDouble)
+      pa.join(pb, col("source_a") < col("source_b"))
+        .join(common, Seq("source_a", "source_b"), "left")
+        .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+        .withColumn("__union",
+          col("exact_a") + col("exact_b") - col("exact_common"))
+        .withColumn("__estc",
+          F.theta_estimate(F.theta_intersect(col("__ska"), col("__skb"))))
+        .select(col("source_a"), col("source_b"),
+          col("exact_a"), col("exact_b"), col("exact_common"),
+          round(col("exact_common").cast("double") / col("__union"), 4)
+            .as("jaccard"),
+          ((abs(F.theta_estimate(col("__ska")) / col("exact_a") - 1) < marginSigma) &&
+            (abs(F.theta_estimate(col("__skb")) / col("exact_b") - 1) < marginSigma) &&
+            (abs(col("__estc") - col("exact_common")) <=
+              lit(6.0 / math.sqrt(thetaK.toDouble)) *
+                sqrt(col("__union") * greatest(col("exact_common"), lit(1L)))))
+            .as("theta_ok"))
+    }
+  }
+
   /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
     * standard pre-training filter set): per-doc signal columns plus a
     * boolean per rule and the composite `keep`. The raw signals come
