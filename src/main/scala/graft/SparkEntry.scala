@@ -1315,6 +1315,19 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ------------- priority sampling (weighted, without replacement) -------------
+    //
+    // Duffield-Lund-Thorup: top-k by w/u per stratum with the
+    // Horvitz-Thompson adjusted weight off the (k+1)-th priority. The
+    // priority arithmetic is one exact multiply + one IEEE division, so
+    // both engines produce the same 64-bit doubles — full hash match,
+    // no rounding anywhere.
+
+    "q66_priority_sample" -> ((s, dir) => {
+      Sampling.prioritySample(tbl(s, dir, "documents"), k = 10)
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2383,6 +2396,31 @@ object SparkEntry {
         |FROM per pa JOIN per pb ON pa.source < pb.source
         |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // same md5-derived uniform, same exact-multiply + IEEE-division
+    // priority, same (k+1)-th-priority tau — doubles hash-match
+    "q66_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (CAST(n_chars AS DOUBLE) * 4503599627370496)
+        |      / (CAST(('0x' || substr(md5(doc_id || '|graft'), 1, 13))
+        |           AS BIGINT) + 1) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars, priority,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY priority DESC, doc_id ASC) AS rnk
+        |  FROM p),
+        |tau AS (
+        |  SELECT source, max(CASE WHEN rnk = 11 THEN priority END) AS tau
+        |  FROM r GROUP BY source)
+        |SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS weight,
+        |  r.priority, CAST(r.rnk AS BIGINT) AS sample_rank,
+        |  greatest(CAST(r.n_chars AS DOUBLE), coalesce(tau.tau, 0))
+        |    AS adj_weight
+        |FROM r JOIN tau USING (source)
+        |WHERE r.rnk <= 10
+        |ORDER BY source, sample_rank""".stripMargin,
 
     // two add-one bigram models (trusted %5, rejected %7), margin in
     // the q52 bucketed-bits integer arithmetic

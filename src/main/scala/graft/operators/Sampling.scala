@@ -143,6 +143,68 @@ object Sampling {
       .filter(col("group_rank") <= k)
   }
 
+  /** Priority sampling (Duffield, Lund, Thorup 2007): a weighted
+    * WITHOUT-replacement sample of up to `k` rows per stratum with
+    * near-optimal variance for subset-sum estimation — the principled
+    * "sample big documents more, but keep an unbiased token-count
+    * estimator" op (md5-threshold Bernoulli is unweighted; budget fill
+    * is a hard cutoff, not an estimator).
+    *
+    * Each row gets priority p_i = w_i / u_i with u_i a deterministic
+    * md5-derived uniform in (0, 1]; the k highest-priority rows per
+    * stratum are kept, and each kept row carries the Horvitz-Thompson
+    * adjusted weight max(w_i, tau) where tau is the stratum's (k+1)-th
+    * priority (0 when the stratum has <= k rows). Summing adjusted
+    * weights over the sample unbiasedly estimates the stratum's total
+    * weight (the DLT theorem), which is what downstream mixture math
+    * needs from a subsample.
+    *
+    * Cross-engine determinism (the q66 oracle recomputes everything in
+    * SQL): u_i = (h_i + 1) / 2^52 with h_i = first 13 md5 hex digits of
+    * the salted id, and the priority is evaluated as
+    * (w * 2^52) / (h + 1). w * 2^52 multiplies an integer-valued
+    * double by a power of two — exact in IEEE — so the single rounded
+    * operation is the final division, which IEEE defines uniquely:
+    * both engines produce the same 64 bits, and the order (priority
+    * desc, id asc) is identical everywhere. No round() smoothing is
+    * needed anywhere.
+    *
+    * Scale: same shape as [[capPerGroup]] — ONE stratum-keyed exchange
+    * + spill-backed sort (rank, never a group collect); tau rides the
+    * same ranked frame as a groups-sized broadcast join.
+    */
+  def prioritySample(df: DataFrame, k: Int, groupCol: String = "source",
+                     weightCol: String = "n_chars",
+                     idCol: String = "doc_id",
+                     salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(sampleKey(col(idCol), salt), 1, 13), 16, 10)
+      .cast("bigint") + 1
+    val priority = (col(weightCol).cast("double") *
+      lit(4503599627370496.0)) / col("__h")  // w * 2^52 exact, one IEEE div
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__priority").desc, col(idCol).asc)
+    // tau rides the SAME exchange: rank, keep k+1 rows per stratum, read
+    // tau off the (k+1)-th with an unordered whole-partition max (the
+    // second window reuses the first's partitioning — one shuffle total),
+    // then drop the boundary row.
+    val wg = Window.partitionBy(col(groupCol))
+    df.withColumn("__h", h)
+      .withColumn("__priority", priority)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k + 1)
+      .withColumn("__tau",
+        max(when(col("__rank") === k + 1, col("__priority"))).over(wg))
+      .filter(col("__rank") <= k)
+      .select(col(idCol), col(groupCol),
+        col(weightCol).cast("bigint").as("weight"),
+        col("__priority").as("priority"),
+        col("__rank").cast("bigint").as("sample_rank"),
+        greatest(col(weightCol).cast("double"),
+          coalesce(col("__tau"), lit(0.0))).as("adj_weight"))
+  }
+
   /** Write `df` as `numShards` sorted training shards under `dir`
     * (parquet, `partitionBy(shard)`, rows in `pos` order within each
     * shard): the one shard-keyed exchange plus an in-partition sort,

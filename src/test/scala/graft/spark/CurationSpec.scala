@@ -473,6 +473,65 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  // ---------------- priority sampling ----------------
+
+  test("prioritySample: HT adjusted weights, exact when stratum fits") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 50L), (3L, "a", 10L), (4L, "a", 200L),
+      (5L, "b", 7L), (6L, "b", 9L)).toDF("doc_id", "source", "n_chars")
+    // k >= stratum size: every row kept, tau absent -> adj_weight == w,
+    // so the HT estimator is EXACT (sum == stratum total)
+    val all = Sampling.prioritySample(docs, k = 10)
+    val sums = all.groupBy("source").agg(sum("adj_weight")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sums == Map("a" -> 360.0, "b" -> 16.0))
+    // k = 2 on stratum a: tau is the 3rd priority; every kept row's
+    // adj_weight >= its own weight and >= tau by construction
+    val two = Sampling.prioritySample(docs, k = 2)
+      .filter(col("source") === "a").collect()
+    assert(two.length == 2)
+    val ranked = Sampling.prioritySample(docs, k = 10)
+      .filter(col("source") === "a")
+      .orderBy(col("sample_rank")).collect()
+    val tau = ranked(2).getAs[Double]("priority") // 3rd priority
+    two.foreach { r =>
+      assert(r.getAs[Double]("adj_weight") ==
+        math.max(r.getAs[Long]("weight").toDouble, tau))
+    }
+    // kept ids are the top-2 of the full ranking (without-replacement
+    // prefix property)
+    assert(two.map(_.getAs[Long]("doc_id")).toSet ==
+      ranked.take(2).map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("prioritySample: retry/partitioning-stable, one exchange, no UDF") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Sampling.prioritySample(docs, k = 5).collect().toSet
+    val b = Sampling.prioritySample(docs.repartition(7), k = 5)
+      .collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val plan = Sampling.prioritySample(docs, k = 5)
+      .queryExecution.executedPlan.toString
+    // the rank exchange; the tau window reuses its partitioning
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("prioritySample: weighted inclusion skews to heavy rows") {
+    import graft.operators.Sampling
+    // one heavy row among light ones: across many salts the heavy row
+    // must appear far more often than any individual light row
+    val docs = (1L to 50L).map(i =>
+      (i, "s", if (i == 7L) 10000L else 10L)).toDF("doc_id", "source", "n_chars")
+    val hits = (0 until 20).count { s =>
+      Sampling.prioritySample(docs, k = 5, salt = s"salt$s")
+        .collect().exists(_.getAs[Long]("doc_id") == 7L)
+    }
+    assert(hits >= 18, s"heavy row sampled only $hits/20 times")
+  }
+
   // ---------------- PII redaction ----------------
 
   test("pii redaction: typed placeholders, sequential counts") {

@@ -1128,6 +1128,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap matrix: production estimates track the exact counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.sourceOverlapMatrix(docs, n = 3, thetaK = 4096)
+      .collect()
+    assert(exact.nonEmpty)
+    assert(exact.forall(_.getAs[Boolean]("theta_ok")),
+      "every pair must pass the 6-sigma gate")
+    // production form (no exact recomputation): at this scale every
+    // per-source sketch is in exact mode, so estimates EQUAL the exact
+    // counts — the two forms must agree row for row
+    val est = TextAnalysis
+      .sourceOverlapMatrix(docs, n = 3, thetaK = 4096, withExact = false)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+          r.getAs[Long]("est_common"))).toMap
+    exact.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(est(key) == ((r.getAs[Long]("exact_a"),
+        r.getAs[Long]("exact_b"), r.getAs[Long]("exact_common"))),
+        s"production estimate diverged at $key")
+    }
+    // small k forces estimation mode; the gate math itself is covered
+    // by ThetaSketchSpec — here pin that estimates stay in a sane band
+    val rough = TextAnalysis
+      .sourceOverlapMatrix(docs, n = 3, thetaK = 64, withExact = false)
+      .collect()
+    val exactA = exact.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("exact_a")).toMap
+    rough.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val ratio = r.getAs[Long]("est_a").toDouble / exactA(key)
+      assert(ratio > 0.4 && ratio < 2.5,
+        s"k=64 marginal estimate wildly off at $key: $ratio")
+    }
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
