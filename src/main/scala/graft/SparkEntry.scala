@@ -1328,6 +1328,18 @@ object SparkEntry {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    // ------------- boilerplate n-gram report -------------
+    //
+    // Top shared 5-grams by (doc frequency, occurrences): the planted
+    // duplicate docs make this non-degenerate. Exact audit twin of the
+    // q28 CMS heavy hitters; deterministic total order so LIMIT is
+    // engine-stable.
+
+    "q67_boilerplate_ngrams" -> ((s, dir) => {
+      TextAnalysis.boilerplateNgrams(tbl(s, dir, "documents"),
+        n = 5, topK = 30)
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2396,6 +2408,23 @@ object SparkEntry {
         |FROM per pa JOIN per pb ON pa.source < pb.source
         |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // occurrence-stream 5-grams (duplicates kept), doc frequency via
+    // count(DISTINCT doc_id), same deterministic order + LIMIT
+    "q67_boilerplate_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |        FROM tok))
+        |SELECT g, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM ng GROUP BY g
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, g ASC
+        |LIMIT 30""".stripMargin,
 
     // same md5-derived uniform, same exact-multiply + IEEE-division
     // priority, same (k+1)-th-priority tau — doubles hash-match

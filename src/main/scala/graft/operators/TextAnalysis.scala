@@ -169,6 +169,31 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-wide repeated n-gram report — the "what boilerplate does
+    * this corpus share" dashboard (nav bars, cookie banners, license
+    * headers show up as high-doc-frequency n-grams). Exact counts: one
+    * occurrence-stream explode (`word_ngrams_all`), one uniform
+    * gram-keyed aggregation (occurrences + distinct-doc frequency,
+    * both map-side partial), then TakeOrdered for the top-k under the
+    * deterministic total order (n_docs desc, n_occ desc, gram asc) —
+    * no global window, no second pass. This is the exact audit twin of
+    * the CMS heavy-hitters path (q28): run this on a slice to verify,
+    * run the sketch on the corpus. Pairs with SpanDedup for the fix:
+    * this REPORTS shared spans by frequency; exciseSpans removes them.
+    */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 5, topK: Int = 30,
+                        minDocs: Long = 2L): DataFrame = {
+    val E = graft.functions.expressions
+    docs.select(col("doc_id"),
+        explode(E.word_ngrams_all(col("text"), n)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("g").asc)
+      .limit(topK)
+  }
+
   /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
     * standard pre-training filter set): per-doc signal columns plus a
     * boolean per rule and the composite `keep`. The raw signals come

@@ -1165,6 +1165,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate ngrams: planted shared tail dominates by doc frequency") {
+    val tail = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      (0L, s"alpha beta gamma delta epsilon $tail"),
+      (1L, s"zeta eta theta iota kappa $tail"),
+      (2L, s"lambda mu nu xi omicron $tail"),
+      (3L, "pi rho sigma tau upsilon phi chi psi"),
+      // a within-doc repeat: high n_occ but only 1 doc -> filtered
+      (4L, "spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.boilerplateNgrams(docs, n = 6, topK = 5).collect()
+    assert(top.head.getString(0) == tail)
+    assert(top.head.getAs[Long]("n_docs") == 3 &&
+      top.head.getAs[Long]("n_occ") == 3)
+    // the minDocs filter kills the single-doc repeat
+    assert(!top.exists(_.getString(0).contains("spam")))
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
