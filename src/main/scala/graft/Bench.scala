@@ -743,6 +743,67 @@ object Bench {
       docs.unpersist()
     }
 
+    // ---- b17: cross-source overlap — theta sketch vs exact self-join ----
+    // The query HLL cannot answer (set intersection). Production path:
+    // one gram explode + per-source theta aggregation + pairwise
+    // estimates on the sources-sized frame. Exact path: the
+    // distinct-gram self-join it replaces. The estimates must track the
+    // exact counts: the framework error sqrt(|U|/|I|)/sqrt(k) is ~5%
+    // on this corpus (I~75k, U~800k, k=4096), so the 25% band is ~5
+    // sigma over 120 pairs x 3 trials — a perf win that computes
+    // garbage fails the run, and a correct one virtually never does.
+    var b17ThetaTrials = List.empty[Double]
+    var b17ExactTrials = List.empty[Double]
+    var b17Pairs = 0L
+    locally {
+      import graft.operators.TextAnalysis
+      val docs = TokenDocGen.generateDf(spark, 100000, 61L, cpus)
+        .select(
+          regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("id"),
+          concat(lit("s"),
+            (regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long") % 16)
+              .cast("string")).as("source"),
+          concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+            .as("text"))
+        .persist()
+      docs.count()
+      def thetaJob(): Map[(String, String), Long] =
+        TextAnalysis.sourceOverlapMatrix(docs, n = 3, thetaK = 4096,
+            withExact = false)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            r.getAs[Long]("est_common")).toMap
+      def exactJob(): Map[(String, String), Long] =
+        TextAnalysis.sourceOverlapMatrix(docs, n = 3, thetaK = 4096)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            r.getAs[Long]("exact_common")).toMap
+      thetaJob() // warm-up (the exact path warms the same scan)
+      val tTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      val eTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      var est = Map.empty[(String, String), Long]
+      var exa = Map.empty[(String, String), Long]
+      (1 to 3).foreach { _ =>
+        val (e1, t1) = time(thetaJob())
+        val (e2, t2) = time(exactJob())
+        est = e1; exa = e2
+        tTrials += t1; eTrials += t2
+      }
+      b17Pairs = est.size.toLong
+      require(b17Pairs == 120, s"b17: 16 sources -> 120 pairs, got $b17Pairs")
+      exa.foreach { case (k, ex) =>
+        require(ex > 0, s"b17: degenerate zero overlap at $k")
+        val ratio = est(k).toDouble / ex
+        require(ratio > 0.75 && ratio < 1.25,
+          s"b17: estimate off at $k: est=${est(k)} exact=$ex")
+      }
+      b17ThetaTrials = tTrials.toList
+      b17ExactTrials = eTrials.toList
+      results += "b17_overlap_theta_100k" -> tTrials.min
+      results += "b17_overlap_exact_100k" -> eTrials.min
+      docs.unpersist()
+    }
+
     // ---- IVF recall/nprobe curve (index-quality regression guard) ----
     // q25/q32 gate a single recall point; the curve makes index-quality
     // regressions visible across rounds the way perf ones are.
@@ -840,6 +901,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }
