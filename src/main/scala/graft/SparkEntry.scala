@@ -1340,6 +1340,59 @@ object SparkEntry {
         n = 5, topK = 30)
     }),
 
+    // ------------- corpus-novelty screen vs persisted sketches -------------
+    //
+    // Write per-source theta sketches over one corpus third, APPEND the
+    // second third (load-is-union through the crash-safe swap), then
+    // screen the final third for novel grams without rescanning the
+    // corpus. Exact twin computed beside it; theta_ok is the 6-sigma
+    // gate (pinned true by the oracle, q46/q65 pattern).
+
+    "q68_novelty_vs_sketches" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val thetaK = 4096
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q68-idx").toString
+      TextAnalysis.writeOverlapSketches(
+        docs.filter(col("doc_id") % 3 === 1), idx, n = 3, thetaK = thetaK)
+      TextAnalysis.appendToOverlapSketches(
+        docs.filter(col("doc_id") % 3 === 2), idx)
+      val est = TextAnalysis.overlapVsSketches(
+        docs.filter(col("doc_id") % 3 === 0), idx)
+      val E = graft.functions.expressions
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("source"),
+          explode(E.word_ngrams(col("text"), 3)).as("g")).distinct()
+      val sg = grams(docs.filter(col("doc_id") % 3 === 0))
+        .localCheckpoint(true)
+      val cg = grams(docs.filter(col("doc_id") % 3 =!= 0))
+        .localCheckpoint(true)
+      val exact = sg.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_snapshot"))
+        .join(cg.groupBy(col("source"))
+          .agg(count(lit(1)).as("exact_corpus")), Seq("source"), "left")
+        .join(sg.join(cg, Seq("source", "g"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("exact_novel")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("exact_corpus", "exact_novel"))
+      val marginSigma = 6.0 / math.sqrt((thetaK - 1).toDouble)
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("exact_snapshot"), col("exact_corpus"),
+          col("exact_novel"),
+          round(col("exact_novel").cast("double") / col("exact_snapshot"), 4)
+            .as("novel_frac"),
+          ((abs(col("est_snapshot") / col("exact_snapshot").cast("double") - 1)
+              < marginSigma) &&
+            (abs(col("est_corpus") / col("exact_corpus").cast("double") - 1)
+              < marginSigma) &&
+            (abs(col("est_novel") - col("exact_novel")) <=
+              lit(6.0 / math.sqrt(thetaK.toDouble)) *
+                sqrt((col("exact_corpus") + col("exact_novel")) *
+                  greatest(col("exact_novel"), lit(1L)))))
+            .as("theta_ok"))
+        .orderBy(col("source"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2408,6 +2461,32 @@ object SparkEntry {
         |FROM per pa JOIN per pb ON pa.source < pb.source
         |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // exact novelty recomputation: distinct per-source 3-grams of the
+    // snapshot third anti-joined against the corpus two-thirds
+    "q68_novelty_vs_sketches" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |ngall AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM tok)),
+        |sg AS (SELECT DISTINCT source, g FROM ngall WHERE doc_id % 3 = 0),
+        |cg AS (SELECT DISTINCT source, g FROM ngall WHERE doc_id % 3 <> 0),
+        |es AS (SELECT source, count(*) AS exact_snapshot FROM sg GROUP BY source),
+        |ec AS (SELECT source, count(*) AS exact_corpus FROM cg GROUP BY source),
+        |en AS (SELECT sg.source, count(*) AS exact_novel
+        |  FROM sg ANTI JOIN cg USING (source, g) GROUP BY sg.source)
+        |SELECT es.source, es.exact_snapshot,
+        |  coalesce(ec.exact_corpus, 0) AS exact_corpus,
+        |  coalesce(en.exact_novel, 0) AS exact_novel,
+        |  round(CAST(coalesce(en.exact_novel, 0) AS DOUBLE)
+        |    / es.exact_snapshot, 4) AS novel_frac,
+        |  true AS theta_ok
+        |FROM es LEFT JOIN ec USING (source) LEFT JOIN en USING (source)
+        |ORDER BY source""".stripMargin,
 
     // occurrence-stream 5-grams (duplicates kept), doc frequency via
     // count(DISTINCT doc_id), same deterministic order + LIMIT

@@ -169,6 +169,121 @@ object TextAnalysis {
     }
   }
 
+  /** Per-source n-gram theta sketches for a document frame — the
+    * shared build step of [[sourceOverlapMatrix]] and the persisted
+    * overlap index: one explode, one source-keyed aggregation of
+    * k-bounded buffers.
+    */
+  private def perSourceSketches(docs: DataFrame, n: Int,
+                                thetaK: Int): DataFrame = {
+    val F = graft.functions.functions
+    val E = graft.functions.expressions
+    docs.select(col("source"), explode(E.word_ngrams(col("text"), n)).as("g"))
+      .groupBy(col("source"))
+      .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("sketch"))
+  }
+
+  /** Persist per-source n-gram theta sketches — the corpus-novelty
+    * monitor's state. A 100-TB corpus compresses to sources x k
+    * 8-byte samples (a few MB); any later snapshot can then be
+    * screened for novelty/overlap against the WHOLE corpus without
+    * rescanning it ([[overlapVsSketches]]), and new corpus batches
+    * fold in by sketch union ([[appendToOverlapSketches]]) at
+    * batch-sized cost — the same incremental contract as the dedup
+    * and eval indexes, at estimate (not membership) granularity.
+    */
+  def writeOverlapSketches(docs: DataFrame, dir: String, n: Int = 3,
+                           thetaK: Int = 4096): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    perSourceSketches(docs, n, thetaK)
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    Seq((n, thetaK)).toDF("n", "theta_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Roll a crashed append forward: the swap deletes `sketches` then
+    * renames the complete `sketches.next` into place, so the only
+    * unreadable crash state is "sketches missing, next complete" —
+    * finish the rename. A stale COMPLETE `next` beside a live
+    * `sketches` (crash before the delete) is discarded by the next
+    * append, which recomputes it; readers ignore it.
+    */
+  private def healOverlapSketches(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Unit = {
+    val f = fs(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/sketches.next")
+    if (!f.exists(cur) &&
+        f.exists(new org.apache.hadoop.fs.Path(s"$dir/sketches.next/_SUCCESS"))) {
+      require(f.rename(next, cur), s"heal: rename failed in $dir")
+    }
+  }
+
+  /** Fold a new corpus batch into the persisted sketches: batch
+    * sketches at the stored (n, k) union into the stored rows per
+    * source (theta merge is associative — load-is-union, the same
+    * contract as Bloom index appends). Crash-safe swap: the merged
+    * table is fully written to `sketches.next` FIRST, then delete +
+    * rename; a retry after any crash heals and re-merges — sketch
+    * union is idempotent, so replaying the same batch is a no-op.
+    */
+  def appendToOverlapSketches(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    healOverlapSketches(spark, dir)
+    val mf = spark.read.parquet(s"$dir/manifest").head()
+    val n = mf.getAs[Int]("n"); val k = mf.getAs[Int]("theta_k")
+    val F = graft.functions.functions
+    perSourceSketches(newDocs, n, k)
+      .unionByName(spark.read.parquet(s"$dir/sketches"))
+      .groupBy(col("source"))
+      .agg(F.theta_union_agg(col("sketch"), k).as("sketch"))
+      .write.mode("overwrite").parquet(s"$dir/sketches.next")
+    val f = fs(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
+    if (f.exists(cur)) require(f.delete(cur, true), s"append: delete failed in $dir")
+    require(f.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/sketches.next"), cur),
+      s"append: rename failed in $dir")
+  }
+
+  /** Screen a snapshot against the persisted corpus sketches: per
+    * source, estimated distinct grams in the snapshot, in the corpus,
+    * NOVEL to the snapshot (a-not-b — the estimate HLL cannot make),
+    * and the novel fraction. Cost scales with the snapshot plus a
+    * sources-sized broadcast; the corpus is never read.
+    */
+  def overlapVsSketches(snapshot: DataFrame, dir: String): DataFrame = {
+    val spark = snapshot.sparkSession
+    healOverlapSketches(spark, dir)
+    val mf = spark.read.parquet(s"$dir/manifest").head()
+    val n = mf.getAs[Int]("n"); val k = mf.getAs[Int]("theta_k")
+    val F = graft.functions.functions
+    val corpus = spark.read.parquet(s"$dir/sketches")
+      .withColumnRenamed("sketch", "__corpus_sk")
+    val emptySk = lit(graft.core.ThetaSketch(k).serialize())
+    perSourceSketches(snapshot, n, k)
+      .join(broadcast(corpus), Seq("source"), "left")
+      .withColumn("__c", coalesce(col("__corpus_sk"), emptySk))
+      .withColumn("__snap", F.theta_estimate(col("sketch")))
+      // |A \ B| <= |A| is a hard set identity the two raw estimators
+      // (different thetas) can cross by sampling noise when novelty is
+      // near-total; clamping to the marginal is a strict improvement
+      .withColumn("__novel",
+        least(F.theta_estimate(F.theta_a_not_b(col("sketch"), col("__c"))),
+          col("__snap")))
+      .select(col("source"),
+        round(col("__snap")).cast("long").as("est_snapshot"),
+        round(F.theta_estimate(col("__c"))).cast("long").as("est_corpus"),
+        round(col("__novel")).cast("long").as("est_novel"),
+        when(col("__snap") > 0,
+          round(col("__novel") / col("__snap"), 4)).as("novel_frac"))
+  }
+
   /** Corpus-wide repeated n-gram report — the "what boilerplate does
     * this corpus share" dashboard (nav bars, cookie banners, license
     * headers show up as high-doc-frequency n-grams). Exact counts: one

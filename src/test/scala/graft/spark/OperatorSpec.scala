@@ -1183,6 +1183,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(!top.exists(_.getString(0).contains("spam")))
   }
 
+  test("overlap sketches: append == fresh build; crash windows heal; screen sane") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val snap = docs.filter(col("doc_id") % 3 === 0)
+    def sketchRows(dir: String): Map[String, Seq[Byte]] =
+      spark.read.parquet(s"$dir/sketches").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
+
+    // fresh build over a ∪ b == build(a) + append(b), byte for byte
+    val whole = java.nio.file.Files.createTempDirectory("ov-whole").toString
+    TextAnalysis.writeOverlapSketches(a.unionByName(b), whole, n = 3, thetaK = 512)
+    val inc = java.nio.file.Files.createTempDirectory("ov-inc").toString
+    TextAnalysis.writeOverlapSketches(a, inc, n = 3, thetaK = 512)
+    TextAnalysis.appendToOverlapSketches(b, inc)
+    assert(sketchRows(whole) == sketchRows(inc),
+      "append must equal the fresh build (load-is-union)")
+
+    // replaying the same append is a no-op (retry idempotence)
+    TextAnalysis.appendToOverlapSketches(b, inc)
+    assert(sketchRows(whole) == sketchRows(inc))
+
+    // crash window: sketches deleted, complete next left behind ->
+    // any entry point heals by rolling the rename forward
+    val fsys = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$inc/sketches"),
+      new org.apache.hadoop.fs.Path(s"$inc/sketches.next"))
+    val screened = TextAnalysis.overlapVsSketches(snap, inc).collect()
+    assert(sketchRows(inc) == sketchRows(whole), "heal must restore sketches")
+    assert(screened.nonEmpty)
+    screened.foreach { r =>
+      val s = r.getAs[Long]("est_snapshot")
+      val nv = r.getAs[Long]("est_novel")
+      assert(nv >= 0 && nv <= s, s"novel must be within [0, snapshot]: $r")
+    }
+    // screening the CORPUS against its own sketches: nothing is novel
+    // (exact-mode sketches at this scale -> exactly zero)
+    TextAnalysis.overlapVsSketches(a.unionByName(b), inc).collect().foreach { r =>
+      assert(r.getAs[Long]("est_novel") == 0L,
+        s"corpus vs itself must have zero novelty: $r")
+    }
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
