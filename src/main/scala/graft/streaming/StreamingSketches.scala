@@ -193,26 +193,42 @@ object StreamingSketches {
                              windowDuration: String,
                              watermarkDelay: String,
                              capacity: Long, fpr: Double,
-                             hllP: Int = 14):
+                             hllP: Int = 14,
+                             thetaK: Int = 0):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val F = graft.functions.functions
-    docs.withWatermark(eventTimeCol, watermarkDelay)
+    // the FUSED panel: one buffer and one token traversal per open
+    // window in the state store instead of one per sketch —
+    // byte-identical to the standalone aggregates (q07's
+    // panel_eq_separate), so the batch-parity contract is unchanged.
+    // Optional theta sketch beside the fused panel (a second state
+    // buffer per open window — the panel's wire format, and with it
+    // the q07 byte-parity contract, stays untouched). The RAW sketch
+    // column is emitted because its value is downstream set algebra:
+    // intersect finalized windows across time or sources to measure
+    // content drift — the question the panel's HLL cannot answer.
+    val aggs = Seq(
+      F.sketch_panel_agg(col("tokens"), capacity, fpr, hllP).as("panel"),
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens")) ++
+      (if (thetaK > 0)
+        Seq(F.theta_agg_tokens(col("tokens"), thetaK).as("theta"))
+      else Nil)
+    val base = docs.withWatermark(eventTimeCol, watermarkDelay)
       .groupBy(window(col(eventTimeCol), windowDuration), col("source"))
-      // the FUSED panel: one buffer and one token traversal per open
-      // window in the state store instead of one per sketch —
-      // byte-identical to the standalone aggregates (q07's
-      // panel_eq_separate), so the batch-parity contract is unchanged
-      .agg(F.sketch_panel_agg(col("tokens"), capacity, fpr, hllP)
-          .as("panel"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"))
-      .select(col("window.start").as("win_start"),
-        col("window.end").as("win_end"), col("source"),
-        col("n_docs"), col("n_tokens"),
-        round(F.bloom_cardinality(col("panel.bloom")), 2)
-          .as("bloom_distinct_est"),
-        round(F.hll_estimate(col("panel.hll")), 2).as("hll_distinct_est"))
+      .agg(aggs.head, aggs.tail: _*)
+    val common = Seq(col("window.start").as("win_start"),
+      col("window.end").as("win_end"), col("source"),
+      col("n_docs"), col("n_tokens"),
+      round(F.bloom_cardinality(col("panel.bloom")), 2)
+        .as("bloom_distinct_est"),
+      round(F.hll_estimate(col("panel.hll")), 2).as("hll_distinct_est"))
+    if (thetaK > 0)
+      base.select(common ++ Seq(
+        round(F.theta_estimate(col("theta")), 2).as("theta_distinct_est"),
+        col("theta")): _*)
+    else base.select(common: _*)
   }
 
   /** Streaming NEAR-dup screen against a persisted dedup index

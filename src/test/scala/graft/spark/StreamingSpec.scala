@@ -273,7 +273,8 @@ class StreamingSpec extends AnyFunSuite {
     val stream = MemoryStream[(java.sql.Timestamp, String, Array[Int], Int)]
     val windows = StreamingSketches.windowedSourceSketches(
       stream.toDS().toDF("ts", "source", "tokens", "n_tok"),
-      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01)
+      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01,
+      thetaK = 64)
     val q = windows.writeStream.format("memory").queryName("win_sketches")
       .outputMode(OutputMode.Append()).start()
     // window A = [10:00, 10:10): rows arrive across TWO micro-batches,
@@ -298,12 +299,23 @@ class StreamingSpec extends AnyFunSuite {
     // rows yields identical panel values (same aggregates, same bits)
     val batch = StreamingSketches.windowedSourceSketches(
       (a1 ++ a2).toDF("ts", "source", "tokens", "n_tok"),
-      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01)
+      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01,
+      thetaK = 64)
       .collect().head
     assert(r.getAs[Double]("bloom_distinct_est") ==
       batch.getAs[Double]("bloom_distinct_est"))
     assert(r.getAs[Double]("hll_distinct_est") ==
       batch.getAs[Double]("hll_distinct_est"))
+    // the theta column accumulated across micro-batches must be the
+    // batch sketch BYTE-FOR-BYTE (merge == whole, same bits), and the
+    // raw column must stay usable for downstream set algebra
+    assert(r.getAs[Array[Byte]]("theta").toSeq ==
+      batch.getAs[Array[Byte]]("theta").toSeq)
+    assert(r.getAs[Double]("theta_distinct_est") ==
+      batch.getAs[Double]("theta_distinct_est"))
+    assert(graft.core.ThetaSketch.deserialize(r.getAs[Array[Byte]]("theta"))
+      .intersect(graft.core.ThetaSketch.deserialize(
+        batch.getAs[Array[Byte]]("theta"))).estimate > 0)
     // 80 distinct tokens in window A: estimates in a sane band
     assert(math.abs(r.getAs[Double]("hll_distinct_est") - 80) < 8,
       r.toString)
