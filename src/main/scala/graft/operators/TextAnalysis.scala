@@ -120,20 +120,8 @@ object TextAnalysis {
     val grams = docs.select(col("source"),
       explode(E.word_ngrams(col("text"), n)).as("g"))
     if (!withExact) {
-      val sk = grams.groupBy(col("source"))
-        .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("__sk"))
-      val a = sk.select(col("source").as("source_a"), col("__sk").as("__ska"))
-      val b = sk.select(col("source").as("source_b"), col("__sk").as("__skb"))
-      a.join(b, col("source_a") < col("source_b"))
-        .withColumn("__common",
-          F.theta_estimate(F.theta_intersect(col("__ska"), col("__skb"))))
-        .select(col("source_a"), col("source_b"),
-          round(F.theta_estimate(col("__ska"))).cast("long").as("est_a"),
-          round(F.theta_estimate(col("__skb"))).cast("long").as("est_b"),
-          round(col("__common")).cast("long").as("est_common"),
-          round(col("__common") /
-            (F.theta_estimate(col("__ska")) + F.theta_estimate(col("__skb"))
-              - col("__common")), 4).as("est_jaccard"))
+      pairwiseEstimates(grams.groupBy(col("source"))
+        .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("sketch")))
     } else {
       val dg = grams.distinct().localCheckpoint(true)
       val perSource = dg.groupBy(col("source")).agg(
@@ -167,6 +155,43 @@ object TextAnalysis {
                 sqrt(col("__union") * greatest(col("exact_common"), lit(1L)))))
             .as("theta_ok"))
     }
+  }
+
+  /** Pairwise overlap estimates over a (source, sketch) frame — the
+    * shared tail of [[sourceOverlapMatrix]]'s production form and
+    * [[overlapMatrixVsSketches]].
+    */
+  private def pairwiseEstimates(sk0: DataFrame): DataFrame = {
+    val F = graft.functions.functions
+    // materialize the sources-sized sketch frame ONCE before the pair
+    // self-join — a lazy plan would duplicate the aggregation subtree
+    // on both sides and scan the corpus twice (the b15 lesson); the
+    // checkpointed frame is sources x k samples, a few MB at any scale
+    val sk = sk0.localCheckpoint(true)
+    val a = sk.select(col("source").as("source_a"), col("sketch").as("__ska"))
+    val b = sk.select(col("source").as("source_b"), col("sketch").as("__skb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__common",
+        F.theta_estimate(F.theta_intersect(col("__ska"), col("__skb"))))
+      .select(col("source_a"), col("source_b"),
+        round(F.theta_estimate(col("__ska"))).cast("long").as("est_a"),
+        round(F.theta_estimate(col("__skb"))).cast("long").as("est_b"),
+        round(col("__common")).cast("long").as("est_common"),
+        round(col("__common") /
+          (F.theta_estimate(col("__ska")) + F.theta_estimate(col("__skb"))
+            - col("__common")), 4).as("est_jaccard"))
+  }
+
+  /** The cross-source overlap matrix read STRAIGHT off a persisted
+    * sketch index ([[writeOverlapSketches]]) — zero corpus scan: the
+    * sources-sized sketches table is the entire input, so the matrix
+    * of a 100-TB corpus costs milliseconds once the index exists (and
+    * stays current through [[appendToOverlapSketches]]).
+    */
+  def overlapMatrixVsSketches(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    healOverlapSketches(spark, dir)
+    pairwiseEstimates(spark.read.parquet(s"$dir/sketches"))
   }
 
   /** Per-source n-gram theta sketches for a document frame — the

@@ -422,4 +422,103 @@ object StreamingSketches {
           }
       }
   }
+
+  /** Input row for [[streamingPrioritySample]]. */
+  case class WeightedRow(id: Long, group: String, weight: Long)
+
+  /** Rolling per-group sample state: the current top-k under
+    * (priority desc, id asc) plus the best EVICTED priority — which is
+    * exactly the (k+1)-th highest priority seen, i.e. the batch
+    * operator's tau.
+    */
+  case class PrioritySampleState(ids: Array[Long], weights: Array[Long],
+                                 priorities: Array[Double], tau: Double,
+                                 seen: Long)
+
+  /** One emitted sample row (the full current sample re-emits each
+    * micro-batch — Update semantics). `seen` is the group's cumulative
+    * input-row count: monotone per group, so downstream consumers (and
+    * the parity test) identify a group's LATEST emission as the one
+    * with max `seen`.
+    */
+  case class PrioritySampleUpdate(group: String, id: Long, weight: Long,
+                                  priority: Double, sample_rank: Long,
+                                  adj_weight: Double, seen: Long)
+
+  /** The priority of a row — IDENTICAL to the batch operator's column
+    * arithmetic ([[graft.operators.Sampling.prioritySample]]): md5 of
+    * "id|salt", first 13 hex digits + 1 as the uniform's denominator,
+    * one exact power-of-two multiply, one IEEE division.
+    */
+  def samplePriority(id: Long, weight: Long, salt: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$id|$salt".getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 } // 56 bits
+    h = (h >>> 4) + 1 // first 13 hex digits = top 52 bits
+    (weight.toDouble * 4503599627370496.0) / h
+  }
+
+  /** Streaming twin of [[graft.operators.Sampling.prioritySample]]: a
+    * weighted without-replacement sample of up to k rows per group,
+    * maintained incrementally — after any prefix of the stream, the
+    * emitted sample (ranks, priorities, HT adjusted weights) equals
+    * the batch operator over exactly the rows seen (StreamingSpec).
+    * Works because priority sampling is a fold: the top-k under a
+    * deterministic total order plus the best evicted priority (= the
+    * batch tau) are both associative summaries. State per group is k
+    * fixed-width rows. Use OutputMode.Update; `stateTtl` drops idle
+    * groups (their sample restarts if the group reappears).
+    */
+  def streamingPrioritySample(rows: Dataset[WeightedRow], k: Int,
+                              salt: String = "graft",
+                              stateTtl: Option[java.time.Duration] = None):
+      Dataset[PrioritySampleUpdate] = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    implicit val stateEnc = Encoders.product[PrioritySampleState]
+    implicit val outEnc = Encoders.product[PrioritySampleUpdate]
+    implicit val strEnc = Encoders.STRING
+    val timeout = stateTtl.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[PrioritySampleState, PrioritySampleUpdate](
+        OutputMode.Update(), timeout) {
+        (group: String, batch: Iterator[WeightedRow],
+         state: GroupState[PrioritySampleState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // (priority desc, id asc) — the batch operator's order
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Double, Long, Long)]
+            var tau = 0.0
+            var seen = 0L
+            if (state.exists) {
+              val s = state.get
+              tau = s.tau
+              seen = s.seen
+              var i = 0
+              while (i < s.ids.length) {
+                buf += ((s.priorities(i), s.ids(i), s.weights(i))); i += 1
+              }
+            }
+            batch.foreach { r =>
+              buf += ((samplePriority(r.id, r.weight, salt), r.id, r.weight))
+              seen += 1
+            }
+            val kept = buf.sortBy(t => (-t._1, t._2)).toArray
+            val (top, evicted) = kept.splitAt(k)
+            if (evicted.nonEmpty) tau = math.max(tau, evicted.head._1)
+            state.update(PrioritySampleState(top.map(_._2), top.map(_._3),
+              top.map(_._1), tau, seen))
+            stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
+            val t = tau
+            val n = seen
+            top.iterator.zipWithIndex.map { case ((p, id, w), i) =>
+              PrioritySampleUpdate(group, id, w, p, i + 1L,
+                math.max(w.toDouble, t), n)
+            }
+          }
+      }
+  }
 }

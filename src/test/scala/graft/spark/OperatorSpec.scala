@@ -1225,6 +1225,17 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("est_novel") == 0L,
         s"corpus vs itself must have zero novelty: $r")
     }
+    // the overlap matrix read straight off the index equals the
+    // production matrix over the same corpus (same sketches, zero scan)
+    val fromIdx = TextAnalysis.overlapMatrixVsSketches(spark, inc)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    val fromCorpus = TextAnalysis.sourceOverlapMatrix(
+        a.unionByName(b), n = 3, thetaK = 512, withExact = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(fromIdx == fromCorpus,
+      "matrix from the persisted index must equal the corpus-scan matrix")
   }
 
   test("repetition metrics: planted duplicate n-gram fractions") {

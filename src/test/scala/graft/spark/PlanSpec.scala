@@ -277,6 +277,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("overlap matrix production path: one source shuffle, no gram self-join") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(graft.operators.TextAnalysis
+      .sourceOverlapMatrix(docs, n = 3, thetaK = 256, withExact = false))
+    // the per-source sketch frame is eagerly checkpointed before the
+    // pair self-join (one corpus scan + one source shuffle inside the
+    // checkpoint; a lazy plan would run both TWICE — asserted here by
+    // the final plan containing NO corpus scan and NO shuffle at all),
+    // and the pairwise estimates ride a broadcast of the sources-sized
+    // frame — the quadratic distinct-gram self-join never appears
+    assert(!plan.contains("FileScan parquet"),
+      s"pair join must read the checkpointed sketches, not the corpus:\n$plan")
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+      s"no shuffle after the checkpointed sketch build:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pairs must broadcast the sources-sized side:\n$plan")
+  }
+
+  test("novelty screen: snapshot-sized work, corpus parquet never read") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("plan-ov-idx").toString
+    graft.operators.TextAnalysis.writeOverlapSketches(
+      docs.filter(col("doc_id") % 2 === 0), dir, n = 3, thetaK = 256)
+    val screen = graft.operators.TextAnalysis.overlapVsSketches(
+      docs.filter(col("doc_id") % 2 =!= 0), dir)
+    val plan = planOf(screen)
+    // the only file scans are the snapshot and the sources-sized
+    // sketches table — the corpus text is never rescanned
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 1,
+      s"snapshot sketch agg is the only shuffle, got $nExchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("bucketed tables join and aggregate with zero exchanges") {
     import graft.sources.BucketedTables
     val docs = spark.read

@@ -71,6 +71,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming priority sample: any prefix equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+    val rows = docs.collect().map(r => StreamingSketches.WeightedRow(
+      r.getLong(0), r.getString(1), r.getLong(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    def batchSample(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.prioritySample(df, k = 3)
+        .collect().map(r => (r.getString(1), r.getLong(0)) ->
+          (r.getAs[Double]("priority"), r.getAs[Long]("sample_rank"),
+            r.getAs[Double]("adj_weight"))).toMap
+
+    val stream = MemoryStream[StreamingSketches.WeightedRow]
+    val updates = StreamingSketches.streamingPrioritySample(
+      stream.toDS(), k = 3)
+    val q = updates.writeStream.format("memory").queryName("prio_sample")
+      .outputMode(OutputMode.Update()).start()
+    // a group's CURRENT sample = the rows of its max-`seen` emission
+    def emitted(): Map[(String, Long), (Double, Long, Double)] =
+      spark.sql(
+        """SELECT `group`, id, priority, sample_rank, adj_weight
+          |FROM (SELECT *, max(seen) OVER (PARTITION BY `group`) mx
+          |      FROM prio_sample) WHERE seen = mx""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getAs[Double]("priority"), r.getAs[Long]("sample_rank"),
+            r.getAs[Double]("adj_weight"))).toMap
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      // mid-stream: the current sample must equal the batch operator
+      // over exactly the rows seen so far
+      val half = batchSample(docs.filter(
+        col("doc_id").isin(b1.map(_.id).toSeq: _*)))
+      assert(emitted() == half,
+        "mid-stream sample must equal batch-over-prefix")
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted() == batchSample(docs),
+      "streaming final sample must equal the batch operator")
+  }
+
   test("state TTL drops idle groups (high-cardinality key hygiene)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
