@@ -174,6 +174,41 @@ object aggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ---------------- Theta (KMV) ----------------
+
+  /** Theta distinct sketch over token arrays — the intersectable
+    * distinct counter (core/ThetaSketch.scala); merge is sketch union.
+    */
+  class ThetaTokensAgg(k: Int)
+      extends Aggregator[Array[Int], ThetaSketch, Array[Byte]] {
+    def zero: ThetaSketch = ThetaSketch(k)
+    def reduce(b: ThetaSketch, tokens: Array[Int]): ThetaSketch = {
+      if (tokens != null) {
+        var i = 0
+        while (i < tokens.length) { b.add(Hashing.tokenHash(tokens(i))); i += 1 }
+      }
+      b
+    }
+    def merge(a: ThetaSketch, b: ThetaSketch): ThetaSketch = a.merge(b)
+    def finish(b: ThetaSketch): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[ThetaSketch] = kryo[ThetaSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge pre-built theta sketches stored in a column. */
+  class ThetaUnionAgg(k: Int)
+      extends Aggregator[Array[Byte], ThetaSketch, Array[Byte]] {
+    def zero: ThetaSketch = ThetaSketch(k)
+    def reduce(b: ThetaSketch, bytes: Array[Byte]): ThetaSketch = {
+      if (bytes != null) b.merge(ThetaSketch.deserialize(bytes))
+      b
+    }
+    def merge(a: ThetaSketch, b: ThetaSketch): ThetaSketch = a.merge(b)
+    def finish(b: ThetaSketch): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[ThetaSketch] = kryo[ThetaSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   // ---------------- Quantiles ----------------
 
   class TDigestAgg(compression: Double)

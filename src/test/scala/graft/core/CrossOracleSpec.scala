@@ -102,4 +102,48 @@ class CrossOracleSpec extends AnyFunSuite {
         s"cap=$cap fpr=$fpr observed=$observed")
     }
   }
+
+  test("theta estimate and set ops agree with datasketches theta") {
+    import org.apache.datasketches.theta.{UpdateSketch, SetOperation}
+    val k = 4096
+    // A = [0, 100k), B = [50k, 150k) over a shared keyed stream:
+    // |A| = 100k, |A ∩ B| = 50k, |A \ B| = 50k
+    val oursA = ThetaSketch(k); val oursB = ThetaSketch(k)
+    val dsA = UpdateSketch.builder().setNominalEntries(k).build()
+    val dsB = UpdateSketch.builder().setNominalEntries(k).build()
+    var i = 0
+    while (i < 100000) {
+      val h = Hashing.at(131, i); oursA.add(h); dsA.update(h); i += 1
+    }
+    i = 50000
+    while (i < 150000) {
+      val h = Hashing.at(131, i); oursB.add(h); dsB.update(h); i += 1
+    }
+    // both implementations sample DIFFERENT hash points (they re-hash
+    // internally), so agreement is judged against the true values,
+    // each within its own published bound
+    val sig = 1.0 / math.sqrt(k - 1.0)
+    // set-op relative error: sqrt(|U| / truth) / sqrt(k), |U| = 150k
+    def within(est: Double, truth: Double, sigmas: Double, what: String): Unit =
+      assert(math.abs(est / truth - 1) <
+        sigmas * math.sqrt(150000.0 / truth) / math.sqrt(k.toDouble),
+        s"$what off: $est vs $truth")
+    assert(math.abs(oursA.estimate / 100000 - 1) < 4 * sig, s"ours |A| ${oursA.estimate}")
+    assert(math.abs(dsA.getEstimate / 100000 - 1) < 4 * sig, s"theirs |A| ${dsA.getEstimate}")
+    val oursI = oursA.intersect(oursB).estimate
+    val dsInterOp = SetOperation.builder().setNominalEntries(k).buildIntersection()
+    dsInterOp.intersect(dsA); dsInterOp.intersect(dsB)
+    val dsI = dsInterOp.getResult.getEstimate
+    within(oursI, 50000, 5, "ours |A∩B|")
+    within(dsI, 50000, 5, "theirs |A∩B|")
+    val oursD = oursA.aNotB(oursB).estimate
+    val dsD = SetOperation.builder().setNominalEntries(k).buildANotB()
+      .aNotB(dsA, dsB).getEstimate
+    within(oursD, 50000, 5, "ours |A\\B|")
+    within(dsD, 50000, 5, "theirs |A\\B|")
+    // mutual agreement at the estimate level (independent samples:
+    // allow the sum of both error budgets)
+    assert(math.abs(oursI / dsI - 1) < 0.2, s"intersection: $oursI vs $dsI")
+    assert(math.abs(oursD / dsD - 1) < 0.2, s"difference: $oursD vs $dsD")
+  }
 }

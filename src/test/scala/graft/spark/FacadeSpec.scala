@@ -169,6 +169,15 @@ class FacadeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       one(hashDs, new aggregators.CmsHashAgg(4, 1 << 12)),
       coreCms.serialize()))
+    // Theta: order-insensitive, byte-exact vs the core build
+    val coreTheta = ThetaSketch(256)
+    hashes.foreach(coreTheta.add)
+    assert(java.util.Arrays.equals(
+      one(tokDs, new aggregators.ThetaTokensAgg(256)),
+      coreTheta.serialize()))
+    assert(java.util.Arrays.equals(
+      one(Seq(coreTheta.serialize(), coreTheta.serialize()).toDS(),
+        new aggregators.ThetaUnionAgg(256)), coreTheta.serialize()))
     // t-digest / KLL merges are order-sensitive, so compare estimates
     // (rank-level agreement), not bytes
     val vals = (0 until 4000).map(i => Hashing.toUnitDouble(Hashing.at(3, i)))
