@@ -1315,6 +1315,20 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ------------- cross-source token-MASS overlap (tuple sketch) -------------
+    //
+    // The tuple-sketch twin of q65: not "how many distinct grams do two
+    // sources share" but "how much occurrence mass does that shared
+    // vocabulary carry" — boilerplate repeated everywhere vs broad
+    // shallow overlap. Exact columns oracle-verified; tuple_ok is the
+    // 6-sigma Horvitz–Thompson variance gate (oracle pins true).
+
+    "q69_token_mass_overlap" -> ((s, dir) => {
+      TextAnalysis.tokenMassOverlap(tbl(s, dir, "documents"),
+          n = 3, tupleK = 4096)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // ------------- priority sampling (weighted, without replacement) -------------
     //
     // Duffield-Lund-Thorup: top-k by w/u per stratum with the
@@ -2458,6 +2472,38 @@ object SparkEntry {
         |    / (pa.exact + pb.exact - coalesce(c.exact_common, 0)), 4)
         |    AS jaccard,
         |  true AS theta_ok
+        |FROM per pa JOIN per pb ON pa.source < pb.source
+        |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // exact per-source per-gram occurrence counts + pairwise shared
+    // mass via the gram-keyed self-join; tuple_ok is statistical
+    // (pinned true, engine side is the 6-sigma HT variance gate)
+    "q69_token_mass_overlap" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT source, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+        |ng AS (SELECT source, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |pg AS (SELECT source, g, count(*) AS cnt FROM ng GROUP BY 1, 2),
+        |per AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS mass
+        |  FROM pg GROUP BY source),
+        |com AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(a.cnt) AS BIGINT) AS shared_a,
+        |    CAST(sum(b.cnt) AS BIGINT) AS shared_b
+        |  FROM pg a JOIN pg b USING (g)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS source_a, pb.source AS source_b,
+        |  pa.mass AS mass_a, pb.mass AS mass_b,
+        |  coalesce(c.shared_a, 0) + coalesce(c.shared_b, 0) AS shared_mass,
+        |  pa.mass - coalesce(c.shared_a, 0) AS novel_mass_a,
+        |  pb.mass - coalesce(c.shared_b, 0) AS novel_mass_b,
+        |  round(CAST(coalesce(c.shared_a, 0) + coalesce(c.shared_b, 0) AS DOUBLE)
+        |    / (pa.mass + pb.mass), 4) AS shared_frac,
+        |  true AS tuple_ok
         |FROM per pa JOIN per pb ON pa.source < pb.source
         |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,

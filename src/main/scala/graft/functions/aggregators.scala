@@ -211,6 +211,41 @@ object aggregators {
 
   // ---------------- Quantiles ----------------
 
+  // ---------------- Tuple (theta + summary) ----------------
+
+  /** Tuple sketch over token arrays, weight 1 per token occurrence
+    * (core/TupleSketch.scala). Merge is sketch union with equal keys
+    * SUMMING their summaries — NOT idempotent: unioning the same
+    * sketch twice double-counts, unlike theta.
+    */
+  class TupleTokensAgg(k: Int)
+      extends Aggregator[Array[Int], TupleSketch, Array[Byte]] {
+    def zero: TupleSketch = TupleSketch(k)
+    def reduce(b: TupleSketch, tokens: Array[Int]): TupleSketch = {
+      if (tokens != null) {
+        var i = 0
+        while (i < tokens.length) { b.add(Hashing.tokenHash(tokens(i)), 1L); i += 1 }
+      }
+      b
+    }
+    def merge(a: TupleSketch, b: TupleSketch): TupleSketch = a.merge(b)
+    def finish(b: TupleSketch): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[TupleSketch] = kryo[TupleSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+  class TupleUnionAgg(k: Int)
+      extends Aggregator[Array[Byte], TupleSketch, Array[Byte]] {
+    def zero: TupleSketch = TupleSketch(k)
+    def reduce(b: TupleSketch, bytes: Array[Byte]): TupleSketch = {
+      if (bytes != null) b.merge(TupleSketch.deserialize(bytes))
+      b
+    }
+    def merge(a: TupleSketch, b: TupleSketch): TupleSketch = a.merge(b)
+    def finish(b: TupleSketch): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[TupleSketch] = kryo[TupleSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   class TDigestAgg(compression: Double)
       extends Aggregator[Double, TDigest, Array[Byte]] {
     def zero: TDigest = TDigest(compression)

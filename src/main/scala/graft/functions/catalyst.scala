@@ -368,6 +368,95 @@ object catalyst {
       copy(child = c)
   }
 
+  /** Tuple sketch over (key hash, weight) pairs — a theta sketch whose
+    * retained keys carry additive 64-bit summaries (core/TupleSketch
+    * .scala). Weight-null rows count as weight 1 (the "one occurrence"
+    * reading); key-null rows are skipped like every other sketch
+    * aggregate.
+    */
+  case class TupleHashAggregate(
+      left: Expression, right: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[TupleSketch]
+      with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    override def prettyName: String = "tuple_agg_hash"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    def createAggregationBuffer(): TupleSketch = TupleSketch(k)
+    override def update(b: TupleSketch, input: InternalRow): TupleSketch = {
+      val h = left.eval(input)
+      if (h != null) {
+        val w = right.eval(input)
+        b.add(h.asInstanceOf[Long], if (w == null) 1L else w.asInstanceOf[Long])
+      }
+      b
+    }
+    def merge(b: TupleSketch, o: TupleSketch): TupleSketch = b.merge(o)
+    def eval(b: TupleSketch): Any = b.serialize()
+    def serialize(b: TupleSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): TupleSketch =
+      TupleSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): TupleHashAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): TupleHashAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TupleHashAggregate =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Tuple build over array<int> token columns with weight 1 per token
+    * occurrence: per-token occurrence mass over the sampled key region.
+    */
+  case class TupleTokensAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TokenArrayAggregate[TupleSketch] {
+    override def prettyName: String = "tuple_agg_tokens"
+    def createAggregationBuffer(): TupleSketch = TupleSketch(k)
+    protected def updateArray(b: TupleSketch, arr: ArrayData): Unit = {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) b.add(Hashing.tokenHash(arr.getInt(i)), 1L)
+        i += 1
+      }
+    }
+    def merge(b: TupleSketch, o: TupleSketch): TupleSketch = b.merge(o)
+    def eval(b: TupleSketch): Any = b.serialize()
+    def serialize(b: TupleSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): TupleSketch =
+      TupleSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): TupleTokensAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): TupleTokensAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): TupleTokensAggregate =
+      copy(child = c)
+  }
+
+  /** Tuple union re-aggregation over serialized-sketch columns. */
+  case class TupleUnionAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends ScalarAggregate[TupleSketch] {
+    override def prettyName: String = "tuple_union_agg"
+    def createAggregationBuffer(): TupleSketch = TupleSketch(k)
+    protected def updateValue(b: TupleSketch, v: Any): Unit =
+      b.merge(TupleSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    def merge(b: TupleSketch, o: TupleSketch): TupleSketch = b.merge(o)
+    def eval(b: TupleSketch): Any = b.serialize()
+    def serialize(b: TupleSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): TupleSketch =
+      TupleSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): TupleUnionAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): TupleUnionAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): TupleUnionAggregate =
+      copy(child = c)
+  }
+
   /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
     * Insert is O(k) only when the candidate beats the current worst;
     * typical rows fail the cheap worst-score test.

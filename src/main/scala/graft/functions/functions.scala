@@ -108,6 +108,29 @@ object functions {
     catalyst.aggCol(catalyst.ThetaUnionAggregate(
       catalyst.expr(sketches), k))
 
+  /** Tuple sketch (theta + additive per-key summary) over (key hash,
+    * weight) pairs. Theta answers "how many distinct keys"; tuple
+    * answers "how much WEIGHT do those keys carry" — per-source token
+    * mass, shared-vocabulary mass between sources, novel mass — via
+    * [[tuple_sum_estimate]] over [[tuple_intersect]]/[[tuple_a_not_b]].
+    * Null weights count as 1 (one occurrence).
+    */
+  def tuple_agg_hash(hash: Column, weight: Column, k: Int = 4096): Column =
+    catalyst.aggCol(catalyst.TupleHashAggregate(
+      catalyst.expr(hash.cast("bigint")), catalyst.expr(weight.cast("bigint")), k))
+
+  /** Tuple build over token arrays, weight 1 per token occurrence. */
+  def tuple_agg_tokens(tokens: Column, k: Int = 4096): Column =
+    catalyst.aggCol(catalyst.TupleTokensAggregate(
+      catalyst.expr(tokens.cast("array<int>")), k))
+
+  /** Merge pre-built tuple sketches stored in a column (load-is-union;
+    * equal keys sum their summaries).
+    */
+  def tuple_union_agg(sketches: Column, k: Int = 4096): Column =
+    catalyst.aggCol(catalyst.TupleUnionAggregate(
+      catalyst.expr(sketches), k))
+
   def tdigest_agg(values: Column, compression: Double = 100.0): Column =
     catalyst.aggCol(catalyst.TDigestAggregate(
       catalyst.expr(values.cast("double")), compression))
@@ -277,6 +300,36 @@ object functions {
   val theta_a_not_b: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
       ThetaSketch.deserialize(a).aNotB(ThetaSketch.deserialize(b)).serialize())
+
+  /** Tuple-sketch accessors and pair algebra — same per-group-rows-only
+    * contract as the theta block above (native build twins:
+    * [[tuple_agg_hash]]/[[tuple_agg_tokens]]/[[tuple_union_agg]]).
+    */
+  val tuple_estimate: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => TupleSketch.deserialize(bytes).estimate)
+
+  /** Horvitz–Thompson total-weight estimate (exact in exact mode). */
+  val tuple_sum_estimate: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => TupleSketch.deserialize(bytes).sumEstimate)
+
+  val tuple_retained: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => TupleSketch.deserialize(bytes).retained)
+
+  val tuple_union: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      TupleSketch.deserialize(a).merge(TupleSketch.deserialize(b)).serialize())
+
+  /** Shared keys, summaries summed across both sides ("mass of the
+    * shared vocabulary in either input").
+    */
+  val tuple_intersect: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      TupleSketch.deserialize(a).intersect(TupleSketch.deserialize(b)).serialize())
+
+  /** A's keys absent from B, A's summaries kept ("mass unique to A"). */
+  val tuple_a_not_b: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      TupleSketch.deserialize(a).aNotB(TupleSketch.deserialize(b)).serialize())
 
   val tdigest_quantile: UserDefinedFunction =
     udf((bytes: Array[Byte], q: Double) => TDigest.deserialize(bytes).quantile(q))

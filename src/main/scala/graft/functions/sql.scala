@@ -136,6 +136,25 @@ object sql {
           val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
           catalyst.ThetaUnionAggregate(es.head, k).toAggregateExpression()
         }),
+      "graft_tuple_agg_hash" -> (
+        "(hash64, weight[, k]) - tuple sketch (theta + additive summary)",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 2) lng(es(2), "k").toInt else 4096
+          catalyst.TupleHashAggregate(asLong(es.head), asLong(es(1)), k)
+            .toAggregateExpression()
+        }),
+      "graft_tuple_agg_tokens" -> (
+        "(tokens[, k]) - tuple sketch, weight 1 per token occurrence",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
+          catalyst.TupleTokensAggregate(asIntArray(es.head), k).toAggregateExpression()
+        }),
+      "graft_tuple_union_agg" -> (
+        "(sketch[, k]) - union of tuple sketches (equal keys sum)",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
+          catalyst.TupleUnionAggregate(es.head, k).toAggregateExpression()
+        }),
       "graft_tdigest_agg" -> (
         "(value[, compression]) - t-digest sketch",
         (es: Seq[Expression]) => {
@@ -295,6 +314,16 @@ object sql {
     u.register("graft_theta_a_not_b",
       (a: Array[Byte], b: Array[Byte]) =>
         ThetaSketch.deserialize(a).aNotB(ThetaSketch.deserialize(b)).serialize())
+    u.register("graft_tuple_estimate",
+      (bytes: Array[Byte]) => TupleSketch.deserialize(bytes).estimate)
+    u.register("graft_tuple_sum_estimate",
+      (bytes: Array[Byte]) => TupleSketch.deserialize(bytes).sumEstimate)
+    u.register("graft_tuple_intersect",
+      (a: Array[Byte], b: Array[Byte]) =>
+        TupleSketch.deserialize(a).intersect(TupleSketch.deserialize(b)).serialize())
+    u.register("graft_tuple_a_not_b",
+      (a: Array[Byte], b: Array[Byte]) =>
+        TupleSketch.deserialize(a).aNotB(TupleSketch.deserialize(b)).serialize())
     u.register("graft_cms_estimate",
       (bytes: Array[Byte], h: Long) =>
         CountMinSketch.deserialize(bytes).estimate(h))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import graft.core.Hashing
@@ -154,6 +154,131 @@ object TextAnalysis {
               lit(6.0 / math.sqrt(thetaK.toDouble)) *
                 sqrt(col("__union") * greatest(col("exact_common"), lit(1L)))))
             .as("theta_ok"))
+    }
+  }
+
+  /** Cross-source token-MASS overlap — the tuple-sketch twin of
+    * [[sourceOverlapMatrix]]. The theta matrix answers "how many
+    * distinct n-grams do two sources share"; this answers "how much
+    * token mass (occurrence count) does that shared vocabulary carry"
+    * — the quantity that decides whether overlap is a handful of
+    * boilerplate grams repeated everywhere or a broad shallow overlap,
+    * without materializing the per-gram join at corpus scale.
+    *
+    * Per source, one tuple sketch keyed by n-gram hash with weight 1
+    * per occurrence (so retained summaries are exact per-gram
+    * occurrence counts over the sampled key region). Pairwise:
+    * shared mass = HT sum over the intersection (summaries summed
+    * across both sides = "occurrences in either source of grams common
+    * to both"); novel mass = HT sum over A-not-B (A's occurrences of
+    * grams B lacks).
+    *
+    * Production form (`withExact = false`): sources x k samples is the
+    * ONLY state after one corpus pass — the pair matrix costs
+    * milliseconds at any corpus size. Verification form adds exact
+    * recomputation (the per-gram pair join the sketch exists to avoid)
+    * plus per-estimate gates from the Horvitz–Thompson variance
+    * bound: Var(HT sum) = sum(w_i^2)(1-p)/p <= sum(w_i^2) * U/k, all
+    * factors exact-computable, gate at 6 sigma (q65's oracle-pins-true
+    * pattern, but with the bound derived from the published estimator
+    * variance rather than a tuned width).
+    */
+  def tokenMassOverlap(docs: DataFrame, n: Int = 3, tupleK: Int = 4096,
+                       withExact: Boolean = true): DataFrame = {
+    val F = graft.functions.functions
+    val E = graft.functions.expressions
+    // multiplicity form: mass counts every occurrence, so the distinct
+    // per-doc gram form (word_ngrams) would undercount repeated grams
+    val grams = docs.select(col("source"),
+      explode(E.word_ngrams_all(col("text"), n)).as("g"))
+    if (!withExact) {
+      // one pass, one source-keyed aggregation of k-bounded buffers
+      val sk0 = grams.groupBy(col("source"))
+        .agg(F.tuple_agg_hash(xxhash64(col("g")), lit(1L), tupleK).as("sketch"))
+      // sources-sized frame materialized ONCE before the pair self-join
+      // (the b15 lesson — a lazy plan scans the corpus twice)
+      val sk = sk0.localCheckpoint(true)
+      val a = sk.select(col("source").as("source_a"), col("sketch").as("__ska"))
+      val b = sk.select(col("source").as("source_b"), col("sketch").as("__skb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          round(F.tuple_sum_estimate(col("__ska"))).cast("long").as("est_mass_a"),
+          round(F.tuple_sum_estimate(col("__skb"))).cast("long").as("est_mass_b"),
+          round(F.tuple_sum_estimate(
+            F.tuple_intersect(col("__ska"), col("__skb"))))
+            .cast("long").as("est_shared_mass"),
+          round(F.tuple_sum_estimate(
+            F.tuple_a_not_b(col("__ska"), col("__skb"))))
+            .cast("long").as("est_novel_mass_a"),
+          round(F.tuple_sum_estimate(
+            F.tuple_a_not_b(col("__skb"), col("__ska"))))
+            .cast("long").as("est_novel_mass_b"))
+    } else {
+      // exact per-source per-gram occurrence counts: the sketch build
+      // rides this pre-aggregated frame (additive weights make the two
+      // builds equivalent), and the exact columns + variance factors
+      // come off it
+      val pg = grams.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      val per = pg.groupBy(col("source")).agg(
+        sum(col("cnt")).as("mass"),
+        count(lit(1)).as("u"),
+        sum(col("cnt") * col("cnt")).as("w2"),
+        F.tuple_agg_hash(xxhash64(col("g")), col("cnt"), tupleK).as("__sk"))
+      val xa = pg.select(col("source").as("source_a"), col("g"),
+        col("cnt").as("cnt_a"))
+      val xb = pg.select(col("source").as("source_b"), col("g"),
+        col("cnt").as("cnt_b"))
+      val com = xa.join(xb, "g").where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("u_common"),
+          sum(col("cnt_a")).as("shared_a"),
+          sum(col("cnt_b")).as("shared_b"),
+          sum((col("cnt_a") + col("cnt_b")) * (col("cnt_a") + col("cnt_b")))
+            .as("w2_shared"),
+          sum(col("cnt_a") * col("cnt_a")).as("w2a_common"),
+          sum(col("cnt_b") * col("cnt_b")).as("w2b_common"))
+      val pa = per.select(col("source").as("source_a"), col("mass").as("mass_a"),
+        col("u").as("u_a"), col("w2").as("w2_a"), col("__sk").as("__ska"))
+      val pb = per.select(col("source").as("source_b"), col("mass").as("mass_b"),
+        col("u").as("u_b"), col("w2").as("w2_b"), col("__sk").as("__skb"))
+      // 6-sigma HT bound: sd <= sqrt(w2 * U / k); U for set-op results
+      // is the pair union (min-theta sampling region)
+      def bound(w2: Column, u: Column): Column =
+        lit(6.0) * sqrt(w2.cast("double") * u.cast("double") / tupleK)
+      pa.join(pb, col("source_a") < col("source_b"))
+        .join(com, Seq("source_a", "source_b"), "left")
+        .withColumn("u_common", coalesce(col("u_common"), lit(0L)))
+        .withColumn("shared_a", coalesce(col("shared_a"), lit(0L)))
+        .withColumn("shared_b", coalesce(col("shared_b"), lit(0L)))
+        .withColumn("w2_shared", coalesce(col("w2_shared"), lit(0L)))
+        .withColumn("w2a_common", coalesce(col("w2a_common"), lit(0L)))
+        .withColumn("w2b_common", coalesce(col("w2b_common"), lit(0L)))
+        .withColumn("__uu", col("u_a") + col("u_b") - col("u_common"))
+        .select(col("source_a"), col("source_b"),
+          col("mass_a"), col("mass_b"),
+          (col("shared_a") + col("shared_b")).as("shared_mass"),
+          (col("mass_a") - col("shared_a")).as("novel_mass_a"),
+          (col("mass_b") - col("shared_b")).as("novel_mass_b"),
+          round((col("shared_a") + col("shared_b")).cast("double") /
+            (col("mass_a") + col("mass_b")), 4).as("shared_frac"),
+          ((abs(F.tuple_sum_estimate(col("__ska")) - col("mass_a")) <=
+            bound(col("w2_a"), col("u_a"))) &&
+            (abs(F.tuple_sum_estimate(col("__skb")) - col("mass_b")) <=
+              bound(col("w2_b"), col("u_b"))) &&
+            (abs(F.tuple_sum_estimate(
+              F.tuple_intersect(col("__ska"), col("__skb"))) -
+              (col("shared_a") + col("shared_b"))) <=
+              bound(col("w2_shared"), col("__uu"))) &&
+            (abs(F.tuple_sum_estimate(
+              F.tuple_a_not_b(col("__ska"), col("__skb"))) -
+              (col("mass_a") - col("shared_a"))) <=
+              bound(col("w2_a") - col("w2a_common"), col("__uu"))) &&
+            (abs(F.tuple_sum_estimate(
+              F.tuple_a_not_b(col("__skb"), col("__ska"))) -
+              (col("mass_b") - col("shared_b"))) <=
+              bound(col("w2_b") - col("w2b_common"), col("__uu"))))
+            .as("tuple_ok"))
     }
   }
 

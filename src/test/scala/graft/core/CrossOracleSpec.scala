@@ -146,4 +146,39 @@ class CrossOracleSpec extends AnyFunSuite {
     assert(math.abs(oursI / dsI - 1) < 0.2, s"intersection: $oursI vs $dsI")
     assert(math.abs(oursD / dsD - 1) < 0.2, s"difference: $oursD vs $dsD")
   }
+
+  test("tuple sum estimate agrees with datasketches IntegerSketch (Sum mode)") {
+    import org.apache.datasketches.tuple.aninteger.{IntegerSketch, IntegerSummary}
+    val k = 4096
+    val n = 100000
+    val ours = TupleSketch(k)
+    val ds = new IntegerSketch(
+      Integer.numberOfTrailingZeros(k), IntegerSummary.Mode.Sum)
+    var i = 0
+    var truth = 0.0
+    while (i < n) {
+      val w = (i % 10) + 1
+      val h = Hashing.at(173, i)
+      ours.add(h, w.toLong)
+      ds.update(h, Integer.valueOf(w))
+      truth += w
+      i += 1
+    }
+    // each library re-hashes internally -> independent samples; judge
+    // both against the truth within the HT-sum bound, then mutually
+    val sig = 1.128 / math.sqrt(k - 1.0) // sqrt(E[w^2])/E[w] for w=1..10
+    assert(math.abs(ours.sumEstimate / truth - 1) < 5 * sig,
+      s"ours sum ${ours.sumEstimate} vs $truth")
+    val it = ds.compact().iterator()
+    var dsRetainedSum = 0.0
+    while (it.next()) dsRetainedSum += it.getSummary.getValue
+    val dsSum = dsRetainedSum / ds.getTheta
+    assert(math.abs(dsSum / truth - 1) < 5 * sig, s"theirs sum $dsSum vs $truth")
+    assert(math.abs(ours.sumEstimate / dsSum - 1) < 10 * sig,
+      s"mutual: ${ours.sumEstimate} vs $dsSum")
+    // distinct estimates each within theta's own bound
+    val dsig = 1.0 / math.sqrt(k - 1.0)
+    assert(math.abs(ours.estimate / n - 1) < 4 * dsig)
+    assert(math.abs(ds.getEstimate / n - 1) < 4 * dsig)
+  }
 }

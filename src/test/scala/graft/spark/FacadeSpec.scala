@@ -178,6 +178,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       one(Seq(coreTheta.serialize(), coreTheta.serialize()).toDS(),
         new aggregators.ThetaUnionAgg(256)), coreTheta.serialize()))
+    // Tuple: order-insensitive keys, ADDITIVE summaries — byte-exact vs
+    // the core build; union test merges two DISJOINT halves (tuple
+    // union is not idempotent, unioning the same sketch doubles sums)
+    val coreTuple = TupleSketch(256)
+    hashes.foreach(h => coreTuple.add(h, 1L))
+    assert(java.util.Arrays.equals(
+      one(tokDs, new aggregators.TupleTokensAgg(256)),
+      coreTuple.serialize()))
+    val halfA = TupleSketch(256); val halfB = TupleSketch(256)
+    hashes.zipWithIndex.foreach { case (h, ix) =>
+      if (ix % 2 == 0) halfA.add(h, 1L) else halfB.add(h, 1L)
+    }
+    assert(java.util.Arrays.equals(
+      one(Seq(halfA.serialize(), halfB.serialize()).toDS(),
+        new aggregators.TupleUnionAgg(256)), coreTuple.serialize()))
     // t-digest / KLL merges are order-sensitive, so compare estimates
     // (rank-level agreement), not bytes
     val vals = (0 until 4000).map(i => Hashing.toUnitDouble(Hashing.at(3, i)))
