@@ -1329,6 +1329,38 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // ------------- URL canonicalization + URL-level dedup -------------
+    //
+    // The first screen of a web-crawl pipeline: group re-crawls of the
+    // same page under tracking-param / host-case / default-port /
+    // www / trailing-slash / fragment variants. URLs are PLANTED via
+    // an identical CASE/concat in both engines (the q60 pattern — the
+    // documents table has no url column); the oracle then recomputes
+    // the ENTIRE canonicalization chain independently in DuckDB string
+    // functions, so the kernel's rules are cross-engine-verified, not
+    // assumed.
+
+    "q70_url_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // pid must NOT be derivable from the variant selector (doc_id%50
+      // fixes doc_id%5), or every canonical group would be
+      // single-variant and the cross-variant merging untested
+      val pid = pmod(floor(col("doc_id") / 5).cast("long"), lit(10))
+        .cast("string")
+      val m = pmod(col("doc_id"), lit(5))
+      val url = when(m === 0, concat(lit("https://www.Example.com/item/"),
+          pid, lit("/?utm_source=x")))
+        .when(m === 1, concat(lit("HTTPS://EXAMPLE.COM:443/item/"), pid))
+        .when(m === 2, concat(lit("https://example.com/item/"), pid,
+          lit("?b=2&a=1")))
+        .when(m === 3, concat(lit("http://example.com:80/item/"), pid,
+          lit("#frag")))
+        .otherwise(concat(lit("https://example.com/item/"), pid,
+          lit("?a=1&b=2&gclid=zzz")))
+      Dedup.urlGroups(docs.withColumn("url", url))
+        .orderBy(col("canonical_url"))
+    }),
+
     // ------------- priority sampling (weighted, without replacement) -------------
     //
     // Duffield-Lund-Thorup: top-k by w/u per stratum with the
@@ -2507,6 +2539,58 @@ object SparkEntry {
         |FROM per pa JOIN per pb ON pa.source < pb.source
         |LEFT JOIN com c ON c.source_a = pa.source AND c.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // independent DuckDB recomputation of the WHOLE canonicalization
+    // chain (trim / fragment cut / authority lower+www+default-port /
+    // trailing-slash rtrim / tracking-param filter + sort) over the
+    // same planted URLs
+    "q70_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |        'https://www.Example.com/item/' || CAST((doc_id // 5) % 10 AS VARCHAR) || '/?utm_source=x'
+        |      WHEN doc_id % 5 = 1 THEN
+        |        'HTTPS://EXAMPLE.COM:443/item/' || CAST((doc_id // 5) % 10 AS VARCHAR)
+        |      WHEN doc_id % 5 = 2 THEN
+        |        'https://example.com/item/' || CAST((doc_id // 5) % 10 AS VARCHAR) || '?b=2&a=1'
+        |      WHEN doc_id % 5 = 3 THEN
+        |        'http://example.com:80/item/' || CAST((doc_id // 5) % 10 AS VARCHAR) || '#frag'
+        |      ELSE
+        |        'https://example.com/item/' || CAST((doc_id // 5) % 10 AS VARCHAR) || '?a=1&b=2&gclid=zzz'
+        |    END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS s FROM u),
+        |c2 AS (SELECT doc_id, s,
+        |    regexp_extract(s, '^[^/?#]*://[^/?#]*') AS auth FROM c1),
+        |c3 AS (SELECT doc_id, substr(s, len(auth) + 1) AS rest,
+        |    CASE WHEN auth = '' THEN '' ELSE
+        |      CASE WHEN starts_with(replace(lower(auth), '://www.', '://'), 'http://')
+        |        THEN regexp_replace(replace(lower(auth), '://www.', '://'), ':80$', '')
+        |      WHEN starts_with(replace(lower(auth), '://www.', '://'), 'https://')
+        |        THEN regexp_replace(replace(lower(auth), '://www.', '://'), ':443$', '')
+        |      ELSE replace(lower(auth), '://www.', '://') END
+        |    END AS auth
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, auth,
+        |    CASE WHEN instr(rest, '?') > 0
+        |      THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path,
+        |    CASE WHEN instr(rest, '?') > 0
+        |      THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS qry
+        |  FROM c3),
+        |c5 AS (SELECT doc_id, auth, rtrim(path, '/') AS path,
+        |    list_sort(list_filter(string_split(qry, '&'), x -> x <> ''
+        |      AND NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref=')
+        |        OR starts_with(x, 'msclkid=')))) AS params
+        |  FROM c4),
+        |canon AS (SELECT doc_id,
+        |    auth || path || CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END
+        |      AS canonical_url
+        |  FROM c5)
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS dup_cnt
+        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     // exact novelty recomputation: distinct per-source 3-grams of the
     // snapshot third anti-joined against the corpus two-thirds

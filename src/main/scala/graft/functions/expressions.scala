@@ -576,6 +576,22 @@ object expressions {
       copy(child = c)
   }
 
+  /** Canonical URL form (string -> string) — the URL-dedup key; rules
+    * and the SQL-replicability contract in kernels.canonicalUrl.
+    */
+  case class CanonicalUrl(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_canonical_url"
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any =
+      kernels.canonicalUrl(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.kernels.canonicalUrl($c)")
+    override protected def withNewChildInternal(c: Expression): CanonicalUrl =
+      copy(child = c)
+  }
+
   /** Karp-Rabin rolling-window fingerprint (string -> long), native form
     * of TextAnalysis.rollingFingerprint.
     */
@@ -803,6 +819,9 @@ object expressions {
 
   def tokenize(c: Column): Column =
     catalyst.aggColExpr(Tokenize(catalyst.expr(c.cast("string"))))
+
+  def canonical_url(c: Column): Column =
+    catalyst.aggColExpr(CanonicalUrl(catalyst.expr(c.cast("string"))))
 
   def word_ngrams(c: Column, n: Int): Column =
     catalyst.aggColExpr(WordNgrams(catalyst.expr(c.cast("string")), n))

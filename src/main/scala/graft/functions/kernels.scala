@@ -473,6 +473,82 @@ object kernels {
   def rollingFp(text: UTF8String): Long =
     graft.operators.TextAnalysis.rollingFingerprint(text.toString)
 
+  /** Canonical form of a URL — the key for URL-level dedup (the first
+    * screen a web-crawl pipeline runs: the same page re-crawled under
+    * tracking params / host-case / default-port / trailing-slash
+    * variants is the dominant exact-duplicate mode BEFORE content
+    * dedup ever sees the bytes).
+    *
+    * Rules, applied in order (each independently SQL-replicable, so an
+    * engine-independent oracle can recompute the whole chain — see the
+    * q70 DuckDB oracle; the equivalence contract is for URLs of these
+    * shapes, i.e. scheme://host[:port][/path][?query][#frag] with
+    * ASCII scheme/authority):
+    *  1. trim surrounding whitespace; cut at the first '#' (fragment);
+    *  2. lowercase scheme and authority (never path/query);
+    *  3. drop a leading "www." from the host;
+    *  4. drop the scheme's default port (":80" for http, ":443" https);
+    *  5. drop ALL trailing '/' from the path (rtrim semantics);
+    *  6. drop tracking query params (name starting "utm_", or exactly
+    *     gclid / fbclid / ref / msclkid), drop empty params, and sort
+    *     the survivors lexicographically (byte order on "k=v"); drop
+    *     the '?' when nothing survives.
+    * Percent-decoding is deliberately NOT applied: %-unescaping can
+    * change which URL a string denotes (encoded '/' or '?'), the wrong
+    * trade for a dedup key. Null -> empty string (the engine's
+    * null-as-empty text convention). Inputs without "://" skip rules
+    * 2-4 (nothing is an authority) but still get 1, 5, 6.
+    */
+  def canonicalUrl(u: UTF8String): UTF8String = {
+    if (u == null) return UTF8String.EMPTY_UTF8
+    var s = u.toString.trim
+    val hash = s.indexOf('#')
+    if (hash >= 0) s = s.substring(0, hash)
+    // authority = the ^[^/?#]*://[^/?#]* prefix, if present
+    var authEnd = -1
+    val sep = s.indexOf("://")
+    if (sep >= 0) {
+      var pre = 0
+      var preOk = true
+      while (pre < sep) {
+        val c = s.charAt(pre)
+        if (c == '/' || c == '?') preOk = false
+        pre += 1
+      }
+      if (preOk) {
+        var i = sep + 3
+        while (i < s.length && s.charAt(i) != '/' && s.charAt(i) != '?') i += 1
+        authEnd = i
+      }
+    }
+    var auth = if (authEnd >= 0) s.substring(0, authEnd) else ""
+    val rest = if (authEnd >= 0) s.substring(authEnd) else s
+    if (auth.nonEmpty) {
+      auth = auth.toLowerCase(java.util.Locale.ROOT)
+      // "://" cannot recur inside an authority (no '/' allowed), so a
+      // replace-first is a plain replace
+      auth = auth.replace("://www.", "://")
+      if (auth.startsWith("http://") && auth.endsWith(":80")) {
+        auth = auth.substring(0, auth.length - 3)
+      } else if (auth.startsWith("https://") && auth.endsWith(":443")) {
+        auth = auth.substring(0, auth.length - 4)
+      }
+    }
+    val qpos = rest.indexOf('?')
+    var path = if (qpos >= 0) rest.substring(0, qpos) else rest
+    val qry = if (qpos >= 0) rest.substring(qpos + 1) else ""
+    while (path.nonEmpty && path.charAt(path.length - 1) == '/') {
+      path = path.substring(0, path.length - 1)
+    }
+    val params = qry.split("&", -1).filter { p =>
+      p.nonEmpty && !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p.startsWith("ref=") ||
+        p.startsWith("msclkid="))
+    }.sorted
+    val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+    UTF8String.fromString(auth + path + q)
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either is zero). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray()

@@ -239,6 +239,11 @@ object sql {
         "(text) - heuristic language id",
         (es: Seq[Expression]) =>
           expressions.LangId(Cast(es.head, StringType))),
+      "graft_canonical_url" -> (
+        "(url) - canonical URL form (dedup key): fragment/tracking-" +
+          "param/default-port/www/trailing-slash normalization",
+        (es: Seq[Expression]) =>
+          expressions.CanonicalUrl(Cast(es.head, StringType))),
       "graft_rolling_fp" -> (
         "(text) - Karp-Rabin rolling-window fingerprint",
         (es: Seq[Expression]) =>

@@ -44,6 +44,35 @@ object Dedup {
       .filter(col(idCol) =!= col("keep_id"))
       .select(col(idCol))
 
+  /** URL-level dedup groups: one row per canonical URL, with the kept
+    * (minimum) doc_id and the duplicate count — the screen a web-crawl
+    * pipeline runs BEFORE content dedup (the same page re-crawled under
+    * tracking-param / host-case / default-port / trailing-slash
+    * variants never reaches the expensive text path). Canonicalization
+    * rules: kernels.canonicalUrl (native codegen expression, no UDF).
+    *
+    * Scale: one shuffle on the canonical-URL hash — uniform by
+    * construction (URL keys don't skew the way content keys can), so
+    * this is the cheapest dedup operator in the engine.
+    */
+  def urlGroups(docs: DataFrame, urlCol: String = "url",
+                idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(graft.functions.expressions.canonical_url(col(urlCol))
+        .as("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Rows to drop under URL dedup (everything but the kept id per
+    * canonical URL) — composes with the downstream content screens.
+    */
+  def urlDropIds(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.expressions.canonical_url(col(urlCol))
+          .as("canonical_url"))
+      .join(urlGroups(docs, urlCol, idCol), Seq("canonical_url"))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol))
+
   /** Distinct set per doc (the unit for Jaccard measures): unigram token
     * ids at ngram=1, rolling-hashed n-gram shingles otherwise (shingles
     * make Jaccard order-sensitive — the standard text-dedup unit).
