@@ -1361,6 +1361,19 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    // ------------- vocabulary growth curve (Heaps' law) -------------
+    //
+    // Distinct 3-grams / gram occurrences / docs at id-prefix
+    // checkpoints — the tokenizer-planning curve. Exact at every
+    // checkpoint (the one vocab-sized shuffle is the point of
+    // comparison; the sketch engines estimate, this one pins).
+
+    "q71_vocab_growth" -> ((s, dir) => {
+      TextAnalysis.vocabGrowth(tbl(s, dir, "documents"),
+          checkpoints = Seq(64L, 256L, 1024L, 4096L), n = 3)
+        .orderBy(col("checkpoint"))
+    }),
+
     // ------------- priority sampling (weighted, without replacement) -------------
     //
     // Duffield-Lund-Thorup: top-k by w/u per stratum with the
@@ -2591,6 +2604,27 @@ object SparkEntry {
         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  count(*) AS dup_cnt
         |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // exact recomputation: per-gram first-occurrence doc_id, bucketed
+    // by id-prefix checkpoint via correlated counts
+    "q71_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+        |ng AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM idx),
+        |first AS (SELECT g, min(doc_id) AS fid FROM ng GROUP BY g),
+        |nw AS (SELECT doc_id, greatest(len(t) - 2, 0) AS c FROM tok),
+        |cp AS (SELECT unnest([64, 256, 1024, 4096]) AS checkpoint)
+        |SELECT CAST(c.checkpoint AS BIGINT) AS checkpoint,
+        |  (SELECT count(*) FROM documents d
+        |     WHERE d.doc_id < c.checkpoint) AS n_docs,
+        |  CAST((SELECT coalesce(sum(w.c), 0) FROM nw w
+        |     WHERE w.doc_id < c.checkpoint) AS BIGINT) AS n_grams,
+        |  (SELECT count(*) FROM first f
+        |     WHERE f.fid < c.checkpoint) AS vocab
+        |FROM cp c ORDER BY checkpoint""".stripMargin,
 
     // exact novelty recomputation: distinct per-source 3-grams of the
     // snapshot third anti-joined against the corpus two-thirds

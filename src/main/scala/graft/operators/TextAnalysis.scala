@@ -282,6 +282,63 @@ object TextAnalysis {
     }
   }
 
+  /** Vocabulary growth curve (Heaps' law): at each id-prefix checkpoint
+    * c, the number of docs / n-gram occurrences / DISTINCT n-grams seen
+    * among docs with doc_id < c — the curve a tokenizer/vocab plan is
+    * sized from (V(n) ~ K*n^beta; a corpus whose curve has flattened
+    * gains little new vocabulary from more data, one still growing
+    * does).
+    *
+    * Checkpoints are id-prefix thresholds, NOT global row ranks: a
+    * global rank would need a total sort at corpus scale, while
+    * `doc_id < c` is a per-row predicate (and equals "first c docs"
+    * exactly when ids are dense from 0, the engine's id convention).
+    *
+    * Plan shape: one explode + one gram-keyed aggregation for the
+    * first-occurrence id (the unavoidable vocab-sized shuffle), a
+    * when-chain bucket per gram (no checkpoint crossjoin — the
+    * vocab-sized frame is touched ONCE however many checkpoints), then
+    * cumulative sums over the checkpoints-sized frame (the one
+    * single-partition window, |checkpoints| rows by construction).
+    */
+  def vocabGrowth(docs: DataFrame, checkpoints: Seq[Long],
+                  n: Int = 1): DataFrame = {
+    require(checkpoints.nonEmpty, "vocabGrowth needs at least one checkpoint")
+    require(checkpoints == checkpoints.sorted.distinct,
+      s"checkpoints must be strictly increasing, got $checkpoints")
+    val E = graft.functions.expressions
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // smallest checkpoint covering an id: ascending when-chain; ids at
+    // or past the last checkpoint fall out (counted by no checkpoint)
+    def bucketOf(id: Column): Column =
+      checkpoints.tail.foldLeft(when(id < checkpoints.head, lit(checkpoints.head))) {
+        (acc, c) => acc.when(id < c, lit(c))
+      }
+    val grams = docs.select(col("doc_id"),
+      explode(E.word_ngrams_all(col("text"), n)).as("g"))
+    val newVocab = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fid"))
+      .select(bucketOf(col("fid")).as("checkpoint"))
+      .where(col("checkpoint").isNotNull)
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("__nv"))
+    val docStats = docs.select(col("doc_id"),
+        size(E.word_ngrams_all(col("text"), n)).as("__nw"))
+      .select(bucketOf(col("doc_id")).as("checkpoint"), col("__nw"))
+      .where(col("checkpoint").isNotNull)
+      .groupBy(col("checkpoint"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__nw")).as("__ng"))
+    val cps = spark.createDataFrame(checkpoints.map(Tuple1(_)))
+      .toDF("checkpoint")
+    val w = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cps.join(newVocab, Seq("checkpoint"), "left")
+      .join(docStats, Seq("checkpoint"), "left")
+      .select(col("checkpoint"),
+        sum(coalesce(col("__nd"), lit(0L))).over(w).as("n_docs"),
+        sum(coalesce(col("__ng"), lit(0L))).over(w).as("n_grams"),
+        sum(coalesce(col("__nv"), lit(0L))).over(w).as("vocab"))
+  }
+
   /** Pairwise overlap estimates over a (source, sketch) frame — the
     * shared tail of [[sourceOverlapMatrix]]'s production form and
     * [[overlapMatrixVsSketches]].
