@@ -755,6 +755,8 @@ object Bench {
     var b17ThetaTrials = List.empty[Double]
     var b17ExactTrials = List.empty[Double]
     var b17Pairs = 0L
+    var b18TupleTrials = List.empty[Double]
+    var b18ExactTrials = List.empty[Double]
     locally {
       import graft.operators.TextAnalysis
       val docs = TokenDocGen.generateDf(spark, 100000, 61L, cpus)
@@ -801,6 +803,47 @@ object Bench {
       b17ExactTrials = eTrials.toList
       results += "b17_overlap_theta_100k" -> tTrials.min
       results += "b17_overlap_exact_100k" -> eTrials.min
+
+      // ---- b18: token-MASS overlap — tuple sketch vs exact pair join ----
+      // Same corpus, the weight-sum twin: how much occurrence mass the
+      // shared vocabulary carries. Production = per-source tuple
+      // sketches + pairwise HT sums on the sources-sized frame; exact =
+      // the per-gram count pair join it replaces. Same 25% acceptance
+      // band as b17 (the HT sum adds weight variance on top of the
+      // framework error; still >4 sigma here).
+      def tupleJob(): Map[(String, String), Long] =
+        TextAnalysis.tokenMassOverlap(docs, n = 3, tupleK = 4096,
+            withExact = false)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            r.getAs[Long]("est_shared_mass")).toMap
+      def exactMassJob(): Map[(String, String), Long] =
+        TextAnalysis.tokenMassOverlap(docs, n = 3, tupleK = 4096)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            r.getAs[Long]("shared_mass")).toMap
+      tupleJob() // warm-up
+      val tuT = scala.collection.mutable.ArrayBuffer[Double]()
+      val exT = scala.collection.mutable.ArrayBuffer[Double]()
+      var estM = Map.empty[(String, String), Long]
+      var exaM = Map.empty[(String, String), Long]
+      (1 to 3).foreach { _ =>
+        val (e1, t1) = time(tupleJob())
+        val (e2, t2) = time(exactMassJob())
+        estM = e1; exaM = e2
+        tuT += t1; exT += t2
+      }
+      require(estM.size == 120, s"b18: expected 120 pairs, got ${estM.size}")
+      exaM.foreach { case (k, ex) =>
+        require(ex > 0, s"b18: degenerate zero shared mass at $k")
+        val ratio = estM(k).toDouble / ex
+        require(ratio > 0.75 && ratio < 1.25,
+          s"b18: mass estimate off at $k: est=${estM(k)} exact=$ex")
+      }
+      b18TupleTrials = tuT.toList
+      b18ExactTrials = exT.toList
+      results += "b18_mass_overlap_tuple_100k" -> tuT.min
+      results += "b18_mass_overlap_exact_100k" -> exT.min
       docs.unpersist()
     }
 
@@ -901,6 +944,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }

@@ -1165,6 +1165,99 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("token-mass overlap: production estimates track the exact masses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.tokenMassOverlap(docs, n = 3, tupleK = 4096)
+      .collect()
+    assert(exact.nonEmpty)
+    assert(exact.forall(_.getAs[Boolean]("tuple_ok")),
+      "every pair must pass the 6-sigma HT gate")
+    // at this scale every sketch is in exact mode: the production form
+    // must EQUAL the exact columns row for row
+    val est = TextAnalysis
+      .tokenMassOverlap(docs, n = 3, tupleK = 4096, withExact = false)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("est_mass_a"), r.getAs[Long]("est_mass_b"),
+          r.getAs[Long]("est_shared_mass"),
+          r.getAs[Long]("est_novel_mass_a"),
+          r.getAs[Long]("est_novel_mass_b"))).toMap
+    exact.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(est(key) == ((r.getAs[Long]("mass_a"), r.getAs[Long]("mass_b"),
+        r.getAs[Long]("shared_mass"), r.getAs[Long]("novel_mass_a"),
+        r.getAs[Long]("novel_mass_b"))),
+        s"production mass estimate diverged at $key")
+      // internal consistency of the exact columns
+      assert(r.getAs[Long]("shared_mass") ==
+        r.getAs[Long]("mass_a") - r.getAs[Long]("novel_mass_a") +
+          r.getAs[Long]("mass_b") - r.getAs[Long]("novel_mass_b"))
+    }
+    // small k forces estimation mode; the HT math is covered by
+    // TupleSketchSpec — pin that estimates stay in a sane band
+    val rough = TextAnalysis
+      .tokenMassOverlap(docs, n = 3, tupleK = 64, withExact = false)
+      .collect()
+    val exactA = exact.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("mass_a")).toMap
+    rough.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val ratio = r.getAs[Long]("est_mass_a").toDouble / exactA(key)
+      assert(ratio > 0.4 && ratio < 2.5,
+        s"k=64 mass estimate wildly off at $key: $ratio")
+    }
+  }
+
+  test("url dedup: planted variants merge, drops keep min id, no UDF") {
+    val docs = Seq(
+      (0L, "https://www.Example.com/p/1/?utm_source=x"),
+      (1L, "HTTPS://EXAMPLE.COM:443/p/1"),
+      (2L, "https://example.com/p/1?b=2&a=1"),
+      (3L, "https://example.com/p/1?a=1&b=2&gclid=z"),
+      (4L, "http://example.com/p/1")).toDF("doc_id", "url")
+    val groups = Dedup.urlGroups(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("dup_cnt")))).toMap
+    assert(groups == Map(
+      "https://example.com/p/1" -> ((0L, 2L)),
+      "https://example.com/p/1?a=1&b=2" -> ((2L, 2L)),
+      "http://example.com/p/1" -> ((4L, 1L))), groups.toString)
+    val drops = Dedup.urlDropIds(docs).as[Long].collect().sorted
+    assert(drops.sameElements(Array(1L, 3L)), drops.mkString(","))
+    val plan = Dedup.urlGroups(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("vocab growth: cumulative checkpoints equal direct recomputation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val E = graft.functions.expressions
+    val rows = TextAnalysis
+      .vocabGrowth(docs, Seq(8L, 32L, 1000000L), n = 3)
+      .orderBy(col("checkpoint")).collect()
+    assert(rows.length == 3)
+    // monotone non-decreasing in every measure
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_docs") <= b.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("n_grams") <= b.getAs[Long]("n_grams"))
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+    }
+    // a checkpoint past every id equals the whole-corpus totals
+    val grams = docs.select(col("doc_id"),
+      explode(E.word_ngrams_all(col("text"), 3)).as("g"))
+    val last = rows.last
+    assert(last.getAs[Long]("n_docs") == docs.count())
+    assert(last.getAs[Long]("n_grams") == grams.count())
+    assert(last.getAs[Long]("vocab") ==
+      grams.select(countDistinct(col("g"))).head().getLong(0))
+    // a proper prefix equals direct recomputation over that prefix
+    val pre = grams.where(col("doc_id") < 8)
+    assert(rows.head.getAs[Long]("n_docs") ==
+      docs.where(col("doc_id") < 8).count())
+    assert(rows.head.getAs[Long]("n_grams") == pre.count())
+    assert(rows.head.getAs[Long]("vocab") ==
+      pre.select(countDistinct(col("g"))).head().getLong(0))
+  }
+
   test("boilerplate ngrams: planted shared tail dominates by doc frequency") {
     val tail = "subscribe to our newsletter for updates"
     val docs = Seq(

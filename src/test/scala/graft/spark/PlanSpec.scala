@@ -297,6 +297,23 @@ class PlanSpec extends AnyFunSuite {
       s"pairs must broadcast the sources-sized side:\n$plan")
   }
 
+  test("token-mass overlap production path: checkpointed sketches only") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // same contract as the theta overlap matrix above: the per-source
+    // TUPLE sketch frame is eagerly checkpointed before the pair
+    // self-join, so the final plan reads no corpus and shuffles nothing
+    val plan = planOf(graft.operators.TextAnalysis
+      .tokenMassOverlap(docs, n = 3, tupleK = 256, withExact = false))
+    assert(!plan.contains("FileScan parquet"),
+      s"pair join must read the checkpointed sketches, not the corpus:\n$plan")
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+      s"no shuffle after the checkpointed sketch build:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"pairs must broadcast the sources-sized side:\n$plan")
+  }
+
   test("novelty screen: snapshot-sized work, corpus parquet never read") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
