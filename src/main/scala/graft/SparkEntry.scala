@@ -1374,6 +1374,47 @@ object SparkEntry {
         .orderBy(col("checkpoint"))
     }),
 
+    // ------------- deterministic weighted interleave (training order) -------------
+    //
+    // The training-order contract for a mixed corpus: weighted
+    // round-robin of sources (weight w = w slots per round), each
+    // source's docs in md5-keyed reproducible-shuffle order, emitted as
+    // a per-row-computable globally-unique epoch_key — global order
+    // with NO global row_number (that would be a single-partition sort
+    // at scale). Weights derived from the source name so both engines
+    // compute them identically.
+
+    "q72_interleave_mixture" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val wt = substring(col("source"), 4, 10).cast("int") % 3 + 1
+      Sampling.interleaveByWeights(docs, wt)
+        .select(col("doc_id"), col("source"), col("pos_in_source"),
+          col("epoch_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------- leakage-free split (by near-dup cluster) -------------
+    //
+    // Train/val split keyed on the q31 near-dup CLUSTER: two
+    // near-duplicates can never straddle the split (the eval-
+    // contamination bug a doc-keyed split ships silently). Oracle =
+    // the q31 recursive-CTE clustering + the same md5 threshold.
+
+    "q73_split_by_cluster" -> ((s, dir) => {
+      val toks = TokenDocs.fromDocumentsPath(s, dir)
+        .withColumn("doc_id", regexp_extract(col("doc_id"), "(\\d+)$", 1)
+          .cast("long"))
+      val pairs = Dedup.minhashLshPairs(toks, 0.9, numBands = 32,
+        rowsPerBand = 4).select(col("a"), col("b"))
+      val labels = Dedup.nearDupClusters(pairs)
+      Sampling.splitByCluster(
+          tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+          labels, valFrac = 0.1)
+        .select(col("doc_id"), col("source"), col("cluster_rep"),
+          col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------- priority sampling (weighted, without replacement) -------------
     //
     // Duffield-Lund-Thorup: top-k by w/u per stratum with the
@@ -2625,6 +2666,63 @@ object SparkEntry {
         |  (SELECT count(*) FROM first f
         |     WHERE f.fid < c.checkpoint) AS vocab
         |FROM cp c ORDER BY checkpoint""".stripMargin,
+
+    // q31's recursive-CTE clustering, then the md5-threshold split on
+    // coalesce(cluster, doc_id) — byte-identical CASE in both engines
+    "q73_split_by_cluster" ->
+      s"""WITH RECURSIVE
+        |w AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok AS (SELECT * FROM w WHERE w <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT a, b FROM cnt
+        |  JOIN sizes sa ON sa.doc_id = cnt.a
+        |  JOIN sizes sb ON sb.doc_id = cnt.b
+        |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9),
+        |edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lab AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(l.cluster_id, d.doc_id) AS cluster_rep,
+        |  CASE WHEN md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)
+        |      || '|graft-split') < '${Sampling.hexThreshold(0.1)}'
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // full integer recomputation: per-source md5 rank, then
+    // round/offset/slot arithmetic — exact hash match, no floats
+    "q72_interleave_mixture" ->
+      """WITH wsrc AS (
+        |  SELECT source, (CAST(substr(source, 4) AS INT) % 3) + 1 AS wt
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |wo AS (SELECT source, wt,
+        |    coalesce(sum(wt) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |    sum(wt) OVER () AS tot
+        |  FROM wsrc),
+        |p AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft'), doc_id)
+        |      AS pos
+        |  FROM documents)
+        |SELECT p.doc_id, p.source, CAST(p.pos AS BIGINT) AS pos_in_source,
+        |  CAST(((p.pos - 1) // w.wt) * w.tot + w.off + ((p.pos - 1) % w.wt)
+        |    AS BIGINT) AS epoch_key
+        |FROM p JOIN wo w USING (source)
+        |ORDER BY doc_id""".stripMargin,
 
     // exact novelty recomputation: distinct per-source 3-grams of the
     // snapshot third anti-joined against the corpus two-thirds

@@ -229,6 +229,96 @@ object Sampling {
     * Scale: one tiny stratum aggregate; the normalizer joins in as a
     * one-row cross join (no driver collect).
     */
+  /** Deterministic weighted interleave — the training-order contract
+    * for a mixed-source corpus: sources are emitted round-robin with
+    * `weight` slots per round (a weight-2 source appears twice as often
+    * as a weight-1 source while both last), each source's docs in
+    * md5-keyed reproducible-shuffle order.
+    *
+    * Emits `epoch_key`, a globally UNIQUE total-order key computed
+    * per-row from (round, source offset, slot):
+    * `round * W + offset(source) + slot` with W = total weight and
+    * offset = cumulative weight of lexically-earlier sources. The
+    * loader sorts by it (or range-partitions on it) — there is no
+    * global row_number anywhere, so no single-partition sort at any
+    * corpus size; the one exchange is the per-source rank. Keys have
+    * HOLES once a source exhausts (its slots in later rounds go
+    * unused): the order is what the contract promises, not density.
+    *
+    * `weight` must be a per-row expression that is CONSTANT within
+    * each stratum and >= 1 (checked; strata-sized collect, bounded by
+    * construction like every driver-side read in this engine).
+    */
+  def interleaveByWeights(df: DataFrame, weight: Column,
+                          salt: String = "graft",
+                          strataCol: String = "source",
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strata = df.groupBy(col(strataCol).as("__s"))
+      .agg(max(weight.cast("long")).as("__wmax"),
+        min(weight.cast("long")).as("__wmin"))
+      .orderBy(col("__s")).collect()
+    strata.foreach { r =>
+      require(r.getLong(1) == r.getLong(2),
+        s"interleave weight must be constant per stratum, ${r.get(0)} has " +
+          s"[${r.getLong(2)}, ${r.getLong(1)}]")
+      require(r.getLong(1) >= 1L,
+        s"interleave weight must be >= 1, ${r.get(0)} has ${r.getLong(1)}")
+    }
+    val weights = strata.map(r => r.get(0) -> r.getLong(1))
+    val total = weights.map(_._2).sum
+    val offsets = weights.scanLeft(("", 0L)) { case ((_, acc), (s, w)) =>
+      (s.toString, acc + w)
+    }.init.map(_._2).zip(weights).map { case (off, (s, _)) => (s, off) }
+    // sources-sized when-chain: offset of this row's stratum
+    val offCol = offsets.tail.foldLeft(
+      when(col(strataCol) === offsets.head._1, lit(offsets.head._2))) {
+      case (acc, (s, off)) => acc.when(col(strataCol) === s, lit(off))
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__graft_key"), col(idCol))
+    df.withColumn("__graft_key", sampleKey(col(idCol), salt))
+      .withColumn("pos_in_source", row_number().over(w).cast("bigint"))
+      .withColumn("epoch_key",
+        ((col("pos_in_source") - 1) / weight.cast("long")).cast("long") *
+          lit(total) + offCol +
+          pmod(col("pos_in_source") - 1, weight.cast("long")))
+      .drop("__graft_key")
+  }
+
+  /** Leakage-free train/validation split: the split key is the
+    * near-dup CLUSTER, not the document, so two near-duplicates can
+    * never land on opposite sides of the split (the classic eval-
+    * contamination bug: a val doc whose near-copy sits in train scores
+    * as memorization, not generalization).
+    *
+    * `labels` is a (id, cluster_id) frame — [[graft.operators.Dedup
+    * .nearDupClusters]] output, whose cluster_id is the min doc id of
+    * the component. Unlabeled docs are singletons keyed by their own
+    * id, which is exactly the label a singleton component would get,
+    * so the two cases share one key space. Split = md5 threshold on
+    * the cluster rep (deterministic, engine-portable, the [[sample]]
+    * rule applied to clusters).
+    *
+    * Scale: one id-keyed join (labels are the clustered subset, far
+    * smaller than the corpus) + per-row hash — no shuffle beyond the
+    * join, no collect.
+    */
+  def splitByCluster(docs: DataFrame, labels: DataFrame, valFrac: Double,
+                     salt: String = "graft-split",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(valFrac >= 0.0 && valFrac <= 1.0,
+      s"valFrac must be in [0, 1], got $valFrac")
+    val lab = labels.select(col("id").as(idCol), col("cluster_id"))
+    docs.join(lab, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(sampleKey(col("cluster_rep"), salt) <
+          lit(hexThreshold(valFrac)), lit("val"))
+          .otherwise(lit("train")))
+      .drop("cluster_id")
+  }
+
   def mixtureBudgets(df: DataFrame, totalBudget: Long,
                      weightCol: String = "n_chars",
                      strataCol: String = "source"): DataFrame = {

@@ -814,4 +814,86 @@ class CurationSpec extends AnyFunSuite {
       .findFirstIn(plan).isDefined,
       s"committed-batch filter must prune partitions at the scan:\n$plan")
   }
+  // ---------------- weighted interleave (training order) ----------------
+
+  test("interleaveByWeights: unique keys, weighted cadence, retry-stable") {
+    // 3 sources, weights 1/2/3, plenty of docs each
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"s${i % 3}")
+    }.toDF("doc_id", "source")
+    val wt = substring(col("source"), 2, 2).cast("int") + 1 // s0->1 s1->2 s2->3
+    val out = Sampling.interleaveByWeights(docs, wt).persist()
+    try {
+      // epoch_key is globally unique
+      assert(out.select(countDistinct(col("epoch_key"))).head().getLong(0) ==
+        out.count())
+      // weighted cadence: while every source lasts, round r emits
+      // exactly w_s docs of source s. W = 6; 40 docs/source means
+      // source s survives 40/w_s full rounds; check the first 10.
+      val firstRounds = out.where(col("epoch_key") < 10 * 6)
+        .groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(firstRounds == Map("s0" -> 10L, "s1" -> 20L, "s2" -> 30L),
+        firstRounds.toString)
+      // retry/partitioning stability
+      val again = Sampling.interleaveByWeights(docs.repartition(7), wt)
+        .select(col("doc_id"), col("epoch_key")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = out.select(col("doc_id"), col("epoch_key")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == base)
+      // within a source, epoch_key order == pos_in_source order
+      val s2 = out.where(col("source") === "s2")
+        .orderBy(col("epoch_key"))
+        .select(col("pos_in_source")).collect().map(_.getLong(0))
+      assert(s2.sameElements(s2.sorted))
+    } finally { out.unpersist(): Unit }
+    // non-constant weight per stratum fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveByWeights(docs,
+        (col("doc_id") % 2 + 1).cast("int"))
+    }
+    // weight < 1 fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveByWeights(docs, lit(0))
+    }
+  }
+
+  // ---------------- leakage-free split ----------------
+
+  test("splitByCluster: near-dups never straddle the split") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    // planted clusters: docs (3k, 3k+1) near-dup pairs, 3k+2 singletons
+    val labels = (0L until 400L).filter(_ % 3 != 2)
+      .map(i => (i, i - i % 3)).toDF("id", "cluster_id")
+    val out = Sampling.splitByCluster(docs, labels, valFrac = 0.25).persist()
+    try {
+      // the guarantee: one split value per cluster_rep
+      assert(out.groupBy(col("cluster_rep"))
+        .agg(countDistinct(col("split")).as("n"))
+        .where(col("n") > 1).count() == 0)
+      // paired docs landed together
+      val byDoc = out.select(col("doc_id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      (0L until 400L by 3L).filter(_ + 1 < 400L).foreach { k =>
+        assert(byDoc(k) == byDoc(k + 1), s"pair ($k, ${k + 1}) straddles")
+      }
+      // singletons keyed by their own id
+      assert(out.where(col("doc_id") % 3 === 2)
+        .where(col("cluster_rep") =!= col("doc_id")).count() == 0)
+      // split sizes in a loose band around 25% of CLUSTERS
+      val valClusters = out.where(col("split") === "val")
+        .select(countDistinct(col("cluster_rep"))).head().getLong(0)
+      val allClusters = out.select(countDistinct(col("cluster_rep")))
+        .head().getLong(0)
+      val frac = valClusters.toDouble / allClusters
+      assert(frac > 0.10 && frac < 0.45, s"val cluster fraction $frac")
+      // degenerate fractions
+      assert(Sampling.splitByCluster(docs, labels, 0.0)
+        .where(col("split") === "val").count() == 0)
+      assert(Sampling.splitByCluster(docs, labels, 1.0)
+        .where(col("split") === "train").count() == 0)
+    } finally { out.unpersist(): Unit }
+  }
 }
