@@ -1493,6 +1493,68 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ------------- snapshot novelty MASS vs persisted tuple sketches -------------
+    //
+    // The q68 novelty monitor extended with tuple MASS sketches: not
+    // "how many distinct grams are novel" but "how much occurrence
+    // mass is novel" — a snapshot that is 10% novel by vocabulary but
+    // 40% novel by mass is new content, not new boilerplate. Exercises
+    // the log-structured exactly-once append (tuple union is NOT
+    // idempotent — the committed-batch log is what makes mass sound).
+
+    "q74_novelty_mass" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val k = 4096
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q74-idx").toString
+      TextAnalysis.writeOverlapSketches(
+        docs.filter(col("doc_id") % 3 === 1), idx, n = 3, thetaK = k,
+        tupleK = k)
+      TextAnalysis.appendToOverlapSketches(
+        docs.filter(col("doc_id") % 3 === 2), idx, batchId = 1)
+      val est = TextAnalysis.overlapVsSketches(
+        docs.filter(col("doc_id") % 3 === 0), idx)
+      val E = graft.functions.expressions
+      def gramsAll(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("source"),
+          explode(E.word_ngrams_all(col("text"), 3)).as("g"))
+      val sgC = gramsAll(docs.filter(col("doc_id") % 3 === 0))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val cgD = gramsAll(docs.filter(col("doc_id") % 3 =!= 0))
+        .distinct().localCheckpoint(true)
+      val snapStats = sgC.groupBy(col("source")).agg(
+        sum(col("cnt")).as("exact_snapshot_mass"),
+        sum(col("cnt") * col("cnt")).as("__w2s"),
+        count(lit(1)).as("__us"))
+      val novelStats = sgC.join(cgD, Seq("source", "g"), "left_anti")
+        .groupBy(col("source")).agg(
+          sum(col("cnt")).as("exact_novel_mass"),
+          sum(col("cnt") * col("cnt")).as("__w2n"))
+      val uUnion = sgC.select(col("source"), col("g"))
+        .union(cgD).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("__uu"))
+      // 6-sigma HT bounds with exact variance factors (q69's gate)
+      def bound(w2: org.apache.spark.sql.Column,
+                u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        lit(6.0) * sqrt(w2.cast("double") * u.cast("double") / k)
+      snapStats
+        .join(novelStats, Seq("source"), "left")
+        .join(uUnion, Seq("source"))
+        .na.fill(0L, Seq("exact_novel_mass", "__w2n"))
+        .join(est, Seq("source"))
+        .select(col("source"), col("exact_snapshot_mass"),
+          col("exact_novel_mass"),
+          round(col("exact_novel_mass").cast("double") /
+            col("exact_snapshot_mass"), 4).as("novel_mass_frac"),
+          ((abs(col("est_snapshot_mass") - col("exact_snapshot_mass")) <=
+            bound(col("__w2s"), col("__us"))) &&
+            (abs(col("est_novel_mass") - col("exact_novel_mass")) <=
+              bound(col("__w2n"), col("__uu"))))
+            .as("tuple_ok"))
+        .orderBy(col("source"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2723,6 +2785,34 @@ object SparkEntry {
         |    AS BIGINT) AS epoch_key
         |FROM p JOIN wo w USING (source)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact MASS novelty: snapshot 3-gram occurrences anti-joined
+    // against the distinct corpus gram set, per source; tuple_ok is the
+    // engine-side 6-sigma HT gate (pinned true)
+    "q74_novelty_mass" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS i
+        |  FROM tok),
+        |ng AS (SELECT doc_id, source, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM idx),
+        |sm AS (SELECT source, count(*) AS exact_snapshot_mass
+        |  FROM ng WHERE doc_id % 3 = 0 GROUP BY source),
+        |cg AS (SELECT DISTINCT source, g FROM ng WHERE doc_id % 3 <> 0),
+        |nm AS (SELECT s.source, count(*) AS exact_novel_mass
+        |  FROM ng s LEFT JOIN cg ON cg.source = s.source AND cg.g = s.g
+        |  WHERE s.doc_id % 3 = 0 AND cg.g IS NULL
+        |  GROUP BY s.source)
+        |SELECT sm.source,
+        |  CAST(sm.exact_snapshot_mass AS BIGINT) AS exact_snapshot_mass,
+        |  CAST(coalesce(nm.exact_novel_mass, 0) AS BIGINT) AS exact_novel_mass,
+        |  round(CAST(coalesce(nm.exact_novel_mass, 0) AS DOUBLE)
+        |    / sm.exact_snapshot_mass, 4) AS novel_mass_frac,
+        |  true AS tuple_ok
+        |FROM sm LEFT JOIN nm ON nm.source = sm.source
+        |ORDER BY sm.source""".stripMargin,
 
     // exact novelty recomputation: distinct per-source 3-grams of the
     // snapshot third anti-joined against the corpus two-thirds

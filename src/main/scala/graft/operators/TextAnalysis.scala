@@ -371,10 +371,9 @@ object TextAnalysis {
     * stays current through [[appendToOverlapSketches]]).
     */
   def overlapMatrixVsSketches(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): DataFrame = {
-    healOverlapSketches(spark, dir)
-    pairwiseEstimates(spark.read.parquet(s"$dir/sketches"))
-  }
+                              dir: String): DataFrame =
+    pairwiseEstimates(committedSketches(spark, dir)
+      .select(col("source"), col("sketch")))
 
   /** Per-source n-gram theta sketches for a document frame — the
     * shared build step of [[sourceOverlapMatrix]] and the persisted
@@ -390,6 +389,28 @@ object TextAnalysis {
       .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("sketch"))
   }
 
+  /** [[perSourceSketches]] plus a tuple MASS sketch per source when
+    * `tupleK > 0`: the explode switches to the occurrence stream
+    * (`word_ngrams_all`) so mass counts every occurrence — the theta
+    * sketch over that stream is IDENTICAL to the distinct-stream build
+    * (set semantics: duplicate adds are no-ops), so the count results
+    * don't move; one explode feeds both aggregates.
+    */
+  private def perSourceSketchesMass(docs: DataFrame, n: Int,
+                                    thetaK: Int, tupleK: Int): DataFrame = {
+    if (tupleK <= 0) perSourceSketches(docs, n, thetaK)
+    else {
+      val F = graft.functions.functions
+      val E = graft.functions.expressions
+      docs.select(col("source"),
+          explode(E.word_ngrams_all(col("text"), n)).as("g"))
+        .groupBy(col("source"))
+        .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("sketch"),
+          F.tuple_agg_hash(xxhash64(col("g")), lit(1L), tupleK)
+            .as("mass_sketch"))
+    }
+  }
+
   /** Persist per-source n-gram theta sketches — the corpus-novelty
     * monitor's state. A 100-TB corpus compresses to sources x k
     * 8-byte samples (a few MB); any later snapshot can then be
@@ -399,62 +420,128 @@ object TextAnalysis {
     * batch-sized cost — the same incremental contract as the dedup
     * and eval indexes, at estimate (not membership) granularity.
     */
+  /** Persist the index. Layout (log-structured, the LmScore count-table
+    * discipline applied to sketches):
+    *
+    *   dir/manifest                 (n, theta_k, tuple_k)
+    *   dir/sketches/batch_id=<b>/   per-source sketch rows of batch b
+    *   dir/batches                  committed-batch log (swap-healed)
+    *
+    * Readers union sketch rows across COMMITTED batches at read time
+    * (sources x batches rows — trivial at any corpus size). Each
+    * batch's rows hold that batch's grams exactly once, so the union
+    * is correct for BOTH sketch kinds: theta (idempotent set union)
+    * and tuple (additive summaries — the reason the old merged-table
+    * swap had to go: its "replay is a no-op" contract held only for
+    * idempotent unions). Exactly-once is the committed log: a batch id
+    * already in the log is a no-op on replay; uncommitted batch data
+    * is invisible to readers.
+    */
   def writeOverlapSketches(docs: DataFrame, dir: String, n: Int = 3,
-                           thetaK: Int = 4096): Unit = {
+                           thetaK: Int = 4096, tupleK: Int = 0): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    perSourceSketches(docs, n, thetaK)
-      .write.mode("overwrite").parquet(s"$dir/sketches")
-    Seq((n, thetaK)).toDF("n", "theta_k")
+    perSourceSketchesMass(docs, n, thetaK, tupleK)
+      .write.mode("overwrite").parquet(s"$dir/sketches/batch_id=0")
+    Seq((n, thetaK, tupleK)).toDF("n", "theta_k", "tuple_k")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    // log LAST: a crash mid-build leaves no committed log -> no index
+    Seq(Tuple1(0L)).toDF("batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches")
   }
 
   private def fs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Roll a crashed append forward: the swap deletes `sketches` then
-    * renames the complete `sketches.next` into place, so the only
-    * unreadable crash state is "sketches missing, next complete" —
-    * finish the rename. A stale COMPLETE `next` beside a live
-    * `sketches` (crash before the delete) is discarded by the next
-    * append, which recomputes it; readers ignore it.
+  /** Roll a crashed log swap forward/backward (the LmScore
+    * healBatchesLog rule): `batches` missing with a complete
+    * `batches.next` — the swap passed the point of no return, rename
+    * forward; both present — the swap never started, the staged log is
+    * garbage, drop it (the batch data it named stays invisible until
+    * its append is replayed).
     */
   private def healOverlapSketches(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): Unit = {
     val f = fs(spark, dir)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/sketches.next")
-    if (!f.exists(cur) &&
-        f.exists(new org.apache.hadoop.fs.Path(s"$dir/sketches.next/_SUCCESS"))) {
-      require(f.rename(next, cur), s"heal: rename failed in $dir")
+    val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/batches.next")
+    if (f.exists(next)) {
+      if (!f.exists(log)) require(f.rename(next, log), s"heal: rename failed in $dir")
+      else require(f.delete(next, true), s"heal: delete failed in $dir")
     }
   }
 
-  /** Fold a new corpus batch into the persisted sketches: batch
-    * sketches at the stored (n, k) union into the stored rows per
-    * source (theta merge is associative — load-is-union, the same
-    * contract as Bloom index appends). Crash-safe swap: the merged
-    * table is fully written to `sketches.next` FIRST, then delete +
-    * rename; a retry after any crash heals and re-merges — sketch
-    * union is idempotent, so replaying the same batch is a no-op.
+  /** Stored build parameters; `tuple_k` tolerant of pre-mass indexes
+    * (missing column reads as 0 = no mass sketches).
     */
-  def appendToOverlapSketches(newDocs: DataFrame, dir: String): Unit = {
+  private def overlapManifest(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (Int, Int, Int) = {
+    val df = spark.read.parquet(s"$dir/manifest")
+    val r = df.head()
+    val tk = if (df.columns.contains("tuple_k")) r.getAs[Int]("tuple_k") else 0
+    (r.getAs[Int]("n"), r.getAs[Int]("theta_k"), tk)
+  }
+
+  private def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Set[Long] =
+    spark.read.parquet(s"$dir/batches").collect()
+      .map(_.getAs[Long]("batch_id")).toSet
+
+  /** The per-source union of all COMMITTED batches — the frame every
+    * reader consumes. Sources x batches input rows, sources output
+    * rows; bit-identical to a fresh single build over the union of the
+    * batches' docs (sketch merge == whole, TupleSketchSpec).
+    */
+  private def committedSketches(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    healOverlapSketches(spark, dir)
+    val (_, k, tk) = overlapManifest(spark, dir)
+    val ids = committedBatchIds(spark, dir)
+    val F = graft.functions.functions
+    val aggs = F.theta_union_agg(col("sketch"), k).as("sketch") ::
+      (if (tk > 0) List(F.tuple_union_agg(col("mass_sketch"), tk)
+        .as("mass_sketch")) else Nil)
+    spark.read.parquet(s"$dir/sketches")
+      .where(col("batch_id").cast("long").isin(ids.toSeq: _*))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a new corpus batch in under `batchId` (the exactly-once
+    * replay key: a committed id is a no-op). Write order IS the crash
+    * contract: batch data first (an overwrite — partial data from a
+    * crashed attempt is replaced), then the log via write-next /
+    * delete / rename (healed by [[healOverlapSketches]] from any
+    * entry point). Cost scales with the batch; stored batches are
+    * never read, let alone rescanned.
+    *
+    * `batchId = -1` auto-assigns max(committed)+1 — allowed only on
+    * theta-only indexes (replaying the SAME DOCS under a fresh auto id
+    * re-unions the same hash points, a set-level no-op; tuple
+    * summaries would double-count, so mass-enabled indexes demand the
+    * explicit key).
+    */
+  def appendToOverlapSketches(newDocs: DataFrame, dir: String,
+                              batchId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
     healOverlapSketches(spark, dir)
-    val mf = spark.read.parquet(s"$dir/manifest").head()
-    val n = mf.getAs[Int]("n"); val k = mf.getAs[Int]("theta_k")
-    val F = graft.functions.functions
-    perSourceSketches(newDocs, n, k)
-      .unionByName(spark.read.parquet(s"$dir/sketches"))
-      .groupBy(col("source"))
-      .agg(F.theta_union_agg(col("sketch"), k).as("sketch"))
-      .write.mode("overwrite").parquet(s"$dir/sketches.next")
+    val (n, k, tk) = overlapManifest(spark, dir)
+    require(batchId >= 0 || tk == 0,
+      "mass-enabled overlap index requires an explicit batchId: tuple " +
+        "union is not idempotent, exactly-once needs a replay key")
+    val committed = committedBatchIds(spark, dir)
+    val id = if (batchId >= 0) batchId else committed.max + 1
+    if (committed(id)) return
+    import spark.implicits._
+    perSourceSketchesMass(newDocs, n, k, tk)
+      .write.mode("overwrite").parquet(s"$dir/sketches/batch_id=$id")
+    (committed + id).toSeq.sorted.toDF("batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
     val f = fs(spark, dir)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-    if (f.exists(cur)) require(f.delete(cur, true), s"append: delete failed in $dir")
-    require(f.rename(
-      new org.apache.hadoop.fs.Path(s"$dir/sketches.next"), cur),
+    val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    require(f.delete(log, true), s"append: delete failed in $dir")
+    require(f.rename(new org.apache.hadoop.fs.Path(s"$dir/batches.next"), log),
       s"append: rename failed in $dir")
   }
 
@@ -466,14 +553,14 @@ object TextAnalysis {
     */
   def overlapVsSketches(snapshot: DataFrame, dir: String): DataFrame = {
     val spark = snapshot.sparkSession
-    healOverlapSketches(spark, dir)
-    val mf = spark.read.parquet(s"$dir/manifest").head()
-    val n = mf.getAs[Int]("n"); val k = mf.getAs[Int]("theta_k")
+    val (n, k, tk) = overlapManifest(spark, dir)
     val F = graft.functions.functions
-    val corpus = spark.read.parquet(s"$dir/sketches")
-      .withColumnRenamed("sketch", "__corpus_sk")
+    val corpusCols = col("sketch").as("__corpus_sk") ::
+      (if (tk > 0) List(col("mass_sketch").as("__corpus_mass")) else Nil)
+    val corpus = committedSketches(spark, dir)
+      .select(col("source") :: corpusCols: _*)
     val emptySk = lit(graft.core.ThetaSketch(k).serialize())
-    perSourceSketches(snapshot, n, k)
+    val base = perSourceSketchesMass(snapshot, n, k, tk)
       .join(broadcast(corpus), Seq("source"), "left")
       .withColumn("__c", coalesce(col("__corpus_sk"), emptySk))
       .withColumn("__snap", F.theta_estimate(col("sketch")))
@@ -483,12 +570,32 @@ object TextAnalysis {
       .withColumn("__novel",
         least(F.theta_estimate(F.theta_a_not_b(col("sketch"), col("__c"))),
           col("__snap")))
-      .select(col("source"),
-        round(col("__snap")).cast("long").as("est_snapshot"),
-        round(F.theta_estimate(col("__c"))).cast("long").as("est_corpus"),
-        round(col("__novel")).cast("long").as("est_novel"),
-        when(col("__snap") > 0,
-          round(col("__novel") / col("__snap"), 4)).as("novel_frac"))
+    val countCols = List(col("source"),
+      round(col("__snap")).cast("long").as("est_snapshot"),
+      round(F.theta_estimate(col("__c"))).cast("long").as("est_corpus"),
+      round(col("__novel")).cast("long").as("est_novel"),
+      when(col("__snap") > 0,
+        round(col("__novel") / col("__snap"), 4)).as("novel_frac"))
+    if (tk == 0) base.select(countCols: _*)
+    else {
+      // mass twins: occurrence weight of the snapshot and of its novel
+      // grams (the tuple a-not-b keeps the snapshot's summaries), same
+      // marginal clamp
+      val emptyMass = lit(graft.core.TupleSketch(tk).serialize())
+      base
+        .withColumn("__cm", coalesce(col("__corpus_mass"), emptyMass))
+        .withColumn("__snapm", F.tuple_sum_estimate(col("mass_sketch")))
+        .withColumn("__novelm",
+          least(F.tuple_sum_estimate(
+            F.tuple_a_not_b(col("mass_sketch"), col("__cm"))),
+            col("__snapm")))
+        .select(countCols ++ List(
+          round(col("__snapm")).cast("long").as("est_snapshot_mass"),
+          round(col("__novelm")).cast("long").as("est_novel_mass"),
+          when(col("__snapm") > 0,
+            round(col("__novelm") / col("__snapm"), 4))
+            .as("novel_mass_frac")): _*)
+    }
   }
 
   /** Corpus-wide repeated n-gram report — the "what boilerplate does

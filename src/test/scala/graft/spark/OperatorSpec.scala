@@ -1276,42 +1276,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(!top.exists(_.getString(0).contains("spam")))
   }
 
-  test("overlap sketches: append == fresh build; crash windows heal; screen sane") {
+  test("overlap sketches: log-structured append == fresh; exactly-once; heal") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter(col("doc_id") % 3 === 1)
     val b = docs.filter(col("doc_id") % 3 === 2)
     val snap = docs.filter(col("doc_id") % 3 === 0)
-    def sketchRows(dir: String): Map[String, Seq[Byte]] =
-      spark.read.parquet(s"$dir/sketches").collect()
+    // the reader contract: union across COMMITTED batches only
+    def unionRows(dir: String): Map[String, Seq[Byte]] = {
+      val F = graft.functions.functions
+      val ids = spark.read.parquet(s"$dir/batches").collect()
+        .map(_.getAs[Long]("batch_id")).toSet
+      spark.read.parquet(s"$dir/sketches")
+        .where(col("batch_id").cast("long").isin(ids.toSeq: _*))
+        .groupBy(col("source"))
+        .agg(F.theta_union_agg(col("sketch"), 512).as("sketch"))
+        .collect()
         .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    }
 
     // fresh build over a ∪ b == build(a) + append(b), byte for byte
     val whole = java.nio.file.Files.createTempDirectory("ov-whole").toString
     TextAnalysis.writeOverlapSketches(a.unionByName(b), whole, n = 3, thetaK = 512)
     val inc = java.nio.file.Files.createTempDirectory("ov-inc").toString
     TextAnalysis.writeOverlapSketches(a, inc, n = 3, thetaK = 512)
-    TextAnalysis.appendToOverlapSketches(b, inc)
-    assert(sketchRows(whole) == sketchRows(inc),
-      "append must equal the fresh build (load-is-union)")
+    TextAnalysis.appendToOverlapSketches(b, inc, batchId = 1)
+    assert(unionRows(whole) == unionRows(inc),
+      "append must equal the fresh build (union across batches)")
 
-    // replaying the same append is a no-op (retry idempotence)
+    // exactly-once: replaying a committed batchId is a no-op
+    TextAnalysis.appendToOverlapSketches(b, inc, batchId = 1)
+    assert(unionRows(whole) == unionRows(inc))
+    // auto-id replay of the SAME DOCS on a theta-only index is a
+    // set-level no-op too (same hash points re-union)
     TextAnalysis.appendToOverlapSketches(b, inc)
-    assert(sketchRows(whole) == sketchRows(inc))
+    assert(unionRows(whole) == unionRows(inc))
 
-    // crash window: sketches deleted, complete next left behind ->
-    // any entry point heals by rolling the rename forward
+    // crash window: batches deleted, complete batches.next left behind
+    // -> any entry point heals by rolling the rename forward
     val fsys = new org.apache.hadoop.fs.Path(inc)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fsys.rename(new org.apache.hadoop.fs.Path(s"$inc/sketches"),
-      new org.apache.hadoop.fs.Path(s"$inc/sketches.next"))
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$inc/batches"),
+      new org.apache.hadoop.fs.Path(s"$inc/batches.next"))
     val screened = TextAnalysis.overlapVsSketches(snap, inc).collect()
-    assert(sketchRows(inc) == sketchRows(whole), "heal must restore sketches")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$inc/batches")),
+      "heal must restore the batches log")
     assert(screened.nonEmpty)
     screened.foreach { r =>
       val s = r.getAs[Long]("est_snapshot")
       val nv = r.getAs[Long]("est_novel")
       assert(nv >= 0 && nv <= s, s"novel must be within [0, snapshot]: $r")
     }
+
+    // uncommitted batch DATA is invisible to every reader
+    org.apache.hadoop.fs.FileUtil.copy(fsys,
+      new org.apache.hadoop.fs.Path(s"$inc/sketches/batch_id=1"),
+      fsys, new org.apache.hadoop.fs.Path(s"$inc/sketches/batch_id=9"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(unionRows(whole) == unionRows(inc),
+      "uncommitted batch data must not change the committed union")
+
     // screening the CORPUS against its own sketches: nothing is novel
     // (exact-mode sketches at this scale -> exactly zero)
     TextAnalysis.overlapVsSketches(a.unionByName(b), inc).collect().foreach { r =>
@@ -1329,6 +1352,56 @@ class OperatorSpec extends AnyFunSuite {
       .toMap
     assert(fromIdx == fromCorpus,
       "matrix from the persisted index must equal the corpus-scan matrix")
+  }
+
+  test("overlap sketches with mass: exact novel mass; tuple replay safety") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val snap = docs.filter(col("doc_id") % 3 === 0)
+    val E = graft.functions.expressions
+    val dir = java.nio.file.Files.createTempDirectory("ov-mass").toString
+    TextAnalysis.writeOverlapSketches(a, dir, n = 3, thetaK = 4096,
+      tupleK = 4096)
+    TextAnalysis.appendToOverlapSketches(b, dir, batchId = 1)
+    def screenRows() = TextAnalysis.overlapVsSketches(snap, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("est_snapshot_mass"),
+        r.getAs[Long]("est_novel_mass"))).toMap
+    val first = screenRows()
+    // the whole reason for the log-structured layout: replaying a
+    // committed batch must NOT double the tuple summaries
+    TextAnalysis.appendToOverlapSketches(b, dir, batchId = 1)
+    assert(screenRows() == first, "tuple mass doubled on replay")
+    // auto ids are refused when mass is enabled (no replay key)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToOverlapSketches(b, dir)
+    }
+    // exact mode at this scale: mass columns equal direct recomputation
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("source"),
+      explode(E.word_ngrams_all(col("text"), 3)).as("g"))
+    val snapMass = grams(snap).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusGrams = grams(a.unionByName(b)).distinct()
+    val novelMass = grams(snap)
+      .join(corpusGrams, Seq("source", "g"), "left_anti")
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    first.foreach { case (src, (sm, nm)) =>
+      assert(sm == snapMass(src), s"$src snapshot mass $sm != ${snapMass(src)}")
+      assert(nm == novelMass.getOrElse(src, 0L),
+        s"$src novel mass $nm != ${novelMass.getOrElse(src, 0L)}")
+    }
+    // count columns unchanged by the mass extension (same theta math)
+    val plain = java.nio.file.Files.createTempDirectory("ov-plain").toString
+    TextAnalysis.writeOverlapSketches(a, plain, n = 3, thetaK = 4096)
+    TextAnalysis.appendToOverlapSketches(b, plain, batchId = 1)
+    val massCounts = TextAnalysis.overlapVsSketches(snap, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("est_snapshot"),
+        r.getAs[Long]("est_corpus"), r.getAs[Long]("est_novel"))).toMap
+    val plainCounts = TextAnalysis.overlapVsSketches(snap, plain).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("est_snapshot"),
+        r.getAs[Long]("est_corpus"), r.getAs[Long]("est_novel"))).toMap
+    assert(massCounts == plainCounts)
   }
 
   test("repetition metrics: planted duplicate n-gram fractions") {

@@ -324,12 +324,14 @@ class PlanSpec extends AnyFunSuite {
     val screen = graft.operators.TextAnalysis.overlapVsSketches(
       docs.filter(col("doc_id") % 2 =!= 0), dir)
     val plan = planOf(screen)
-    // the only file scans are the snapshot and the sources-sized
+    // the only file scans are the snapshot and the sources x batches
     // sketches table — the corpus text is never rescanned
     assert(!plan.contains("SortMergeJoin"), plan)
     val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(nExchanges == 1,
-      s"snapshot sketch agg is the only shuffle, got $nExchanges:\n$plan")
+    // two shuffles: the snapshot sketch agg (snapshot-sized) and the
+    // committed-batch union agg (sources x batches rows — trivial)
+    assert(nExchanges == 2,
+      s"snapshot agg + batch-union agg are the only shuffles, got $nExchanges:\n$plan")
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
