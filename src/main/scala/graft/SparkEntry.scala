@@ -1555,6 +1555,34 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ------------- Misra-Gries frequent items -------------
+    //
+    // "Which words are frequent" in ONE pass with deterministic
+    // bounds and no candidate list (CMS needs candidates; exact
+    // needs a vocab-sized shuffle). Two-level rollup: per-source
+    // sketches (freq_agg_str) merged corpus-wide (freq_union_agg).
+    // The sf vocab (31 words) is below k=64 at every aggregation
+    // node, so the sketch is in its EXACT regime: counts equal the
+    // GROUP BY, max_error is 0 by theorem (no subtract event can
+    // fire), and the output is bit-deterministic — which is what
+    // lets DuckDB recompute it exactly. The approximate regime
+    // (50k-token Zipf vocab, k=4096) is pinned by SketchSpec /
+    // CrossOracleSpec invariants and measured in bench b19.
+
+    "q75_freq_sketch" -> ((s, dir) => {
+      val words = docWords(tbl(s, dir, "documents"))
+      val perSource = words.groupBy(col("source"))
+        .agg(F.freq_agg_str(col("w"), 64).as("sk"))
+      perSource
+        .agg(F.freq_union_agg(col("sk"), 64, stringItems = true).as("sk"))
+        .select(F.freq_entries(col("sk")).as("es"),
+          F.freq_max_error(col("sk")).as("max_err"))
+        .select(explode(col("es")).as("e"), col("max_err"))
+        .select(col("e._1").as("w"), col("e._2").as("cnt"), col("max_err"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(20)
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -1798,6 +1826,17 @@ object SparkEntry {
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |SELECT w, count(*) AS cnt, true AS cms_ok
+        |FROM tok WHERE w <> ''
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
+
+    // max_err = 0 is a THEOREM here, not a statistical gate: the 31-word
+    // vocab is below the sketch's k = 64 at every aggregation node, so no
+    // Misra-Gries decrement can ever fire and the sketch degenerates to an
+    // exact count map (FreqSketch class doc, "exact regime").
+    "q75_freq_sketch" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, count(*) AS cnt, CAST(0 AS BIGINT) AS max_err
         |FROM tok WHERE w <> ''
         |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
 

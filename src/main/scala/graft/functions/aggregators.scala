@@ -209,6 +209,45 @@ object aggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ---------------- Misra-Gries frequent items ----------------
+
+  /** Frequent-token sketch over token arrays (core/FreqSketch.scala):
+    * items are the raw token ids, weight 1 per occurrence; merge is
+    * MG merge (counts add, one trim). Typed facade of the native
+    * catalyst.FreqTokensAggregate.
+    */
+  class FreqTokensAgg(k: Int)
+      extends Aggregator[Array[Int], FreqSketch, Array[Byte]] {
+    def zero: FreqSketch = FreqSketch.longs(k)
+    def reduce(b: FreqSketch, tokens: Array[Int]): FreqSketch = {
+      if (tokens != null) {
+        var i = 0
+        while (i < tokens.length) {
+          b.update(java.lang.Long.valueOf(tokens(i).toLong)); i += 1
+        }
+      }
+      b
+    }
+    def merge(a: FreqSketch, b: FreqSketch): FreqSketch = a.merge(b)
+    def finish(b: FreqSketch): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[FreqSketch] = kryo[FreqSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Frequent-string sketch (words, urls, sources). */
+  class FreqStrAgg(k: Int)
+      extends Aggregator[String, FreqSketch, Array[Byte]] {
+    def zero: FreqSketch = FreqSketch.strings(k)
+    def reduce(b: FreqSketch, item: String): FreqSketch = {
+      if (item != null) b.update(item)
+      b
+    }
+    def merge(a: FreqSketch, b: FreqSketch): FreqSketch = a.merge(b)
+    def finish(b: FreqSketch): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[FreqSketch] = kryo[FreqSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   // ---------------- Quantiles ----------------
 
   // ---------------- Tuple (theta + summary) ----------------

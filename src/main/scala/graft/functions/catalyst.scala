@@ -457,6 +457,89 @@ object catalyst {
       copy(child = c)
   }
 
+  /** Misra-Gries frequent-items sketch over array<int> token columns
+    * (core/FreqSketch.scala). Items are the RAW token ids (identity,
+    * not a hash — MG must return the item), weight 1 per occurrence.
+    * Deterministic bounds: every reported [lb, lb+maxError] interval
+    * brackets the exact count and no item above 2N/k can be missing.
+    */
+  case class FreqTokensAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TokenArrayAggregate[FreqSketch] {
+    override def prettyName: String = "freq_agg_tokens"
+    def createAggregationBuffer(): FreqSketch = FreqSketch.longs(k)
+    protected def updateArray(b: FreqSketch, arr: ArrayData): Unit = {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i))
+          b.update(java.lang.Long.valueOf(arr.getInt(i).toLong))
+        i += 1
+      }
+    }
+    def merge(b: FreqSketch, o: FreqSketch): FreqSketch = b.merge(o)
+    def eval(b: FreqSketch): Any = b.serialize()
+    def serialize(b: FreqSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): FreqSketch =
+      FreqSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): FreqTokensAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): FreqTokensAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): FreqTokensAggregate =
+      copy(child = c)
+  }
+
+  /** Misra-Gries build over string items (words, urls, sources). */
+  case class FreqStrAggregate(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends ScalarAggregate[FreqSketch] {
+    override def prettyName: String = "freq_agg_str"
+    def createAggregationBuffer(): FreqSketch = FreqSketch.strings(k)
+    protected def updateValue(b: FreqSketch, v: Any): Unit =
+      b.update(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    def merge(b: FreqSketch, o: FreqSketch): FreqSketch = b.merge(o)
+    def eval(b: FreqSketch): Any = b.serialize()
+    def serialize(b: FreqSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): FreqSketch =
+      FreqSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): FreqStrAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): FreqStrAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): FreqStrAggregate =
+      copy(child = c)
+  }
+
+  /** Freq-sketch merge re-aggregation over serialized-sketch columns
+    * (roll per-source heavy-hitter sketches up to a corpus sketch).
+    * `stringItems` selects the buffer codec; merging a mismatched
+    * sketch fails loudly (codec-tag check in FreqSketch.merge).
+    */
+  case class FreqUnionAggregate(
+      child: Expression, k: Int, stringItems: Boolean,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends ScalarAggregate[FreqSketch] {
+    override def prettyName: String = "freq_union_agg"
+    def createAggregationBuffer(): FreqSketch =
+      if (stringItems) FreqSketch.strings(k) else FreqSketch.longs(k)
+    protected def updateValue(b: FreqSketch, v: Any): Unit =
+      b.merge(FreqSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    def merge(b: FreqSketch, o: FreqSketch): FreqSketch = b.merge(o)
+    def eval(b: FreqSketch): Any = b.serialize()
+    def serialize(b: FreqSketch): Array[Byte] = b.serialize()
+    def deserialize(bytes: Array[Byte]): FreqSketch =
+      FreqSketch.deserialize(bytes)
+    def withNewMutableAggBufferOffset(o: Int): FreqUnionAggregate =
+      copy(mutableAggBufferOffset = o)
+    def withNewInputAggBufferOffset(o: Int): FreqUnionAggregate =
+      copy(inputAggBufferOffset = o)
+    protected def withNewChildInternal(c: Expression): FreqUnionAggregate =
+      copy(child = c)
+  }
+
   /** Bounded top-k buffer: keeps the k best (score desc, id asc) pairs.
     * Insert is O(k) only when the candidate beats the current worst;
     * typical rows fail the cheap worst-score test.

@@ -131,6 +131,31 @@ object functions {
     catalyst.aggCol(catalyst.TupleUnionAggregate(
       catalyst.expr(sketches), k))
 
+  /** Misra-Gries frequent-items sketch over token arrays: one pass,
+    * <= k entries, DETERMINISTIC two-sided bounds (lb <= true <=
+    * lb + maxError, maxError <= 2N/k, no item above 2N/k missing).
+    * Use CMS when the candidate items are known up front; use freq
+    * when the question is "WHICH items are frequent". Exact (and
+    * bit-deterministic under any partitioning) whenever every
+    * aggregation node sees <= k distinct items.
+    */
+  def freq_agg_tokens(tokens: Column, k: Int = 1024): Column =
+    catalyst.aggCol(catalyst.FreqTokensAggregate(
+      catalyst.expr(tokens.cast("array<int>")), k))
+
+  /** Misra-Gries build over string items (words, urls, sources). */
+  def freq_agg_str(item: Column, k: Int = 1024): Column =
+    catalyst.aggCol(catalyst.FreqStrAggregate(
+      catalyst.expr(item.cast("string")), k))
+
+  /** Merge pre-built freq sketches stored in a column (per-source
+    * rollup). `stringItems` must match the stored codec (checked).
+    */
+  def freq_union_agg(sketches: Column, k: Int = 1024,
+                     stringItems: Boolean = false): Column =
+    catalyst.aggCol(catalyst.FreqUnionAggregate(
+      catalyst.expr(sketches), k, stringItems))
+
   def tdigest_agg(values: Column, compression: Double = 100.0): Column =
     catalyst.aggCol(catalyst.TDigestAggregate(
       catalyst.expr(values.cast("double")), compression))
@@ -330,6 +355,38 @@ object functions {
   val tuple_a_not_b: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte]) =>
       TupleSketch.deserialize(a).aNotB(TupleSketch.deserialize(b)).serialize())
+
+  /** Freq-sketch accessors — same per-group-rows-only contract as the
+    * theta/tuple blocks (native build twins: [[freq_agg_tokens]]/
+    * [[freq_agg_str]]/[[freq_union_agg]]). Items render as strings
+    * (decimal for token-id sketches).
+    */
+  val freq_entries: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      val s = FreqSketch.deserialize(bytes)
+      s.entries.map { case (item, lb) =>
+        (s.codec.render(item), lb, lb + s.maxError)
+      }.toSeq
+    })
+
+  /** Lower bound on a string item's true weight (0 if absent). */
+  val freq_lower_bound: UserDefinedFunction =
+    udf((bytes: Array[Byte], item: String) => {
+      val s = FreqSketch.deserialize(bytes)
+      val key: AnyRef =
+        if (s.codec.tag == 0) java.lang.Long.valueOf(item.toLong) else item
+      s.lowerBound(key)
+    })
+
+  val freq_max_error: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => FreqSketch.deserialize(bytes).maxError)
+
+  val freq_stream_weight: UserDefinedFunction =
+    udf((bytes: Array[Byte]) => FreqSketch.deserialize(bytes).streamWeight)
+
+  val freq_merge: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      FreqSketch.deserialize(a).merge(FreqSketch.deserialize(b)).serialize())
 
   val tdigest_quantile: UserDefinedFunction =
     udf((bytes: Array[Byte], q: Double) => TDigest.deserialize(bytes).quantile(q))

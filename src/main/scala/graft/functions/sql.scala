@@ -51,6 +51,9 @@ object sql {
   private def asDouble(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.DoubleType)
+  private def asString(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.StringType)
   private def asIntArray(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.ArrayType(
@@ -154,6 +157,27 @@ object sql {
         (es: Seq[Expression]) => {
           val k = if (es.length > 1) lng(es(1), "k").toInt else 4096
           catalyst.TupleUnionAggregate(es.head, k).toAggregateExpression()
+        }),
+      "graft_freq_agg_tokens" -> (
+        "(tokens[, k]) - Misra-Gries frequent-items sketch over raw " +
+          "token ids; deterministic bounds, <= k entries",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 1024
+          catalyst.FreqTokensAggregate(asIntArray(es.head), k).toAggregateExpression()
+        }),
+      "graft_freq_agg_str" -> (
+        "(item[, k]) - Misra-Gries frequent-items sketch over strings",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 1024
+          catalyst.FreqStrAggregate(asString(es.head), k)
+            .toAggregateExpression()
+        }),
+      "graft_freq_union_agg" -> (
+        "(sketch[, k, stringItems]) - merge of freq sketches",
+        (es: Seq[Expression]) => {
+          val k = if (es.length > 1) lng(es(1), "k").toInt else 1024
+          val str = es.length > 2 && lng(es(2), "stringItems") != 0
+          catalyst.FreqUnionAggregate(es.head, k, str).toAggregateExpression()
         }),
       "graft_tdigest_agg" -> (
         "(value[, compression]) - t-digest sketch",
@@ -329,6 +353,22 @@ object sql {
     u.register("graft_tuple_a_not_b",
       (a: Array[Byte], b: Array[Byte]) =>
         TupleSketch.deserialize(a).aNotB(TupleSketch.deserialize(b)).serialize())
+    u.register("graft_freq_entries",
+      (bytes: Array[Byte]) => {
+        val s = FreqSketch.deserialize(bytes)
+        s.entries.map { case (item, lb) =>
+          (s.codec.render(item), lb, lb + s.maxError)
+        }.toSeq
+      })
+    u.register("graft_freq_lower_bound",
+      (bytes: Array[Byte], item: String) => {
+        val s = FreqSketch.deserialize(bytes)
+        val key: AnyRef =
+          if (s.codec.tag == 0) java.lang.Long.valueOf(item.toLong) else item
+        s.lowerBound(key)
+      })
+    u.register("graft_freq_max_error",
+      (bytes: Array[Byte]) => FreqSketch.deserialize(bytes).maxError)
     u.register("graft_cms_estimate",
       (bytes: Array[Byte], h: Long) =>
         CountMinSketch.deserialize(bytes).estimate(h))

@@ -61,6 +61,15 @@ object Dedup {
         .as("canonical_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Row-level canonical URL (the kernel boxed for driver-side use and
+    * streaming keyFns): `streamingDedup(ds, r => canonicalUrlOf(r.url))`
+    * is the stateless-state streaming twin of [[urlGroups]] — one
+    * boolean per canonical URL, first arrival kept.
+    */
+  def canonicalUrlOf(url: String): String =
+    graft.functions.kernels.canonicalUrl(
+      org.apache.spark.unsafe.types.UTF8String.fromString(url)).toString
+
   /** Rows to drop under URL dedup (everything but the kept id per
     * canonical URL) — composes with the downstream content screens.
     */

@@ -194,7 +194,8 @@ object StreamingSketches {
                              watermarkDelay: String,
                              capacity: Long, fpr: Double,
                              hllP: Int = 14,
-                             thetaK: Int = 0):
+                             thetaK: Int = 0,
+                             freqK: Int = 0):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val F = graft.functions.functions
@@ -208,12 +209,21 @@ object StreamingSketches {
     // column is emitted because its value is downstream set algebra:
     // intersect finalized windows across time or sources to measure
     // content drift — the question the panel's HLL cannot answer.
+    // Optional freq (Misra-Gries) sketch: "which tokens are trending
+    // in this window" — the candidate-set question the panel's CMS
+    // cannot answer without a candidate list. Same pattern as theta: a
+    // separate state buffer, panel wire format untouched; the RAW
+    // sketch is emitted so finalized windows can be compared (merge
+    // across windows, bracket lookups) downstream.
     val aggs = Seq(
       F.sketch_panel_agg(col("tokens"), capacity, fpr, hllP).as("panel"),
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens")) ++
       (if (thetaK > 0)
         Seq(F.theta_agg_tokens(col("tokens"), thetaK).as("theta"))
+      else Nil) ++
+      (if (freqK > 0)
+        Seq(F.freq_agg_tokens(col("tokens"), freqK).as("freq"))
       else Nil)
     val base = docs.withWatermark(eventTimeCol, watermarkDelay)
       .groupBy(window(col(eventTimeCol), windowDuration), col("source"))
@@ -224,11 +234,14 @@ object StreamingSketches {
       round(F.bloom_cardinality(col("panel.bloom")), 2)
         .as("bloom_distinct_est"),
       round(F.hll_estimate(col("panel.hll")), 2).as("hll_distinct_est"))
-    if (thetaK > 0)
-      base.select(common ++ Seq(
+    val extra =
+      (if (thetaK > 0) Seq(
         round(F.theta_estimate(col("theta")), 2).as("theta_distinct_est"),
-        col("theta")): _*)
-    else base.select(common: _*)
+        col("theta")) else Nil) ++
+      (if (freqK > 0) Seq(
+        F.freq_max_error(col("freq")).as("freq_max_err"),
+        col("freq")) else Nil)
+    base.select(common ++ extra: _*)
   }
 
   /** Streaming NEAR-dup screen against a persisted dedup index

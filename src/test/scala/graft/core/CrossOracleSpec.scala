@@ -181,4 +181,62 @@ class CrossOracleSpec extends AnyFunSuite {
     assert(math.abs(ours.estimate / n - 1) < 4 * dsig)
     assert(math.abs(ds.getEstimate / n - 1) < 4 * dsig)
   }
+
+  test("freq sketch brackets agree with datasketches LongsSketch") {
+    import org.apache.datasketches.frequencies.{LongsSketch, ErrorType}
+    // Zipf-ish: item i gets 200000/(i+1) occurrences over 5000 items —
+    // far more distinct items than either sketch retains
+    val items = 5000
+    val exact = Array.tabulate(items)(i => (200000 / (i + 1)).toLong)
+    val N = exact.sum
+    val ours = FreqSketch.longs(512)
+    val theirs = new LongsSketch(512) // maxMapSize, power of 2
+    // interleave deterministically so neither sketch sees an item
+    // contiguously (contiguous order would make MG look better than
+    // its bound): split each item's count into <=1000-weight chunks,
+    // shuffle all chunks by a per-chunk hash, apply as weighted updates
+    val chunks = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    (0 until items).foreach { i =>
+      var left = exact(i)
+      while (left > 0) {
+        val w = math.min(left, 1000L)
+        chunks += ((i, w))
+        left -= w
+      }
+    }
+    chunks.zipWithIndex
+      .sortBy { case (_, pos) => Hashing.at(211, pos) }
+      .foreach { case ((i, w), _) =>
+        ours.update(java.lang.Long.valueOf(i.toLong), w)
+        theirs.update(i.toLong, w)
+      }
+    assert(ours.streamWeight == N)
+    assert(ours.maxError > 0, "must exercise the approximate regime")
+    assert(ours.maxError <= 2 * N / 512, s"mass bound broken: ${ours.maxError}")
+    // both implementations' intervals must bracket the exact count of
+    // every true top-50 item (deterministic guarantees on both sides)
+    (0 until 50).foreach { i =>
+      val t = exact(i)
+      val lb = ours.lowerBound(java.lang.Long.valueOf(i.toLong))
+      assert(lb <= t && t <= lb + ours.maxError,
+        s"ours bracket broken at $i: [$lb, ${lb + ours.maxError}] vs $t")
+      assert(theirs.getLowerBound(i.toLong) <= t &&
+        t <= theirs.getUpperBound(i.toLong),
+        s"theirs bracket broken at $i")
+    }
+    // no-false-negative heavy sets: every item above BOTH guarantee
+    // thresholds appears in both reports
+    val thr = math.max(ours.guaranteeThreshold, theirs.getMaximumError) + 1
+    val oursHeavy = ours.heavyEntries(thr)
+      .map(_._1.asInstanceOf[java.lang.Long].longValue()).toSet
+    val theirsHeavy = theirs
+      .getFrequentItems(thr, ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem).toSet
+    (0 until items).foreach { i =>
+      if (exact(i) >= thr) {
+        assert(oursHeavy.contains(i.toLong), s"ours missing heavy item $i")
+        assert(theirsHeavy.contains(i.toLong), s"theirs missing heavy item $i")
+      }
+    }
+  }
 }

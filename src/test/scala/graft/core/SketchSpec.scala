@@ -293,4 +293,129 @@ class SketchSpec extends AnyFunSuite {
     assert(SimHash.hammingDistance(
       SimHash.fingerprintOfTokens(base), SimHash.fingerprintOfTokens(base)) == 0)
   }
+
+  // ---------------- FreqSketch (Misra-Gries) ----------------
+
+  /** Zipf-ish weighted stream as (item, weight) pairs: item i carries
+    * total weight 10000/(i+1), delivered one unit at a time in a
+    * deterministic interleaved order (so no item arrives contiguously).
+    */
+  private def zipfStream(items: Int, seed: Long): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until items).foreach { i =>
+      (0 until 10000 / (i + 1)).foreach(_ => out += i.toLong)
+    }
+    // deterministic shuffle via sort on a per-position hash
+    out.toArray.zipWithIndex
+      .sortBy { case (_, pos) => Hashing.at(seed, pos) }
+      .map(_._1)
+  }
+
+  test("FreqSketch exact regime: distinct <= k is a plain count map") {
+    val s = FreqSketch.longs(64)
+    val stream = zipfStream(31, 31L)
+    stream.foreach(x => s.update(java.lang.Long.valueOf(x)))
+    assert(s.maxError == 0L)
+    assert(s.numEntries == 31)
+    assert(s.streamWeight == stream.length.toLong)
+    (0 until 31).foreach { i =>
+      val t = 10000L / (i + 1)
+      assert(s.lowerBound(java.lang.Long.valueOf(i.toLong)) == t,
+        s"exact-regime count off at item $i")
+    }
+    // merge of splits is bit-identical to the single pass (no trims)
+    val parts = Array.fill(4)(FreqSketch.longs(64))
+    stream.zipWithIndex.foreach { case (x, i) =>
+      parts(i % 4).update(java.lang.Long.valueOf(x))
+    }
+    val merged = parts.reduce((a, b) => a.merge(b))
+    assert(java.util.Arrays.equals(merged.serialize(), s.serialize()),
+      "exact-regime merge must be bit-identical to single pass")
+  }
+
+  test("FreqSketch approximate regime: bracketing, coverage, 2N/k bound") {
+    val k = 32
+    val stream = zipfStream(500, 37L)
+    val exact = stream.groupBy(identity).map { case (x, a) => x -> a.length.toLong }
+    val N = stream.length.toLong
+
+    // every merge order must satisfy the invariants (MG merges are not
+    // state-associative; the GUARANTEES are)
+    def build(order: Seq[Int]): FreqSketch = {
+      val parts = Array.fill(8)(FreqSketch.longs(k))
+      stream.zipWithIndex.foreach { case (x, i) =>
+        parts(i % 8).update(java.lang.Long.valueOf(x))
+      }
+      order.map(parts).reduce((a, b) => a.merge(b))
+    }
+    val orders = Seq(0 to 7, (7 to 0 by -1), Seq(3, 1, 4, 0, 5, 2, 7, 6))
+    for (order <- orders) {
+      val s = build(order)
+      assert(s.streamWeight == N)
+      assert(s.maxError <= 2 * N / k,
+        s"offset ${s.maxError} exceeds 2N/k = ${2 * N / k}")
+      assert(s.maxError > 0, "test must exercise the approximate regime")
+      assert(s.numEntries <= k)
+      // bracketing for EVERY item (absent: 0 <= true <= offset is the
+      // coverage claim below)
+      s.entries.foreach { case (item, lb) =>
+        val t = exact(item.asInstanceOf[java.lang.Long].longValue())
+        assert(lb <= t && t <= lb + s.maxError,
+          s"bracket broken at $item: [$lb, ${lb + s.maxError}] vs $t")
+      }
+      // coverage: no item above the guarantee threshold may be missing
+      exact.foreach { case (x, t) =>
+        if (t > s.guaranteeThreshold)
+          assert(s.lowerBound(java.lang.Long.valueOf(x)) > 0,
+            s"item $x with true $t > ${s.guaranteeThreshold} missing")
+      }
+      // heavyEntries is no-false-negative at its threshold
+      val thr = s.guaranteeThreshold + 1
+      val heavy = s.heavyEntries(thr).map(_._1).toSet
+      exact.foreach { case (x, t) =>
+        if (t >= thr) assert(heavy.contains(java.lang.Long.valueOf(x)))
+      }
+    }
+  }
+
+  test("FreqSketch weighted updates, string codec, wire round-trip") {
+    val s = FreqSketch.strings(8)
+    // 12 distinct items > k=8 forces trims; weights vary
+    (0 until 12).foreach { i =>
+      s.update(s"item-$i", (i + 1).toLong * 7)
+    }
+    val N = (1 to 12).map(_.toLong * 7).sum
+    assert(s.streamWeight == N)
+    assert(s.maxError <= 2 * N / 8)
+    val rt = FreqSketch.deserialize(s.serialize())
+    assert(rt == s, "round-trip must preserve state")
+    assert(java.util.Arrays.equals(rt.serialize(), s.serialize()))
+    // heaviest item must survive with a valid bracket
+    val lb = s.lowerBound("item-11")
+    assert(lb <= 12L * 7 && 12L * 7 <= lb + s.maxError)
+    // codec mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      s.merge(FreqSketch.longs(8))
+    }
+  }
+
+  test("FreqSketch rejects hostile bytes") {
+    val good = {
+      val s = FreqSketch.strings(8)
+      s.update("a"); s.update("b")
+      s.serialize()
+    }
+    assert(FreqSketch.deserialize(good).numEntries == 2)
+    intercept[IllegalArgumentException] {
+      FreqSketch.deserialize(Array[Byte](1, 2, 3))
+    }
+    // truncated payload
+    intercept[Exception] {
+      FreqSketch.deserialize(java.util.Arrays.copyOf(good, good.length - 3))
+    }
+    // trailing garbage
+    intercept[IllegalArgumentException] {
+      FreqSketch.deserialize(good ++ Array[Byte](0))
+    }
+  }
 }

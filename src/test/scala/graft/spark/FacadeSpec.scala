@@ -35,6 +35,16 @@ class FacadeSpec extends AnyFunSuite {
           |FROM t""".stripMargin).head()
       assert(n.getInt(0) > 64)
       assert(n.getInt(1) == 4 + (1 << 12))
+      // freq aggregate through SQL: exact regime over the tiny token
+      // vocab slice — the sketch must report the same total weight the
+      // rows carry (header field, independent of item layout)
+      val fq = spark.sql(
+        "SELECT graft_freq_agg_tokens(tokens, 8192) AS s FROM t").head()
+        .getAs[Array[Byte]](0)
+      val fqSk = graft.core.FreqSketch.deserialize(fq)
+      val totTok = spark.sql("SELECT sum(n_tok) FROM t").head().getLong(0)
+      assert(fqSk.streamWeight == totTok)
+      assert(fqSk.numEntries > 0 && fqSk.numEntries <= 8192)
       // native scalar surface: values must match the Scala kernels
       val s = spark.sql(
         """SELECT graft_simhash(graft_tokenize('hello world hello')) AS fp,
@@ -193,6 +203,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       one(Seq(halfA.serialize(), halfB.serialize()).toDS(),
         new aggregators.TupleUnionAgg(256)), coreTuple.serialize()))
+    // Freq (Misra-Gries): in the EXACT regime (distinct <= k at every
+    // node) no decrement fires and the state is a pure count map —
+    // byte-exact vs the core build at any partitioning
+    val coreFreq = FreqSketch.longs(8192)
+    tokens.flatten.foreach(t =>
+      coreFreq.update(java.lang.Long.valueOf(t.toLong)))
+    assert(java.util.Arrays.equals(
+      one(tokDs, new aggregators.FreqTokensAgg(8192)),
+      coreFreq.serialize()))
+    val words = tokens.flatten.map(t => s"w${t % 50}")
+    val coreFreqStr = FreqSketch.strings(64)
+    words.foreach(coreFreqStr.update(_))
+    assert(java.util.Arrays.equals(
+      one(words.toDS(), new aggregators.FreqStrAgg(64)),
+      coreFreqStr.serialize()))
     // t-digest / KLL merges are order-sensitive, so compare estimates
     // (rank-level agreement), not bytes
     val vals = (0 until 4000).map(i => Hashing.toUnitDouble(Hashing.at(3, i)))

@@ -187,6 +187,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.size == 3)
   }
 
+  test("streaming URL dedup: canonical variants collapse across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingSketches.streamingDedup[(Long, String)](
+      stream.toDS(), r => graft.operators.Dedup.canonicalUrlOf(r._2))
+    val q = out.writeStream
+      .format("memory").queryName("url_dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(Seq(
+        (1L, "https://www.Example.com/p/1/?utm_source=x"),
+        (2L, "HTTPS://EXAMPLE.COM:443/p/1"),      // dup of 1 (canonical)
+        (3L, "https://example.com/p/2?b=2&a=1")))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (4L, "https://example.com/p/2?a=1&b=2&gclid=z"), // cross-batch dup of 3
+        (5L, "http://example.com/p/1")))                 // http != https
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT _1 FROM url_dedup_out").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // first arrival per canonical URL: 1, 3, and the distinct-scheme 5
+    assert(kept == Seq(1L, 3L, 5L), s"kept: $kept")
+    // equals the batch keep set over the same rows
+    val batch = Seq(
+      (1L, "https://www.Example.com/p/1/?utm_source=x"),
+      (2L, "HTTPS://EXAMPLE.COM:443/p/1"),
+      (3L, "https://example.com/p/2?b=2&a=1"),
+      (4L, "https://example.com/p/2?a=1&b=2&gclid=z"),
+      (5L, "http://example.com/p/1")).toDF("doc_id", "url")
+    val batchKept = graft.operators.Dedup.urlGroups(batch)
+      .select(col("keep_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == kept)
+  }
+
   test("perKeyQuantiles TTL: idle key expires and restarts fresh") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -318,7 +355,7 @@ class StreamingSpec extends AnyFunSuite {
     val windows = StreamingSketches.windowedSourceSketches(
       stream.toDS().toDF("ts", "source", "tokens", "n_tok"),
       "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01,
-      thetaK = 64)
+      thetaK = 64, freqK = 256)
     val q = windows.writeStream.format("memory").queryName("win_sketches")
       .outputMode(OutputMode.Append()).start()
     // window A = [10:00, 10:10): rows arrive across TWO micro-batches,
@@ -344,7 +381,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = StreamingSketches.windowedSourceSketches(
       (a1 ++ a2).toDF("ts", "source", "tokens", "n_tok"),
       "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01,
-      thetaK = 64)
+      thetaK = 64, freqK = 256)
       .collect().head
     assert(r.getAs[Double]("bloom_distinct_est") ==
       batch.getAs[Double]("bloom_distinct_est"))
@@ -360,6 +397,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.core.ThetaSketch.deserialize(r.getAs[Array[Byte]]("theta"))
       .intersect(graft.core.ThetaSketch.deserialize(
         batch.getAs[Array[Byte]]("theta"))).estimate > 0)
+    // freq column: window A has 80 distinct tokens < freqK = 256, so
+    // the sketch is in its EXACT regime — byte parity with the batch
+    // build is a theorem, and the counts are the exact window counts
+    // (token 41..60 appears twice across the overlapping ranges)
+    assert(r.getAs[Long]("freq_max_err") == 0L)
+    assert(r.getAs[Array[Byte]]("freq").toSeq ==
+      batch.getAs[Array[Byte]]("freq").toSeq)
+    val fq = graft.core.FreqSketch.deserialize(r.getAs[Array[Byte]]("freq"))
+    assert(fq.numEntries == 80 && fq.streamWeight == 120)
+    assert(fq.lowerBound(java.lang.Long.valueOf(45L)) == 2L)
+    assert(fq.lowerBound(java.lang.Long.valueOf(5L)) == 1L)
     // 80 distinct tokens in window A: estimates in a sane band
     assert(math.abs(r.getAs[Double]("hll_distinct_est") - 80) < 8,
       r.toString)
