@@ -1555,6 +1555,30 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ------------- trending grams off the overlap index -------------
+    //
+    // boilerplateNgrams' incremental twin: the freq column of the
+    // persisted overlap index answers "which grams are hot per source"
+    // from sources x freq_k rows of state — batches fold in via
+    // exactly-once appends, the corpus is never reread. freq_k = 32768
+    // exceeds the sf vocab's 31^3 = 29791 possible 3-grams, so every
+    // aggregation node stays in the sketch's exact regime and the
+    // reported counts (and the DuckDB recount) are exact — cnt_lb ==
+    // cnt_ub, hash-checked.
+
+    "q76_trending_grams" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q76-idx").toString
+      TextAnalysis.writeOverlapSketches(
+        docs.filter(col("doc_id") % 3 === 1), idx, n = 3, thetaK = 4096,
+        freqK = 32768)
+      TextAnalysis.appendToOverlapSketches(
+        docs.filter(col("doc_id") % 3 === 2), idx, batchId = 1)
+      TextAnalysis.trendingGrams(s, idx, topK = 3)
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // ------------- Misra-Gries frequent items -------------
     //
     // "Which words are frequent" in ONE pass with deterministic
@@ -1828,6 +1852,26 @@ object SparkEntry {
         |SELECT w, count(*) AS cnt, true AS cms_ok
         |FROM tok WHERE w <> ''
         |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
+
+    // cnt_lb == cnt_ub is a theorem (exact regime, see the query doc):
+    // the oracle recounts the grams exactly and emits the count twice.
+    "q76_trending_grams" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 3 IN (1, 2)),
+        |ng AS (
+        |  SELECT source, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM tok)),
+        |cnt AS (SELECT source, g, count(*) AS c FROM ng GROUP BY source, g),
+        |rk AS (SELECT source, g, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, g)
+        |      AS rank
+        |  FROM cnt)
+        |SELECT source, CAST(rank AS INT) AS rank, g,
+        |  c AS cnt_lb, c AS cnt_ub
+        |FROM rk WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     // max_err = 0 is a THEOREM here, not a statistical gate: the 31-word
     // vocab is below the sketch's k = 64 at every aggregation node, so no

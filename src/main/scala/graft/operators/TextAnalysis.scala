@@ -397,17 +397,27 @@ object TextAnalysis {
     * don't move; one explode feeds both aggregates.
     */
   private def perSourceSketchesMass(docs: DataFrame, n: Int,
-                                    thetaK: Int, tupleK: Int): DataFrame = {
-    if (tupleK <= 0) perSourceSketches(docs, n, thetaK)
+                                    thetaK: Int, tupleK: Int,
+                                    freqK: Int = 0): DataFrame = {
+    if (tupleK <= 0 && freqK <= 0) perSourceSketches(docs, n, thetaK)
     else {
       val F = graft.functions.functions
       val E = graft.functions.expressions
+      // occurrence stream (word_ngrams_all): mass counts every
+      // occurrence and the freq sketch's counts ARE occurrence counts;
+      // the theta sketch over this stream is identical to the
+      // distinct-stream build (set semantics)
+      val aggs =
+        Seq(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("sketch")) ++
+        (if (tupleK > 0)
+          Seq(F.tuple_agg_hash(xxhash64(col("g")), lit(1L), tupleK)
+            .as("mass_sketch")) else Nil) ++
+        (if (freqK > 0)
+          Seq(F.freq_agg_str(col("g"), freqK).as("freq_sketch")) else Nil)
       docs.select(col("source"),
           explode(E.word_ngrams_all(col("text"), n)).as("g"))
         .groupBy(col("source"))
-        .agg(F.theta_agg_hash(xxhash64(col("g")), thetaK).as("sketch"),
-          F.tuple_agg_hash(xxhash64(col("g")), lit(1L), tupleK)
-            .as("mass_sketch"))
+        .agg(aggs.head, aggs.tail: _*)
     }
   }
 
@@ -438,12 +448,13 @@ object TextAnalysis {
     * is invisible to readers.
     */
   def writeOverlapSketches(docs: DataFrame, dir: String, n: Int = 3,
-                           thetaK: Int = 4096, tupleK: Int = 0): Unit = {
+                           thetaK: Int = 4096, tupleK: Int = 0,
+                           freqK: Int = 0): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    perSourceSketchesMass(docs, n, thetaK, tupleK)
+    perSourceSketchesMass(docs, n, thetaK, tupleK, freqK)
       .write.mode("overwrite").parquet(s"$dir/sketches/batch_id=0")
-    Seq((n, thetaK, tupleK)).toDF("n", "theta_k", "tuple_k")
+    Seq((n, thetaK, tupleK, freqK)).toDF("n", "theta_k", "tuple_k", "freq_k")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     // log LAST: a crash mid-build leaves no committed log -> no index
     Seq(Tuple1(0L)).toDF("batch_id")
@@ -472,15 +483,16 @@ object TextAnalysis {
     }
   }
 
-  /** Stored build parameters; `tuple_k` tolerant of pre-mass indexes
-    * (missing column reads as 0 = no mass sketches).
+  /** Stored build parameters; `tuple_k`/`freq_k` tolerant of older
+    * indexes (missing column reads as 0 = that sketch family absent).
     */
   private def overlapManifest(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): (Int, Int, Int) = {
+                              dir: String): (Int, Int, Int, Int) = {
     val df = spark.read.parquet(s"$dir/manifest")
     val r = df.head()
     val tk = if (df.columns.contains("tuple_k")) r.getAs[Int]("tuple_k") else 0
-    (r.getAs[Int]("n"), r.getAs[Int]("theta_k"), tk)
+    val fk = if (df.columns.contains("freq_k")) r.getAs[Int]("freq_k") else 0
+    (r.getAs[Int]("n"), r.getAs[Int]("theta_k"), tk, fk)
   }
 
   private def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
@@ -496,12 +508,14 @@ object TextAnalysis {
   private def committedSketches(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): DataFrame = {
     healOverlapSketches(spark, dir)
-    val (_, k, tk) = overlapManifest(spark, dir)
+    val (_, k, tk, fk) = overlapManifest(spark, dir)
     val ids = committedBatchIds(spark, dir)
     val F = graft.functions.functions
     val aggs = F.theta_union_agg(col("sketch"), k).as("sketch") ::
-      (if (tk > 0) List(F.tuple_union_agg(col("mass_sketch"), tk)
-        .as("mass_sketch")) else Nil)
+      ((if (tk > 0) List(F.tuple_union_agg(col("mass_sketch"), tk)
+        .as("mass_sketch")) else Nil) ++
+       (if (fk > 0) List(F.freq_union_agg(col("freq_sketch"), fk,
+         stringItems = true).as("freq_sketch")) else Nil))
     spark.read.parquet(s"$dir/sketches")
       .where(col("batch_id").cast("long").isin(ids.toSeq: _*))
       .groupBy(col("source"))
@@ -526,15 +540,16 @@ object TextAnalysis {
                               batchId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
     healOverlapSketches(spark, dir)
-    val (n, k, tk) = overlapManifest(spark, dir)
-    require(batchId >= 0 || tk == 0,
-      "mass-enabled overlap index requires an explicit batchId: tuple " +
-        "union is not idempotent, exactly-once needs a replay key")
+    val (n, k, tk, fk) = overlapManifest(spark, dir)
+    require(batchId >= 0 || (tk == 0 && fk == 0),
+      "mass/freq-enabled overlap index requires an explicit batchId: " +
+        "tuple union and freq merge are not idempotent, exactly-once " +
+        "needs a replay key")
     val committed = committedBatchIds(spark, dir)
     val id = if (batchId >= 0) batchId else committed.max + 1
     if (committed(id)) return
     import spark.implicits._
-    perSourceSketchesMass(newDocs, n, k, tk)
+    perSourceSketchesMass(newDocs, n, k, tk, fk)
       .write.mode("overwrite").parquet(s"$dir/sketches/batch_id=$id")
     (committed + id).toSeq.sorted.toDF("batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
@@ -553,7 +568,7 @@ object TextAnalysis {
     */
   def overlapVsSketches(snapshot: DataFrame, dir: String): DataFrame = {
     val spark = snapshot.sparkSession
-    val (n, k, tk) = overlapManifest(spark, dir)
+    val (n, k, tk, _) = overlapManifest(spark, dir)
     val F = graft.functions.functions
     val corpusCols = col("sketch").as("__corpus_sk") ::
       (if (tk > 0) List(col("mass_sketch").as("__corpus_mass")) else Nil)
@@ -596,6 +611,38 @@ object TextAnalysis {
             round(col("__novelm") / col("__snapm"), 4))
             .as("novel_mass_frac")): _*)
     }
+  }
+
+  /** Per-source trending grams off the persisted overlap index: the
+    * top-K n-grams by occurrence count from the committed freq
+    * sketches, with their deterministic [lb, ub] bracket (ub - lb =
+    * the sketch's maxError; 0 when every aggregation node stayed below
+    * freq_k distinct grams, in which case the counts are EXACT). This
+    * is [[boilerplateNgrams]]'s incremental twin: that one rescans the
+    * corpus for exact counts; this one reads sources x freq_k rows of
+    * index state — new batches fold in via
+    * [[appendToOverlapSketches]] at batch-sized cost, the corpus is
+    * never reread. Requires an index written with `freqK > 0`.
+    */
+  def trendingGrams(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    topK: Int = 20): DataFrame = {
+    val (_, _, _, fk) = overlapManifest(spark, dir)
+    require(fk > 0,
+      s"overlap index at $dir has no freq sketches (freq_k = 0); " +
+        "rewrite with writeOverlapSketches(freqK > 0)")
+    val F = graft.functions.functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("cnt_lb").desc, col("g"))
+    committedSketches(spark, dir)
+      .select(col("source"),
+        explode(F.freq_entries(col("freq_sketch"))).as("e"))
+      .select(col("source"), col("e._1").as("g"),
+        col("e._2").as("cnt_lb"), col("e._3").as("cnt_ub"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("g"),
+        col("cnt_lb"), col("cnt_ub"))
   }
 
   /** Corpus-wide repeated n-gram report — the "what boilerplate does

@@ -1404,6 +1404,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(massCounts == plainCounts)
   }
 
+  test("overlap sketches with freq: trending grams exact; replay safety") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val E = graft.functions.expressions
+    val dir = java.nio.file.Files.createTempDirectory("ov-freq").toString
+    // freq_k above the 31^3 possible 3-grams: exact regime everywhere
+    TextAnalysis.writeOverlapSketches(a, dir, n = 3, thetaK = 4096,
+      freqK = 32768)
+    TextAnalysis.appendToOverlapSketches(b, dir, batchId = 1)
+    def trend() = TextAnalysis.trendingGrams(spark, dir, topK = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("cnt_lb"), r.getAs[Long]("cnt_ub"))).toSet
+    val first = trend()
+    assert(first.nonEmpty)
+    // exact regime: every bracket is degenerate (lb == ub)
+    first.foreach { case (_, _, _, lb, ub) => assert(lb == ub) }
+    // equals the exact recomputation under the same (cnt desc, g) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("g"))
+    val exact = a.unionByName(b)
+      .select(col("source"), explode(E.word_ngrams_all(col("text"), 3)).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rank"),
+        r.getString(1), r.getAs[Long]("c"), r.getAs[Long]("c"))).toSet
+    assert(first == exact)
+    // replaying a committed batch must NOT inflate the counts (freq
+    // merge adds counts — the log is what makes appends exactly-once)
+    TextAnalysis.appendToOverlapSketches(b, dir, batchId = 1)
+    assert(trend() == first, "freq counts inflated on replay")
+    // auto ids are refused when freq is enabled (no replay key)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToOverlapSketches(b, dir)
+    }
+    // incremental == fresh single build over the union (merge == whole
+    // in the exact regime)
+    val fresh = java.nio.file.Files.createTempDirectory("ov-freq2").toString
+    TextAnalysis.writeOverlapSketches(a.unionByName(b), fresh, n = 3,
+      thetaK = 4096, freqK = 32768)
+    assert(TextAnalysis.trendingGrams(spark, fresh, topK = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("cnt_lb"), r.getAs[Long]("cnt_ub"))).toSet == first)
+    // a freq-less index refuses the trending reader loudly
+    val plain = java.nio.file.Files.createTempDirectory("ov-nofreq").toString
+    TextAnalysis.writeOverlapSketches(a, plain, n = 3, thetaK = 4096)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trendingGrams(spark, plain)
+    }
+    // count columns unchanged by the freq extension (same theta math)
+    TextAnalysis.appendToOverlapSketches(b, plain, batchId = 1)
+    val snap = docs.filter(col("doc_id") % 3 === 0)
+    def counts(d: String) = TextAnalysis.overlapVsSketches(snap, d)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("est_snapshot"),
+        r.getAs[Long]("est_corpus"), r.getAs[Long]("est_novel"))).toMap
+    assert(counts(dir) == counts(plain))
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
