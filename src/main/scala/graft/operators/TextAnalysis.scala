@@ -457,7 +457,7 @@ object TextAnalysis {
     Seq((n, thetaK, tupleK, freqK)).toDF("n", "theta_k", "tuple_k", "freq_k")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     // log LAST: a crash mid-build leaves no committed log -> no index
-    Seq(Tuple1(0L)).toDF("batch_id")
+    Seq((0L, -1L)).toDF("batch_id", "folded_up_to")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches")
   }
 
@@ -495,10 +495,22 @@ object TextAnalysis {
     (r.getAs[Int]("n"), r.getAs[Int]("theta_k"), tk, fk)
   }
 
+  /** Committed batch ids plus the fold high-water mark (`folded_up_to`
+    * column, -1 on indexes that predate compaction): every id at or
+    * below the mark was committed once and folded away by
+    * [[compactOverlapSketches]] — permanently burned for appends, so
+    * replays of folded batches stay no-ops.
+    */
   private def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): Set[Long] =
-    spark.read.parquet(s"$dir/batches").collect()
-      .map(_.getAs[Long]("batch_id")).toSet
+                                dir: String): (Set[Long], Long) = {
+    val df = spark.read.parquet(s"$dir/batches")
+    val rows = df.collect()
+    val folded =
+      if (df.columns.contains("folded_up_to"))
+        rows.map(_.getAs[Long]("folded_up_to")).max
+      else -1L
+    (rows.map(_.getAs[Long]("batch_id")).toSet, folded)
+  }
 
   /** The per-source union of all COMMITTED batches — the frame every
     * reader consumes. Sources x batches input rows, sources output
@@ -509,7 +521,7 @@ object TextAnalysis {
                                 dir: String): DataFrame = {
     healOverlapSketches(spark, dir)
     val (_, k, tk, fk) = overlapManifest(spark, dir)
-    val ids = committedBatchIds(spark, dir)
+    val (ids, _) = committedBatchIds(spark, dir)
     val F = graft.functions.functions
     val aggs = F.theta_union_agg(col("sketch"), k).as("sketch") ::
       ((if (tk > 0) List(F.tuple_union_agg(col("mass_sketch"), tk)
@@ -545,19 +557,71 @@ object TextAnalysis {
       "mass/freq-enabled overlap index requires an explicit batchId: " +
         "tuple union and freq merge are not idempotent, exactly-once " +
         "needs a replay key")
-    val committed = committedBatchIds(spark, dir)
+    val (committed, foldedUpTo) = committedBatchIds(spark, dir)
     val id = if (batchId >= 0) batchId else committed.max + 1
-    if (committed(id)) return
+    if (committed(id) || id <= foldedUpTo) return
     import spark.implicits._
     perSourceSketchesMass(newDocs, n, k, tk, fk)
       .write.mode("overwrite").parquet(s"$dir/sketches/batch_id=$id")
-    (committed + id).toSeq.sorted.toDF("batch_id")
+    (committed + id).toSeq.sorted.map((_, foldedUpTo))
+      .toDF("batch_id", "folded_up_to")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
     val f = fs(spark, dir)
     val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
     require(f.delete(log, true), s"append: delete failed in $dir")
     require(f.rename(new org.apache.hadoop.fs.Path(s"$dir/batches.next"), log),
       s"append: rename failed in $dir")
+  }
+
+  /** Fold every committed batch into one — the read-amplification
+    * bound: readers union all committed batches per read, so after
+    * thousands of appends the (still tiny) sketches read costs
+    * batches x sources rows; compaction folds them back to one. The
+    * LmScore count-table discipline, applied to sketches:
+    *
+    *  - the folded union is written as a NEW batch id (never in place
+    *    — readers of the old log keep working through the whole fold);
+    *  - the log switch is the same atomic write-next/delete/rename the
+    *    appends use, carrying `folded_up_to = max(old committed)` so
+    *    every folded id is permanently burned — replaying an append
+    *    whose batch was folded away stays a no-op;
+    *  - stale batch directories are GC'd only AFTER the switch; a
+    *    crash between switch and GC leaves invisible garbage that the
+    *    next compaction's GC sweeps.
+    *
+    * The folded state is bit-identical to the union the readers were
+    * already computing (theta/tuple/freq merges are the same
+    * aggregates), so every reader column is unchanged.
+    */
+  def compactOverlapSketches(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    import spark.implicits._
+    healOverlapSketches(spark, dir)
+    val (committed, foldedUpTo) = committedBatchIds(spark, dir)
+    require(committed.nonEmpty, s"no committed batches at $dir")
+    val f = fs(spark, dir)
+    if (committed.size > 1) {
+      val newId = committed.max + 1
+      committedSketches(spark, dir)
+        .write.mode("overwrite").parquet(s"$dir/sketches/batch_id=$newId")
+      Seq((newId, math.max(foldedUpTo, committed.max)))
+        .toDF("batch_id", "folded_up_to")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batches.next")
+      val log = new org.apache.hadoop.fs.Path(s"$dir/batches")
+      require(f.delete(log, true), s"compact: delete failed in $dir")
+      require(f.rename(
+        new org.apache.hadoop.fs.Path(s"$dir/batches.next"), log),
+        s"compact: rename failed in $dir")
+    }
+    // GC everything the (possibly just-switched) log no longer names —
+    // folded batches plus any append/crash leftovers
+    val (live, _) = committedBatchIds(spark, dir)
+    f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sketches"))
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .filterNot(st =>
+        live(st.getPath.getName.stripPrefix("batch_id=").toLong))
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   /** Screen a snapshot against the persisted corpus sketches: per

@@ -1463,6 +1463,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts(dir) == counts(plain))
   }
 
+  test("overlap sketches: compaction folds batches, burns replay keys") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val snap = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ov-compact").toString
+    TextAnalysis.writeOverlapSketches(a, dir, n = 3, thetaK = 4096,
+      tupleK = 4096, freqK = 32768)
+    TextAnalysis.appendToOverlapSketches(b, dir, batchId = 1)
+    def screen() = TextAnalysis.overlapVsSketches(snap, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("est_snapshot"),
+        r.getAs[Long]("est_novel"), r.getAs[Long]("est_snapshot_mass"),
+        r.getAs[Long]("est_novel_mass"))).toMap
+    def trend() = TextAnalysis.trendingGrams(spark, dir, topK = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("cnt_lb"))).toSet
+    val screenBefore = screen()
+    val trendBefore = trend()
+    TextAnalysis.compactOverlapSketches(spark, dir)
+    // every reader column unchanged (the folded state is the union the
+    // readers were already computing)
+    assert(screen() == screenBefore)
+    assert(trend() == trendBefore)
+    // exactly one live batch directory remains after the GC
+    def batchDirs() = new java.io.File(s"$dir/sketches").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch_id="))
+    assert(batchDirs().length == 1, batchDirs().toSeq.toString)
+    // replaying a FOLDED batch id is a no-op (the burned high-water
+    // mark, not the committed set, is what blocks it now)
+    TextAnalysis.appendToOverlapSketches(b, dir, batchId = 1)
+    assert(screen() == screenBefore, "folded batch replay re-added mass")
+    assert(batchDirs().length == 1)
+    // fresh appends still work after compaction, and a second
+    // compaction folds them in too
+    TextAnalysis.appendToOverlapSketches(snap, dir, batchId = 5)
+    val full = trend()
+    TextAnalysis.compactOverlapSketches(spark, dir)
+    assert(trend() == full)
+    assert(batchDirs().length == 1)
+    // compacting a single-batch index is a no-op (no rewrite, no churn)
+    val one = java.nio.file.Files.createTempDirectory("ov-compact1").toString
+    TextAnalysis.writeOverlapSketches(a, one, n = 3, thetaK = 4096)
+    TextAnalysis.compactOverlapSketches(spark, one)
+    assert(TextAnalysis.overlapVsSketches(snap, one).count() > 0)
+  }
+
   test("repetition metrics: planted duplicate n-gram fractions") {
     val docs = Seq(
       (0L, "a a a a"),    // 1g: 1-1/4; 2g: 1-1/3; 3g: 1-1/2
