@@ -687,6 +687,12 @@ object TextAnalysis {
     * index state — new batches fold in via
     * [[appendToOverlapSketches]] at batch-sized cost, the corpus is
     * never reread. Requires an index written with `freqK > 0`.
+    *
+    * Composes into a per-doc screen: feed the reported grams to
+    * [[blocklistFlags]] (grams are exactly its consecutive-word
+    * phrases) to flag documents dominated by corpus-trending
+    * boilerplate — the trending state stays incremental, the screen
+    * stays a single codegen text pass.
     */
   def trendingGrams(spark: org.apache.spark.sql.SparkSession, dir: String,
                     topK: Int = 20): DataFrame = {
