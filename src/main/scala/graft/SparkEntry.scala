@@ -1579,6 +1579,24 @@ object SparkEntry {
         .orderBy(col("source"), col("rank"))
     }),
 
+    // ------------- mixture preview off the index -------------
+    //
+    // "How much UNIQUE content does this mixture carry": per-source
+    // vocabularies don't add (mirrors/syndication overlap), and theta
+    // union off the persisted index is exactly the dedup the naive
+    // sum ignores — zero corpus scan. thetaK = 65536 exceeds the
+    // 31^3 = 29791 possible 3-grams, so every sketch (per-source and
+    // union) is in exact mode and DuckDB can recount it exactly.
+
+    "q77_mixture_preview" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q77-idx").toString
+      TextAnalysis.writeOverlapSketches(docs, idx, n = 3, thetaK = 65536)
+      val srcs = Seq("src0", "src1", "src2", "src3")
+      TextAnalysis.mixturePreviewVsSketches(s, idx, srcs)
+    }),
+
     // ------------- Misra-Gries frequent items -------------
     //
     // "Which words are frequent" in ONE pass with deterministic
@@ -1852,6 +1870,23 @@ object SparkEntry {
         |SELECT w, count(*) AS cnt, true AS cms_ok
         |FROM tok WHERE w <> ''
         |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
+
+    // exact mode (thetaK above the possible gram count): the estimates
+    // ARE the exact distinct counts, recomputed here directly.
+    "q77_mixture_preview" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |ng AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM tok))
+        |SELECT count(DISTINCT source) AS n_sources,
+        |  count(*) AS est_sum_distinct,
+        |  count(DISTINCT g) AS est_union_distinct,
+        |  count(*) - count(DISTINCT g) AS est_overlap_discount
+        |FROM ng""".stripMargin,
 
     // cnt_lb == cnt_ub is a theorem (exact regime, see the query doc):
     // the oracle recounts the grams exactly and emits the count twice.

@@ -573,6 +573,37 @@ object TextAnalysis {
       s"append: rename failed in $dir")
   }
 
+  /** Mixture preview off the persisted index: the estimated DISTINCT
+    * n-gram vocabulary of a proposed union of sources — the "how much
+    * unique content does this mixture actually carry" question a
+    * mixture plan needs before materializing anything (per-source
+    * vocabularies don't add; mirrors/syndication overlap, and theta
+    * union is exactly the dedup the sum ignores). Input = the
+    * sources-sized sketch frame; the corpus is never read. Emits the
+    * per-source estimates beside the union estimate so the
+    * overlap discount (sum - union) is visible.
+    */
+  def mixturePreviewVsSketches(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               sources: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "mixture preview needs at least one source")
+    val (_, k, _, _) = overlapManifest(spark, dir)
+    val F = graft.functions.functions
+    val picked = committedSketches(spark, dir)
+      .where(col("source").isin(sources: _*))
+    picked.agg(
+        count(lit(1)).as("n_sources"),
+        sum(round(F.theta_estimate(col("sketch"))).cast("long"))
+          .as("est_sum_distinct"),
+        F.theta_union_agg(col("sketch"), k).as("__u"))
+      .select(col("n_sources"),
+        col("est_sum_distinct"),
+        round(F.theta_estimate(col("__u"))).cast("long")
+          .as("est_union_distinct"))
+      .withColumn("est_overlap_discount",
+        col("est_sum_distinct") - col("est_union_distinct"))
+  }
+
   /** Fold every committed batch into one — the read-amplification
     * bound: readers union all committed batches per read, so after
     * thousands of appends the (still tiny) sketches read costs

@@ -1463,6 +1463,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts(dir) == counts(plain))
   }
 
+  test("mixture preview: union estimate equals exact in exact mode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val E = graft.functions.expressions
+    val dir = java.nio.file.Files.createTempDirectory("ov-mix").toString
+    // theta k large enough that every per-source AND union retained set
+    // stays exact at this scale (sf0.001 distinct 3-grams ~ thousands)
+    TextAnalysis.writeOverlapSketches(docs, dir, n = 3, thetaK = 65536)
+    val srcs = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted.take(3).toSeq
+    val r = TextAnalysis.mixturePreviewVsSketches(spark, dir, srcs).head()
+    assert(r.getAs[Long]("n_sources") == 3)
+    def grams(d: org.apache.spark.sql.DataFrame) = d.select(col("source"),
+      explode(E.word_ngrams(col("text"), 3)).as("g"))
+    val picked = grams(docs.filter(col("source").isin(srcs: _*)))
+    val exactUnion = picked.select(col("g")).distinct().count()
+    val exactSum = picked.distinct().count()
+    assert(r.getAs[Long]("est_union_distinct") == exactUnion,
+      s"union ${r.getAs[Long]("est_union_distinct")} != $exactUnion")
+    assert(r.getAs[Long]("est_sum_distinct") == exactSum)
+    assert(r.getAs[Long]("est_overlap_discount") == exactSum - exactUnion)
+    // the discount is the point: sources share grams at this vocab
+    assert(r.getAs[Long]("est_overlap_discount") > 0)
+  }
+
   test("overlap sketches: compaction folds batches, burns replay keys") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = docs.filter(col("doc_id") % 3 === 1)
