@@ -295,9 +295,17 @@ object FreqSketch {
   /** Sketch over string items (words, sources). */
   def strings(k: Int): FreqSketch = apply(k, StringCodec)
 
+  /** Initial map capacity: pre-size small-k maps to their full load
+    * (no rehash on the way to k entries) but cap the upfront
+    * allocation for large k — a sparse stream under k = 2^24 should
+    * not pay 32M empty slots per aggregation buffer; HashMap grows to
+    * demand either way.
+    */
+  private def initialCapacity(k: Int): Int = math.min(k * 2, 1 << 16)
+
   def apply(k: Int, codec: Codec): FreqSketch = {
     require(k >= 8 && k <= (1 << 24), s"freq sketch k $k out of range [8, 2^24]")
-    new FreqSketch(k, codec, new java.util.HashMap[AnyRef, Ctr](k * 2), 0L, 0L)
+    new FreqSketch(k, codec, new java.util.HashMap[AnyRef, Ctr](initialCapacity(k)), 0L, 0L)
   }
 
   def deserialize(bytes: Array[Byte]): FreqSketch = {
@@ -311,7 +319,7 @@ object FreqSketch {
     val cnt = bb.getInt
     require(k >= 8 && offset >= 0 && n >= 0 && cnt >= 0 && cnt <= k,
       "corrupt freq sketch header")
-    val map = new java.util.HashMap[AnyRef, Ctr](k * 2)
+    val map = new java.util.HashMap[AnyRef, Ctr](initialCapacity(k))
     var i = 0
     while (i < cnt) {
       val item = codec.read(bb)
