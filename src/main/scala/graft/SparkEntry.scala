@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{functions => F}
-import graft.operators.{Ann, Audit, Decontaminate, Dedup, LmScore, Multimodal, Packing, Redact, Sampling, SpanDedup, TextAnalysis}
+import graft.operators.{Ann, Audit, Decontaminate, Dedup, Drift, LmScore, Multimodal, Packing, Redact, Sampling, SpanDedup, TextAnalysis}
 import graft.sources.{TokenDocGen, TokenDocs}
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2),
@@ -1625,6 +1625,44 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ------------- corpus drift monitors -------------
+    //
+    // Two id-slices of `documents` stand in for crawl N vs crawl N+1.
+    // Every double is ONE IEEE division of exact int64 operands (the
+    // q66 rule), the KL columns are bucketed bits (the LmScore
+    // device), and kll_ks_ok is the one statistical gate (q46
+    // pattern) — so the whole panel hash-compares exactly.
+
+    "q78_token_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Drift.tokenDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), topK = 15)
+    }),
+
+    "q79_drift_summary" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Drift.driftSummary(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+
+    "q80_length_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Drift.lengthDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+
+    // ------------- collocations and characteristic vocabulary -------------
+
+    "q81_pmi_phrases" -> ((s, dir) => {
+      TextAnalysis.pmiPhrases(tbl(s, dir, "documents"),
+        topK = 25, minCount = 5L)
+    }),
+
+    "q82_source_keyness" -> ((s, dir) => {
+      TextAnalysis.sourceKeyness(tbl(s, dir, "documents"),
+        topK = 10, minCount = 5L)
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -3053,7 +3091,160 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents
         |      WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0) d
         |LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // drift monitors: same integer cross-multiplied stats; every DOUBLE
+    // is one IEEE division (or deterministic product chain) of exact
+    // int64 operands, identical in both engines
+    "q78_token_drift" ->
+      """WITH ca AS (
+        |  SELECT w, count(*) AS c_a FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE w <> '' GROUP BY w),
+        |cb AS (
+        |  SELECT w, count(*) AS c_b FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE w <> '' GROUP BY w),
+        |cnt AS (
+        |  SELECT coalesce(ca.w, cb.w) AS w,
+        |    coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
+        |    coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(c_b) AS BIGINT) AS tot_b, count(*) AS v FROM cnt)
+        |SELECT w AS word, c_a, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+        |  CAST(c_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+        |  c_a * tot_b - c_b * tot_a AS delta_num,
+        |  CAST((c_a + 1) * (tot_b + v) AS DOUBLE)
+        |    / CAST((c_b + 1) * (tot_a + v) AS DOUBLE) AS lift
+        |FROM cnt CROSS JOIN t
+        |ORDER BY abs(c_a * tot_b - c_b * tot_a) DESC, word ASC
+        |LIMIT 15""".stripMargin,
+
+    "q79_drift_summary" ->
+      """WITH ca AS (
+        |  SELECT w, count(*) AS c_a FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE w <> '' GROUP BY w),
+        |cb AS (
+        |  SELECT w, count(*) AS c_b FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE w <> '' GROUP BY w),
+        |cnt AS (
+        |  SELECT coalesce(ca.w, cb.w) AS w,
+        |    coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
+        |    coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(c_b) AS BIGINT) AS tot_b, count(*) AS v FROM cnt)
+        |SELECT t.tot_a, t.tot_b,
+        |  CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        |  CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+        |  count(*) AS vocab_union,
+        |  CAST(sum(abs(c_a * tot_b - c_b * tot_a)) AS BIGINT) AS tv_num,
+        |  CAST(sum(abs(c_a * tot_b - c_b * tot_a)) AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * CAST(tot_a AS DOUBLE)
+        |       * CAST(tot_b AS DOUBLE)) AS tv,
+        |  CAST(sum(c_a * ((length(bin((c_a + 1) * (tot_b + v))) - 1)
+        |    - (length(bin((c_b + 1) * (tot_a + v))) - 1))) AS BIGINT)
+        |    AS kl_ab_num,
+        |  CAST(sum(c_a * ((length(bin((c_a + 1) * (tot_b + v))) - 1)
+        |    - (length(bin((c_b + 1) * (tot_a + v))) - 1))) AS DOUBLE)
+        |    / CAST(tot_a AS DOUBLE) AS kl_ab_bits,
+        |  CAST(sum(c_b * ((length(bin((c_b + 1) * (tot_a + v))) - 1)
+        |    - (length(bin((c_a + 1) * (tot_b + v))) - 1))) AS BIGINT)
+        |    AS kl_ba_num,
+        |  CAST(sum(c_b * ((length(bin((c_b + 1) * (tot_a + v))) - 1)
+        |    - (length(bin((c_a + 1) * (tot_b + v))) - 1))) AS DOUBLE)
+        |    / CAST(tot_b AS DOUBLE) AS kl_ba_bits
+        |FROM cnt CROSS JOIN t
+        |GROUP BY t.tot_a, t.tot_b, t.v""".stripMargin,
+
+    "q80_length_drift" ->
+      """WITH la AS (
+        |  SELECT len(list_filter(string_split(coalesce(text, ''), ' '),
+        |    x -> x <> '')) AS v
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |lb AS (
+        |  SELECT len(list_filter(string_split(coalesce(text, ''), ' '),
+        |    x -> x <> '')) AS v
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |va AS (SELECT v, count(*) AS cnt_a FROM la GROUP BY v),
+        |vb AS (SELECT v, count(*) AS cnt_b FROM lb GROUP BY v),
+        |cnt AS (
+        |  SELECT coalesce(va.v, vb.v) AS v,
+        |    coalesce(cnt_a, CAST(0 AS BIGINT)) AS cnt_a,
+        |    coalesce(cnt_b, CAST(0 AS BIGINT)) AS cnt_b
+        |  FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+        |cum AS (SELECT v,
+        |  sum(cnt_a) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |  sum(cnt_b) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        |  FROM cnt),
+        |t AS (SELECT (SELECT count(*) FROM la) AS n_a,
+        |  (SELECT count(*) FROM lb) AS n_b)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+        |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks,
+        |  true AS kll_ks_ok
+        |FROM cum CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+
+    "q81_pmi_phrases" ->
+      """WITH wl AS (
+        |  SELECT list_filter(string_split(coalesce(text, ''), ' '),
+        |    x -> x <> '') AS l
+        |  FROM documents),
+        |tok AS (SELECT unnest(l) AS w FROM wl),
+        |uni AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+        |n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM uni),
+        |bi0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM wl),
+        |bi AS (SELECT l[i] || ' ' || l[i + 1] AS g FROM bi0),
+        |cb AS (SELECT g, count(*) AS c_ab FROM bi GROUP BY g
+        |       HAVING count(*) >= 5)
+        |SELECT g AS gram, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+        |  CAST(c_ab * n AS DOUBLE)
+        |    / CAST(ua.c_w * ub.c_w AS DOUBLE) AS lift,
+        |  (length(bin(c_ab * n)) - 1)
+        |    - (length(bin(ua.c_w * ub.c_w)) - 1) AS pmi_bits
+        |FROM cb CROSS JOIN n
+        |JOIN uni ua ON ua.w = split_part(g, ' ', 1)
+        |JOIN uni ub ON ub.w = split_part(g, ' ', 2)
+        |ORDER BY lift DESC, gram ASC
+        |LIMIT 25""".stripMargin,
+
+    "q82_source_keyness" ->
+      """WITH sw AS (
+        |  SELECT source, w, count(*) AS c_sw FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY source, w),
+        |ps AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS tot_s
+        |       FROM sw GROUP BY source),
+        |gl AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+        |       FROM sw GROUP BY w),
+        |t AS (SELECT CAST(sum(c_sw) AS BIGINT) AS tot FROM sw),
+        |scored AS (
+        |  SELECT sw.source, sw.w AS word, sw.c_sw, gl.c_w,
+        |    CAST(sw.c_sw * t.tot AS DOUBLE)
+        |      / CAST(gl.c_w * ps.tot_s AS DOUBLE) AS lift,
+        |    (length(bin(sw.c_sw * t.tot)) - 1)
+        |      - (length(bin(gl.c_w * ps.tot_s)) - 1) AS keyness_bits
+        |  FROM sw JOIN ps USING (source) JOIN gl ON sw.w = gl.w
+        |  CROSS JOIN t
+        |  WHERE sw.c_sw >= 5),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY lift DESC, word ASC) AS r FROM scored)
+        |SELECT source, word, c_sw, c_w, lift, keyness_bits
+        |FROM rk WHERE r <= 10
+        |ORDER BY source, lift DESC, word""".stripMargin
   ).filter(_._2.nonEmpty)
 
   /** Shared oracle for the exact and LSH embedding near-dup queries (the

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitors — compare two snapshots of the training corpus
+  * (crawl N vs crawl N+1, or any two id/source slices) BEFORE a model is
+  * trained on the newer one. Three views:
+  *
+  *  - [[tokenDrift]]: which words moved — per-word counts in both
+  *    snapshots ranked by the integer mass delta |c_a*totB - c_b*totA|
+  *    (the word's contribution to total-variation distance, cross-
+  *    multiplied so it stays exact in int64).
+  *  - [[driftSummary]]: one-row distance panel — total-variation
+  *    distance from the same integer numerator, and add-one-smoothed
+  *    KL divergence in power-of-two-BUCKETED bits (the LmScore.scala
+  *    device: floor(log2) via binary-string length is pure integer
+  *    arithmetic, so the sum is exact and engine-independent; see
+  *    LmScore's scaladoc for why bucketing is the price of an exact
+  *    cross-engine oracle).
+  *  - [[lengthDrift]]: did the document-LENGTH distribution move —
+  *    exact two-sample Kolmogorov-Smirnov statistic over n_tok
+  *    (cross-multiplied cumulative counts, exact in int64), beside a
+  *    KLL-sketch estimate of the same statistic with a wide gate
+  *    (`kll_ks_ok`, the q46 `hll_ok` pattern: the SQL oracle pins it
+  *    true; tight error assertions live in sbt where a red run means a
+  *    bug, not tail luck). At 10^12 rows the exact path's value table
+  *    is still small (distinct n_tok values, not rows) but costs a full
+  *    corpus groupBy per snapshot; the KLL path rides whatever
+  *    aggregation already scans the corpus and ships two ~KB sketches.
+  *
+  * Float discipline (the q66 rule): every double column is ONE IEEE
+  * division (or product chain) of exactly-representable integer
+  * operands, identical bit-for-bit in Spark and DuckDB — no
+  * transcendental functions, no order-dependent float sums. All sums
+  * happen in int64.
+  *
+  * Scale shape: one word explode per snapshot -> vocab-sized count
+  * frames (checkpointed once, so the totals pass does not rescan the
+  * corpus — the q65 double-scan lesson), then everything downstream is
+  * vocab-sized. No corpus-sized join, no driver collect.
+  */
+object Drift {
+
+  /** Word stream of a document frame: maximal runs of non-space
+    * characters (texts are single-space separated; same contract as
+    * the q19 oracle).
+    */
+  private def wordsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** floor(log2(x)) for a positive int64 column, as pure integer
+    * arithmetic (binary-string length), exactly replicable in SQL.
+    */
+  private def blog2(x: Column): Column = length(bin(x)) - 1
+
+  /** Per-word counts of both snapshots, full-outer joined and
+    * checkpointed (vocab-sized), plus the totals row.
+    */
+  private def countsAndTotals(docsA: DataFrame, docsB: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ca = wordsOf(docsA).groupBy(col("w"))
+      .agg(count(lit(1)).as("c_a"))
+    val cb = wordsOf(docsB).groupBy(col("w"))
+      .agg(count(lit(1)).as("c_b"))
+    // checkpoint: totals + report both read this frame; lazy plans
+    // would re-run both corpus explodes per consumer (q65 lesson)
+    val cnt = ca.join(cb, Seq("w"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .localCheckpoint(true)
+    val totals = cnt.agg(
+      sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"),
+      count(lit(1)).as("v_union"))
+    (cnt, totals)
+  }
+
+  /** Top-`topK` drifting words between snapshots A and B, ranked by the
+    * exact integer TV-mass delta. Columns: `word, c_a, c_b, p_a, p_b`
+    * (each ONE div of exact operands), `delta_num` =
+    * c_a*tot_b - c_b*tot_a (int64; its abs, summed over the vocab, is
+    * the TV numerator), and `lift` = smoothed frequency ratio
+    * (c_a+1)(tot_b+V) / ((c_b+1)(tot_a+V)) as one div of exact int64
+    * products. Ties at the cut break on the word itself so the top-K
+    * SET is engine-independent.
+    *
+    * int64 ranges: products are <= c * tot <= tot^2; exact for corpora
+    * to ~3e9 tokens per snapshot. Beyond that, pre-aggregate per
+    * source/shard and diff shards (the numbers a drift DASHBOARD wants
+    * are per-slice anyway).
+    */
+  def tokenDrift(docsA: DataFrame, docsB: DataFrame,
+                 topK: Int = 20): DataFrame = {
+    val (cnt, totals) = countsAndTotals(docsA, docsB)
+    cnt.crossJoin(broadcast(totals))
+      .select(col("w").as("word"), col("c_a"), col("c_b"),
+        (col("c_a").cast("double") / col("tot_a").cast("double"))
+          .as("p_a"),
+        (col("c_b").cast("double") / col("tot_b").cast("double"))
+          .as("p_b"),
+        (col("c_a") * col("tot_b") - col("c_b") * col("tot_a"))
+          .as("delta_num"),
+        (((col("c_a") + 1) * (col("tot_b") + col("v_union"))).cast("double")
+          / ((col("c_b") + 1) * (col("tot_a") + col("v_union")))
+            .cast("double")).as("lift"))
+      .orderBy(abs(col("delta_num")).desc, col("word").asc)
+      .limit(topK)
+  }
+
+  /** One-row drift panel between snapshots A and B:
+    * `tot_a, tot_b, vocab_a, vocab_b, vocab_union`,
+    * `tv_num` = sum |c_a*tot_b - c_b*tot_a| (exact int64),
+    * `tv` = tv_num / (2*tot_a*tot_b) in [0,1] (denominator multiplied
+    * in double — deterministic IEEE, overflow-free at any scale),
+    * `kl_ab_num`/`kl_ba_num` = add-one-smoothed KL numerators in
+    * bucketed bits: sum_w c_a(w) * [blog2((c_a+1)(tot_b+V)) -
+    * blog2((c_b+1)(tot_a+V))] (exact int64; the bucketed-log margin
+    * device from LmScore.contrastiveScore), and `kl_ab_bits`/
+    * `kl_ba_bits` = numerator / tot (one div each). Bucketed KL is
+    * coarse (floor-log2 quantization) but exact and mergeable — the
+    * monitor wants "did it move and which direction", not nats to four
+    * places; scoreDocsPrecise-style float KL can sit beside it in sbt.
+    */
+  def driftSummary(docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    val (cnt, totals) = countsAndTotals(docsA, docsB)
+    val margAB = blog2((col("c_a") + 1) * (col("tot_b") + col("v_union"))) -
+      blog2((col("c_b") + 1) * (col("tot_a") + col("v_union")))
+    cnt.crossJoin(broadcast(totals))
+      .agg(
+        first(col("tot_a")).as("tot_a"),
+        first(col("tot_b")).as("tot_b"),
+        sum(when(col("c_a") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("c_b") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        count(lit(1)).as("vocab_union"),
+        sum(abs(col("c_a") * col("tot_b") - col("c_b") * col("tot_a")))
+          .as("tv_num"),
+        sum(col("c_a") * margAB).as("kl_ab_num"),
+        sum(col("c_b") * negate(margAB)).as("kl_ba_num"))
+      .select(col("tot_a"), col("tot_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_union"), col("tv_num"),
+        (col("tv_num").cast("double")
+          / (lit(2.0d) * col("tot_a").cast("double")
+            * col("tot_b").cast("double"))).as("tv"),
+        col("kl_ab_num"),
+        (col("kl_ab_num").cast("double") / col("tot_a").cast("double"))
+          .as("kl_ab_bits"),
+        col("kl_ba_num"),
+        (col("kl_ba_num").cast("double") / col("tot_b").cast("double"))
+          .as("kl_ba_bits"))
+  }
+
+  /** Document-length (n_tok = word count) distribution drift: the exact
+    * two-sample KS statistic plus a KLL-sketch estimate of the same
+    * number. One row: `n_a, n_b` (doc counts), `ks_num` =
+    * max_v |cumA(v)*n_b - cumB(v)*n_a| (exact int64 over the
+    * distinct-length value table), `ks` = ks_num / (n_a*n_b) (IEEE div,
+    * double-product denominator), `kll_ks_ok` = |KS from two k=`kllK`
+    * KLL sketches - exact| <= `gate`. Gate width: each KLL rank query
+    * is within ~1/100 normalized rank at k=200 (SketchSpec pins 0.02 on
+    * fixed corpora); the estimate differs from exact by at most two
+    * rank errors, so 0.08 is ~4x the pinned worst case — trip means
+    * estimator breakage, not tail luck (q46 `hll_ok` pattern; the SQL
+    * oracle pins it true).
+    *
+    * Exact-path shape: groupBy(n_tok) per snapshot (corpus-sized scan,
+    * value-table-sized result), then ONE single-partition window over
+    * the distinct-length table — bounded by max document length, not
+    * corpus size. The KLL side is two tiny aggregates; the two sketch
+    * blobs are the only driver collect.
+    */
+  def lengthDrift(docsA: DataFrame, docsB: DataFrame,
+                  kllK: Int = 200, gate: Double = 0.08): DataFrame = {
+    val F = graft.functions.functions
+    // native codegen word count (q19 pins tokenize-count == space-split
+    // count on this corpus shape; a HOF filter here would be
+    // CodegenFallback per row)
+    def lens(docs: DataFrame): DataFrame =
+      docs.select(size(graft.functions.functions.tokenize(col("text")))
+        .as("n_tok"))
+    val la = lens(docsA).localCheckpoint(true)
+    val lb = lens(docsB).localCheckpoint(true)
+    val va = la.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_a"))
+    val vb = lb.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = va.join(vb, Seq("n_tok"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .select(col("n_tok"),
+        sum(col("cnt_a")).over(w).as("cum_a"),
+        sum(col("cnt_b")).over(w).as("cum_b"))
+    // totals come off the checkpointed length frames (cheap counts, no
+    // corpus rescan); cross-multiplying by them inside the max keeps
+    // the whole KS numerator in int64
+    val nA = la.count()
+    val nB = lb.count()
+    val ksRow = cum
+      .agg(max(abs(col("cum_a") * lit(nB) - col("cum_b") * lit(nA)))
+        .as("ks_num"))
+    val skA = la.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
+      .head().getAs[Array[Byte]](0)
+    val skB = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
+      .head().getAs[Array[Byte]](0)
+    val a = graft.core.KllSketch.deserialize(skA)
+    val b = graft.core.KllSketch.deserialize(skB)
+    // evaluate |F_A - F_B| on both sketches' quantile grids (the KS sup
+    // is attained at a support point of one of the samples; 401 grid
+    // points per side covers every retained-item step at k=200)
+    val estKs = (0 to 400).iterator.flatMap { i =>
+      val q = i / 400.0
+      Iterator(a.quantile(q), b.quantile(q))
+    }.map(v => math.abs(a.rank(v) - b.rank(v))).max
+    ksRow.select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("ks_num"),
+      (col("ks_num").cast("double")
+        / (lit(nA).cast("double") * lit(nB).cast("double"))).as("ks"),
+      (abs(lit(estKs) - col("ks_num").cast("double")
+        / (lit(nA).cast("double") * lit(nB).cast("double"))) <= gate)
+        .as("kll_ks_ok"))
+  }
+}

@@ -771,6 +771,94 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Collocation mining: top-`topK` word bigrams by pointwise-mutual-
+    * information LIFT — c(ab)*N / (c(a)*c(b)), the ratio whose log2 is
+    * PMI. Phrases ("new york") surface data-entry artifacts and
+    * candidate tokenizer merges. Two exact integer-derived scores per
+    * gram: `lift` (ONE IEEE div of exact int64 products — bit-identical
+    * cross-engine, the q66 rule) and `pmi_bits` = floor-log2 PMI as
+    * pure integer arithmetic (the LmScore bucketed-bits device), plus
+    * the raw counts. `minCount` floors c(ab) so rare-pair noise (whose
+    * lift is huge by chance) stays out; ties at the cut break on the
+    * gram string.
+    *
+    * Shape at scale: one all-occurrences bigram explode + one word
+    * explode, two vocab-sized groupBys, joins on the vocab-sized
+    * frames. No corpus-sized join. int64 stays exact to ~3e9 tokens
+    * per corpus slice (pre-slice beyond that).
+    */
+  def pmiPhrases(docs: DataFrame, topK: Int = 30,
+                 minCount: Long = 5L): DataFrame = {
+    val E = graft.functions.expressions
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(true)
+    val bi = docs.select(
+        explode(E.word_ngrams_all(col("text"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val n = uni.agg(sum(col("c_w"))).head().getLong(0)
+    def blog2(x: Column): Column = length(bin(x)) - 1
+    bi.withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c_w", "c_a"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c_w", "c_b"), Seq("w2"))
+      .select(col("g").as("gram"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * lit(n)).cast("double")
+          / (col("c_a") * col("c_b")).cast("double")).as("lift"),
+        (blog2(col("c_ab") * lit(n)) - blog2(col("c_a") * col("c_b")))
+          .as("pmi_bits"))
+      .orderBy(col("lift").desc, col("gram").asc)
+      .limit(topK)
+  }
+
+  /** Characteristic vocabulary per source: top-`topK` words by keyness
+    * LIFT p(w|source)/p(w|corpus) = c_sw*tot / (c_w*tot_s) — which
+    * words make this source THIS source (a mixture-design and
+    * contamination-triage view: a code source whose key terms are
+    * suddenly celebrity names has a crawl problem). Same float
+    * discipline as [[pmiPhrases]]: `lift` is one div of exact int64
+    * products, `keyness_bits` its floor-log2 twin, `minCount` floors
+    * c_sw, ties break on the word. Per-source ranking is a window over
+    * the (source x vocab)-sized count frame — corpus-sized work is the
+    * one word explode.
+    */
+  def sourceKeyness(docs: DataFrame, topK: Int = 10,
+                    minCount: Long = 5L): DataFrame = {
+    // ONE corpus explode; checkpoint the (source x vocab)-sized count
+    // frame (NOT the corpus-sized word stream) so the three downstream
+    // aggregations never rescan the corpus (q65 lesson)
+    val sw = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
+    val perSource = sw.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("tot_s"))
+    val global = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = sw.agg(sum(col("c_sw"))).head().getLong(0)
+    def blog2(x: Column): Column = length(bin(x)) - 1
+    val scored = sw.filter(col("c_sw") >= minCount)
+      .join(broadcast(perSource), Seq("source"))
+      .join(global, Seq("w"))
+      .select(col("source"), col("w").as("word"), col("c_sw"), col("c_w"),
+        ((col("c_sw") * lit(tot)).cast("double")
+          / (col("c_w") * col("tot_s")).cast("double")).as("lift"),
+        (blog2(col("c_sw") * lit(tot)) - blog2(col("c_w") * col("tot_s")))
+          .as("keyness_bits"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= topK)
+      .drop("rk")
+      .orderBy(col("source"), col("lift").desc, col("word").asc)
+  }
+
   /** Gopher-style quality-rule battery (Rae et al. 2021, A1.1 — the
     * standard pre-training filter set): per-doc signal columns plus a
     * boolean per rule and the composite `keep`. The raw signals come

@@ -1,0 +1,141 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Drift, TextAnalysis}
+
+/** Drift monitors and collocation/keyness stats on constructed corpora
+  * with hand-computed answers — the exact-arithmetic complement to the
+  * q78-q82 DuckDB oracle replay.
+  */
+class DriftSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("tokenDrift: identical snapshots have zero deltas, unit lift") {
+    val a = docs(0L -> "x y z", 1L -> "x x y")
+    val rep = Drift.tokenDrift(a, a, topK = 10).collect()
+    assert(rep.length == 3)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("delta_num") == 0L)
+      assert(r.getAs[Double]("lift") == 1.0)
+      assert(r.getAs[Double]("p_a") == r.getAs[Double]("p_b"))
+    }
+  }
+
+  test("tokenDrift: planted shift ranks the moved word first, exact numbers") {
+    // A: x*4 y*2; B: x*1 y*2 z*3  (totA=6, totB=6)
+    val a = docs(0L -> "x x x x y y")
+    val b = docs(1L -> "x y y z z z")
+    val rep = Drift.tokenDrift(a, b, topK = 10).collect()
+    // deltas: x: 4*6-1*6=18, z: 0*6-3*6=-18, y: 2*6-2*6=0
+    // |18| ties break on the word: "x" < "z"
+    assert(rep.map(_.getAs[String]("word")).toSeq == Seq("x", "z", "y"))
+    val x = rep(0)
+    assert(x.getAs[Long]("delta_num") == 18L)
+    assert(x.getAs[Double]("p_a") == 4.0 / 6.0)
+    assert(x.getAs[Double]("p_b") == 1.0 / 6.0)
+    // smoothed lift, V=3: (4+1)*(6+3) / ((1+1)*(6+3)) = 45/18
+    assert(x.getAs[Double]("lift") == 45.0 / 18.0)
+    assert(rep(1).getAs[Long]("delta_num") == -18L)
+  }
+
+  test("driftSummary: zero on identical snapshots, exact TV on a planted one") {
+    val a = docs(0L -> "x x x x y y")
+    val same = Drift.driftSummary(a, a).head()
+    assert(same.getAs[Long]("tv_num") == 0L)
+    assert(same.getAs[Double]("tv") == 0.0)
+    assert(same.getAs[Long]("kl_ab_num") == 0L)
+    assert(same.getAs[Long]("kl_ba_num") == 0L)
+
+    val b = docs(1L -> "x y y z z z")
+    val s = Drift.driftSummary(a, b).head()
+    assert(s.getAs[Long]("tot_a") == 6L && s.getAs[Long]("tot_b") == 6L)
+    assert(s.getAs[Long]("vocab_a") == 2L && s.getAs[Long]("vocab_b") == 3L)
+    assert(s.getAs[Long]("vocab_union") == 3L)
+    // tv_num = |18| + |0| + |-18| = 36; tv = 36/(2*6*6) = 0.5
+    assert(s.getAs[Long]("tv_num") == 36L)
+    assert(s.getAs[Double]("tv") == 0.5)
+    // bucketed KL(A||B), V=3: per word c_a*(blog2((c_a+1)*9)-blog2((c_b+1)*9))
+    //  x: 4*(blog2(45)-blog2(18)) = 4*(5-4) = 4
+    //  y: 2*(blog2(27)-blog2(27)) = 0 ; z: c_a=0 contributes 0
+    assert(s.getAs[Long]("kl_ab_num") == 4L)
+    assert(s.getAs[Double]("kl_ab_bits") == 4.0 / 6.0)
+    // KL(B||A): x: 1*(blog2(18)-blog2(45)) = -1; y: 0;
+    //  z: 3*(blog2(36)-blog2(9)) = 3*(5-3) = 6  => 5
+    assert(s.getAs[Long]("kl_ba_num") == 5L)
+  }
+
+  test("lengthDrift: zero KS on same lengths, 1.0 on disjoint, gate holds") {
+    val a = docs(0L -> "a b c", 1L -> "d e")        // lengths 3, 2
+    val b = docs(2L -> "f g h", 3L -> "i j")        // lengths 3, 2
+    val same = Drift.lengthDrift(a, b).head()
+    assert(same.getAs[Long]("ks_num") == 0L)
+    assert(same.getAs[Double]("ks") == 0.0)
+    assert(same.getAs[Boolean]("kll_ks_ok"))
+
+    val c = docs(4L -> "k l m n o p", 5L -> "q r s t u v w")  // 6, 7
+    val far = Drift.lengthDrift(a, c).head()
+    assert(far.getAs[Double]("ks") == 1.0)
+    assert(far.getAs[Boolean]("kll_ks_ok"))
+  }
+
+  test("lengthDrift: KLL estimate tracks exact KS on a shifted corpus") {
+    // 2000 docs of length ~U[10,60] vs ~U[30,80]: true KS ~ 0.4
+    def mk(seed: Int, lo: Int, hi: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 2000).map { i =>
+        val len = lo + rnd.nextInt(hi - lo)
+        (i.toLong, Seq.fill(len)("w").mkString(" "))
+      }
+    }
+    val a = docs(mk(1, 10, 60): _*)
+    val b = docs(mk(2, 30, 80): _*)
+    val r = Drift.lengthDrift(a, b).head()
+    assert(r.getAs[Double]("ks") > 0.3 && r.getAs[Double]("ks") < 0.5)
+    assert(r.getAs[Boolean]("kll_ks_ok"),
+      s"KLL KS estimate outside the 0.08 gate of exact ${r.getAs[Double]("ks")}")
+  }
+
+  test("pmiPhrases: planted collocation tops the list with exact lift") {
+    // "aa bb" always adjacent (4 times); fillers independent
+    val d = docs(
+      0L -> "aa bb cc dd",
+      1L -> "aa bb dd cc",
+      2L -> "cc aa bb dd",
+      3L -> "dd cc aa bb")
+    val top = TextAnalysis.pmiPhrases(d, topK = 5, minCount = 2L).collect()
+    assert(top.nonEmpty)
+    val first = top.head
+    assert(first.getAs[String]("gram") == "aa bb")
+    assert(first.getAs[Long]("c_ab") == 4L)
+    // N = 16 words total; c(aa)=c(bb)=4 => lift = 4*16/(4*4) = 4.0
+    assert(first.getAs[Double]("lift") == 4.0)
+    assert(first.getAs[Int]("pmi_bits") == 2)
+  }
+
+  test("sourceKeyness: source-exclusive word has max lift, shared word ~1") {
+    val d = Seq(
+      (0L, "code code code the the", "github"),
+      (1L, "code code code the the", "github"),
+      (2L, "news news news the the", "cnn"),
+      (3L, "news news news the the", "cnn"))
+      .toDF("doc_id", "text", "source")
+    val k = TextAnalysis.sourceKeyness(d, topK = 2, minCount = 2L).collect()
+    val gh = k.filter(_.getAs[String]("source") == "github")
+    assert(gh.head.getAs[String]("word") == "code")
+    // lift(code|github) = c_sw*tot/(c_w*tot_s) = 6*20/(6*10) = 2.0
+    assert(gh.head.getAs[Double]("lift") == 2.0)
+    val the = gh.find(_.getAs[String]("word") == "the").get
+    assert(the.getAs[Double]("lift") == 1.0)
+  }
+}
