@@ -918,6 +918,74 @@ object Bench {
       docs.unpersist()
     }
 
+    // ---- b20: corpus drift monitors — crawl A vs crawl B, planted burst ----
+    // Two independently-seeded 200k-doc crawls (same generator, so the
+    // base distributions agree) with a planted 2,000-doc burst of one
+    // novel word in B (~0.5% of B's mass). The panel must rank the
+    // burst word first and put TV at-or-above the burst's one-sided
+    // mass/2; the length monitor exercises the KLL-estimate gate at
+    // real scale (identical length laws -> tiny exact KS, and the
+    // sketch estimate must sit within the 0.08 gate of it, which a
+    // broken estimator would miss). Interleaved trials, arrays
+    // published; acceptance requires non-degenerate planted results so
+    // a regression cannot pass by computing nothing.
+    var b20SummaryTrials = List.empty[Double]
+    var b20TokenTrials = List.empty[Double]
+    var b20LengthTrials = List.empty[Double]
+    var b20Tv = 0.0
+    var b20Ks = 0.0
+    locally {
+      import graft.operators.Drift
+      def toText(df: DataFrame): DataFrame = df.select(
+        concat_ws(" ", transform(col("tokens"),
+          t => concat(lit("wx"), t.cast("string")))).as("text"))
+      val a = toText(TokenDocGen.generateDf(spark, 200000, 71L, cpus))
+        .persist()
+      val burst = spark.range(2000).select(
+        lit(Seq.fill(100)("driftburst").mkString(" ")).as("text"))
+      val b = toText(TokenDocGen.generateDf(spark, 200000, 72L, cpus))
+        .unionByName(burst).persist()
+      a.count(); b.count()
+      def summaryJob(): Double =
+        Drift.driftSummary(a, b).head().getAs[Double]("tv")
+      def tokenJob(): String =
+        Drift.tokenDrift(a, b, topK = 10).head().getAs[String]("word")
+      def lengthJob(): (Double, Boolean) = {
+        val r = Drift.lengthDrift(a, b).head()
+        (r.getAs[Double]("ks"), r.getAs[Boolean]("kll_ks_ok"))
+      }
+      summaryJob() // warm-up (warms both corpus scans)
+      val suT = scala.collection.mutable.ArrayBuffer[Double]()
+      val toT = scala.collection.mutable.ArrayBuffer[Double]()
+      val leT = scala.collection.mutable.ArrayBuffer[Double]()
+      var topWord = ""
+      var kllOk = false
+      (1 to 3).foreach { _ =>
+        val (tv, t1) = time(summaryJob())
+        val (w, t2) = time(tokenJob())
+        val ((ks, ok), t3) = time(lengthJob())
+        b20Tv = tv; topWord = w; b20Ks = ks; kllOk = ok
+        suT += t1; toT += t2; leT += t3
+      }
+      require(topWord == "driftburst",
+        s"b20: planted burst word must top the drift report, got $topWord")
+      // burst mass: 200k occurrences vs ~37.3M words/side -> p_b ~ 0.0053,
+      // TV >= p_b/2 ~ 0.0027 from the burst alone
+      require(b20Tv > 0.002 && b20Tv < 0.2,
+        s"b20: TV $b20Tv outside the planted-burst band")
+      require(kllOk,
+        s"b20: KLL KS estimate left the 0.08 gate of exact $b20Ks")
+      require(b20Ks < 0.05,
+        s"b20: same-law length KS should be small, got $b20Ks")
+      b20SummaryTrials = suT.toList
+      b20TokenTrials = toT.toList
+      b20LengthTrials = leT.toList
+      results += "b20_drift_summary_200k" -> suT.min
+      results += "b20_token_drift_200k" -> toT.min
+      results += "b20_length_drift_200k" -> leT.min
+      a.unpersist(); b.unpersist()
+    }
+
     // ---- IVF recall/nprobe curve (index-quality regression guard) ----
     // q25/q32 gate a single recall point; the curve makes index-quality
     // regressions visible across rounds the way perf ones are.
@@ -1015,6 +1083,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_sketch_trials":${b19SketchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_exact_trials":${b19ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_max_err_frac":$b19MaxErrFrac%.6f,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_sketch_trials":${b19SketchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_exact_trials":${b19ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_max_err_frac":$b19MaxErrFrac%.6f,"b20_summary_trials":${b20SummaryTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_token_trials":${b20TokenTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_length_trials":${b20LengthTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_tv":$b20Tv%.6f,"b20_ks":$b20Ks%.6f,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }
