@@ -217,4 +217,86 @@ object Drift {
         / (lit(nA).cast("double") * lit(nB).cast("double"))) <= gate)
         .as("kll_ks_ok"))
   }
+
+  /** Streaming twin of the token-drift monitor: per-window drift vs a
+    * REFERENCE token distribution, computed off the windowed sketch
+    * panel's Misra-Gries column
+    * ([[graft.streaming.StreamingSketches.windowedSourceSketches]] with
+    * `freqK > 0`). The stream itself maintains ONE k-bounded buffer per
+    * open window — no per-token state, no second streaming aggregation;
+    * finalized windows land in a sink, and this READER (batch, over the
+    * sink — the trendingGrams pattern) turns each into a drift row
+    * without touching the stream again.
+    *
+    * Per (win_start, win_end, source): `tv_num` =
+    * sum_t |c_win(t)·ref_total − c_ref(t)·n_tokens| over the union of
+    * the reference vocabulary and the window's sketch entries, `tv` the
+    * [0,1] total-variation distance from it (one deterministic IEEE
+    * chain), `top_token`/`top_delta_num` the largest mover (ties break
+    * on the token string — max over a (|delta|, t) struct), and `exact`
+    * = the sketch's maxError was 0 for this window (window vocab ≤
+    * freqK), in which case every number is EXACT — the regime the
+    * panel is sized for. Past that regime entry counts are lower
+    * bounds each within maxError of truth, and `tv` is an estimate.
+    *
+    * Work shape: windows×refVocab join rows, nothing corpus-sized; the
+    * reference frame is checkpointed once (it usually derives from a
+    * corpus explode — don't pay that per consumer, the q65 lesson).
+    * Each finalized window must appear once (Append-mode sink rows).
+    */
+  def windowedTokenDrift(windowed: DataFrame, ref: DataFrame): DataFrame = {
+    val F = graft.functions.functions
+    val keys = Seq("win_start", "win_end", "source")
+    val refC = ref.select(col("t").cast("string").as("t"),
+        col("c_ref").cast("bigint").as("c_ref"))
+      .localCheckpoint(true)
+    val totals = refC.agg(sum(col("c_ref")).as("ref_total"))
+    val wins = windowed.select(
+      keys.map(col) ++ Seq(col("n_tokens"),
+        (col("freq_max_err") === 0L).as("exact"), col("freq")): _*)
+    // both sides of the joins below derive from `wins`; checkpoint the
+    // two windows-sized frames so their lineages (and attribute ids)
+    // are independent — a shared-lineage self-join trips Catalyst's
+    // conflicting-reference resolution on sink-view plans
+    val ent = wins
+      .select(keys.map(col) :+
+        explode(F.freq_entries(col("freq"))).as("e"): _*)
+      .select(keys.map(col) ++
+        Seq(col("e._1").as("t"), col("e._2").as("c_win")): _*)
+      .localCheckpoint(true)
+    val winMeta = wins.select(
+      keys.map(col) ++ Seq(col("n_tokens"), col("exact")): _*)
+      .localCheckpoint(true)
+    val cols = (keys ++ Seq("t", "c_win", "c_ref", "n_tokens", "exact"))
+      .map(col)
+    // reference vocab per window (absent tokens count as c_win = 0) ...
+    val onRef = winMeta.crossJoin(broadcast(refC))
+      .join(ent, keys :+ "t", "left")
+      .na.fill(0L, Seq("c_win"))
+      .select(cols: _*)
+    // ... plus window entries OUTSIDE the reference vocab (c_ref = 0)
+    val offRef = ent.join(broadcast(refC), Seq("t"), "left_anti")
+      .join(winMeta, keys)
+      .withColumn("c_ref", lit(0L))
+      .select(cols: _*)
+    onRef.unionByName(offRef)
+      .crossJoin(broadcast(totals))
+      .withColumn("delta_num",
+        col("c_win") * col("ref_total") - col("c_ref") * col("n_tokens"))
+      .groupBy(keys.map(col): _*)
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("ref_total")).as("ref_total"),
+        sum(abs(col("delta_num"))).as("tv_num"),
+        max(struct(abs(col("delta_num")).as("d"), col("t").as("t"),
+          col("delta_num").as("raw"))).as("__top"),
+        first(col("exact")).as("exact"))
+      .select(keys.map(col) ++ Seq(col("n_tokens"), col("ref_total"),
+        col("tv_num"),
+        (col("tv_num").cast("double")
+          / (lit(2.0d) * col("n_tokens").cast("double")
+            * col("ref_total").cast("double"))).as("tv"),
+        col("__top.t").as("top_token"),
+        col("__top.raw").as("top_delta_num"),
+        col("exact")): _*)
+  }
 }

@@ -413,6 +413,47 @@ class StreamingSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("windowed token drift vs reference off the freq column (exact regime)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    def row(min: Int, src: String, lo: Int, hi: Int) =
+      (ts(min), src, (lo to hi).toArray, hi - lo + 1)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Array[Int], Int)]
+    val windows = StreamingSketches.windowedSourceSketches(
+      stream.toDS().toDF("ts", "source", "tokens", "n_tok"),
+      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01,
+      freqK = 256)
+    val q = windows.writeStream.format("memory").queryName("win_drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq(row(1, "s0", 1, 40), row(4, "s0", 21, 60)))
+      q.processAllAvailable()
+      stream.addData(Seq(row(7, "s0", 41, 80), row(29, "s0", 500, 510)))
+      q.processAllAvailable()
+      stream.addData(Seq(row(31, "s0", 600, 610))); q.processAllAvailable()
+    } finally q.stop()
+    // window A = [10:00,10:10): counts 1..20 -> 1, 21..60 -> 2,
+    // 61..80 -> 1, n_tokens = 120; reference = tokens 11..70 once each
+    val ref = (11 to 70).map(t => (t, 1L)).toDF("t", "c_ref")
+    val sink = spark.sql(
+      "SELECT * FROM win_drift WHERE win_start = '2026-01-01 10:00:00'")
+    val out = graft.operators.Drift.windowedTokenDrift(sink, ref).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Boolean]("exact"))
+    assert(r.getAs[Long]("n_tokens") == 120L)
+    assert(r.getAs[Long]("ref_total") == 60L)
+    // |c_win*60 - c_ref*120| per token: 60 for 1..20 and 61..80
+    // (win-only or count-1-vs-ref), 0 for 21..60 -> tv_num = 40*60
+    assert(r.getAs[Long]("tv_num") == 2400L)
+    assert(r.getAs[Double]("tv") == 2400.0 / 14400.0)
+    // every mover ties at |delta| = 60; the tie breaks on the rendered
+    // token string, whose max among {1..20, 61..80} is "9"
+    assert(r.getAs[String]("top_token") == "9")
+    assert(r.getAs[Long]("top_delta_num") == 60L)
+  }
+
   test("gopher battery runs unchanged on a stream (stateless projection)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
