@@ -55,25 +55,30 @@ object Drift {
     */
   private def blog2(x: Column): Column = length(bin(x)) - 1
 
-  /** Per-word counts of both snapshots, full-outer joined and
-    * checkpointed (vocab-sized), plus the totals row.
+  /** Per-word counts of both snapshots (`w, c_a, c_b`), full-outer
+    * joined and checkpointed (vocab-sized). Public so a caller that
+    * wants BOTH drift views pays the two corpus explodes once:
+    * `val cnt = wordCounts(a, b)` then [[tokenDriftFromCounts]] +
+    * [[driftSummaryFromCounts]] read the checkpointed frame. The
+    * two-argument [[tokenDrift]]/[[driftSummary]] are one-call
+    * conveniences that each build their own counts.
     */
-  private def countsAndTotals(docsA: DataFrame, docsB: DataFrame)
-      : (DataFrame, DataFrame) = {
+  def wordCounts(docsA: DataFrame, docsB: DataFrame): DataFrame = {
     val ca = wordsOf(docsA).groupBy(col("w"))
       .agg(count(lit(1)).as("c_a"))
     val cb = wordsOf(docsB).groupBy(col("w"))
       .agg(count(lit(1)).as("c_b"))
     // checkpoint: totals + report both read this frame; lazy plans
     // would re-run both corpus explodes per consumer (q65 lesson)
-    val cnt = ca.join(cb, Seq("w"), "full_outer")
+    ca.join(cb, Seq("w"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
       .localCheckpoint(true)
-    val totals = cnt.agg(
+  }
+
+  private def totalsOf(cnt: DataFrame): DataFrame =
+    cnt.agg(
       sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"),
       count(lit(1)).as("v_union"))
-    (cnt, totals)
-  }
 
   /** Top-`topK` drifting words between snapshots A and B, ranked by the
     * exact integer TV-mass delta. Columns: `word, c_a, c_b, p_a, p_b`
@@ -90,8 +95,12 @@ object Drift {
     * are per-slice anyway).
     */
   def tokenDrift(docsA: DataFrame, docsB: DataFrame,
-                 topK: Int = 20): DataFrame = {
-    val (cnt, totals) = countsAndTotals(docsA, docsB)
+                 topK: Int = 20): DataFrame =
+    tokenDriftFromCounts(wordCounts(docsA, docsB), topK)
+
+  /** [[tokenDrift]] over a precomputed [[wordCounts]] frame. */
+  def tokenDriftFromCounts(cnt: DataFrame, topK: Int = 20): DataFrame = {
+    val totals = totalsOf(cnt)
     cnt.crossJoin(broadcast(totals))
       .select(col("w").as("word"), col("c_a"), col("c_b"),
         (col("c_a").cast("double") / col("tot_a").cast("double"))
@@ -121,8 +130,12 @@ object Drift {
     * monitor wants "did it move and which direction", not nats to four
     * places; scoreDocsPrecise-style float KL can sit beside it in sbt.
     */
-  def driftSummary(docsA: DataFrame, docsB: DataFrame): DataFrame = {
-    val (cnt, totals) = countsAndTotals(docsA, docsB)
+  def driftSummary(docsA: DataFrame, docsB: DataFrame): DataFrame =
+    driftSummaryFromCounts(wordCounts(docsA, docsB))
+
+  /** [[driftSummary]] over a precomputed [[wordCounts]] frame. */
+  def driftSummaryFromCounts(cnt: DataFrame): DataFrame = {
+    val totals = totalsOf(cnt)
     val margAB = blog2((col("c_a") + 1) * (col("tot_b") + col("v_union"))) -
       blog2((col("c_b") + 1) * (col("tot_a") + col("v_union")))
     cnt.crossJoin(broadcast(totals))

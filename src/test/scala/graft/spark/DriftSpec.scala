@@ -106,6 +106,17 @@ class DriftSpec extends AnyFunSuite {
       s"KLL KS estimate outside the 0.08 gate of exact ${r.getAs[Double]("ks")}")
   }
 
+  test("shared wordCounts frame: FromCounts paths equal the direct ones") {
+    val a = docs(0L -> "x x x x y y", 1L -> "q r s")
+    val b = docs(2L -> "x y y z z z", 3L -> "q q t")
+    val cnt = Drift.wordCounts(a, b)
+    val direct = Drift.tokenDrift(a, b, 10).collect().toSeq
+    val shared = Drift.tokenDriftFromCounts(cnt, 10).collect().toSeq
+    assert(direct == shared)
+    assert(Drift.driftSummary(a, b).collect().toSeq ==
+      Drift.driftSummaryFromCounts(cnt).collect().toSeq)
+  }
+
   test("pmiPhrases: planted collocation tops the list with exact lift") {
     // "aa bb" always adjacent (4 times); fillers independent
     val d = docs(
