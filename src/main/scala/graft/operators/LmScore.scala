@@ -224,6 +224,9 @@ object LmScore {
     * distinct-word alphabet the add-one denominator needs; at order 2
     * the context table already is it).
     */
+  /** Head size of the build-time drift baseline (see [[writeLmModel]]). */
+  private val DriftHeadK = 256
+
   def writeLmModel(ref: DataFrame, dir: String,
                    textCol: String = "text", order: Int = 2): Unit = {
     require(order >= 2, s"order must be >= 2, got $order")
@@ -235,6 +238,23 @@ object LmScore {
       .write.mode("overwrite").parquet(s"$dir/big/batch_id=0")
     if (order > 2) unigramCounts(ref, textCol)
       .write.mode("overwrite").parquet(s"$dir/words/batch_id=0")
+    // build-time drift baseline (the IVF manifest-baseline pattern,
+    // Ann.scala appendToIvfIndex): the top-DriftHeadK unigram counts +
+    // the full total, read back from the unigram table JUST written
+    // (order 2: uni/ IS the unigram table) — no extra corpus pass.
+    // appendToLmModel gates each new batch against this head; the
+    // baseline deliberately stays the BUILD distribution across
+    // appends and compactions (same semantic as IVF: drift is measured
+    // against what the model was validated on, not against whatever it
+    // has absorbed since).
+    val uniTable = spark.read.parquet(
+      if (order > 2) s"$dir/words/batch_id=0" else s"$dir/uni/batch_id=0")
+    val total = uniTable.agg(coalesce(sum(col("c1")), lit(0L)))
+      .head().getLong(0)
+    uniTable.orderBy(col("c1").desc, col("w").asc).limit(DriftHeadK)
+      .withColumn("total_words", lit(total))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/drift_baseline")
     Seq(order).toDF("order")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     Seq((0L, -1L)).toDF("batch_id", "folded_up_to")
@@ -297,6 +317,7 @@ object LmScore {
     // high-water mark was committed once and then folded away — a
     // replay must stay a no-op, not a double count
     if (committed(batchId) || batchId <= foldedUpTo) return
+    driftGate(newRef, dir, textCol)
     contextCounts(newRef, order, textCol)
       .write.mode("overwrite").parquet(s"$dir/uni/batch_id=$batchId")
     ngramCounts(newRef, order, textCol)
@@ -306,6 +327,79 @@ object LmScore {
     // data durable -> now commit (see write-order contract above)
     Seq((batchId, -1L)).toDF("batch_id", "folded_up_to")
       .write.mode("append").parquet(s"$dir/batches")
+  }
+
+  /** Drift gate on model appends (the engine's no-silent-degradation
+    * rule applied to its own model, mirroring the IVF append gate at
+    * `Ann.appendToIvfIndex`): a reference batch whose word
+    * distribution has moved away from the build-time baseline shifts
+    * every score the model emits — silently, since the scorer has no
+    * ground truth. Before any data write, the new batch's
+    * head-restricted total-variation distance to the `drift_baseline`
+    * written by [[writeLmModel]] is computed: TV over the baseline's
+    * top-[[DriftHeadK]] words with everything else folded into one
+    * tail bucket — a LOWER bound on the true TV (merging outcomes can
+    * only lower it), computed driver-side from collected exact counts
+    * (overflow-free double ratios; a gate, not an oracle surface), one
+    * unigram aggregation over the NEW batch only (the stored tables
+    * are never read; the only collects are the 256-row head and a
+    * 1-row total). If it exceeds `spark.graft.lm.driftTolerance`
+    * (default 0.25), the append warns
+    * (`spark.graft.lm.driftAction=warn`, the default) or refuses
+    * (`=refuse`; `=off` disables, and also skips the batch-side
+    * aggregation entirely), pointing at a fresh [[writeLmModel]].
+    * Models written before the baseline existed gate as `off`.
+    */
+  private def driftGate(newRef: DataFrame, dir: String,
+                        textCol: String): Unit = {
+    val spark = newRef.sparkSession
+    val action = spark.conf.get("spark.graft.lm.driftAction", "warn")
+    require(Set("warn", "refuse", "off")(action),
+      s"spark.graft.lm.driftAction must be warn|refuse|off, got $action")
+    if (action == "off") return
+    val conf = spark.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/drift_baseline")
+    if (!basePath.getFileSystem(conf).exists(basePath)) return
+    val tol = spark.conf.get("spark.graft.lm.driftTolerance", "0.25")
+      .toDouble
+    val head = spark.read.parquet(s"$dir/drift_baseline")
+      .collect() // bounded: DriftHeadK rows
+    if (head.isEmpty) return // empty build corpus: nothing to gate against
+    val totRef = head.head.getAs[Long]("total_words")
+    val refHead = head.map(r => r.getAs[String]("w") -> r.getAs[Long]("c1"))
+    val headSet = refHead.map(_._1).toSet
+    // ONE aggregation over the new batch: per-head-word counts ride a
+    // when-chain pivot (head is 256 wide), total in the same pass
+    val snapRow = unigramCounts(newRef, textCol)
+      .agg(
+        sum(col("c1")).as("tot"),
+        sum(when(col("w").isInCollection(headSet), col("c1"))
+          .otherwise(0L)).as("head_tot"),
+        map_from_entries(collect_list(
+          when(col("w").isInCollection(headSet),
+            struct(col("w"), col("c1"))))).as("head"))
+      .head()
+    val totB = if (snapRow.isNullAt(0)) 0L else snapRow.getLong(0)
+    if (totB == 0L) return // empty batch: nothing to gate
+    val headB = snapRow.getMap[String, Long](2)
+    val tailRef = totRef - refHead.map(_._2).sum
+    val tailB = totB - snapRow.getLong(1)
+    // driver-side scalar math over the collected longs — deterministic
+    // at any parallelism (double ratios, not cross-products, so the
+    // gate cannot overflow at any corpus size)
+    val tv = 0.5 * (refHead.map { case (w, cRef) =>
+      math.abs(cRef.toDouble / totRef - headB.getOrElse(w, 0L).toDouble / totB)
+    }.sum + math.abs(tailRef.toDouble / totRef - tailB.toDouble / totB))
+    if (tv > tol) {
+      val msg = f"LM model drift gate: new batch sits at head-TV " +
+        f"$tv%.4f from the build-time baseline at $dir (tolerance " +
+        f"$tol) — folding it in would silently shift every score this " +
+        "model emits; rebuild with writeLmModel over the intended " +
+        "distribution, raise spark.graft.lm.driftTolerance, or set " +
+        "spark.graft.lm.driftAction=off to override"
+      if (action == "refuse") throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
   }
 
   /** [[scoreDocs]] against a persisted model: counts sum across the

@@ -105,6 +105,47 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq == direct.toSeq)
   }
 
+  test("LM model drift gate: off-distribution batch refused, in-dist passes") {
+    val rnd = new scala.util.Random(13)
+    def doc(i: Int, pfx: String) = (i.toLong,
+      Seq.fill(200)(s"$pfx${rnd.nextInt(40)}").mkString(" "))
+    val refA = (0 until 50).map(doc(_, "w")).toDF("doc_id", "text")
+    val refB = (50 until 80).map(doc(_, "w")).toDF("doc_id", "text")
+    val alien = (0 until 30).map(doc(_, "z")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-gate").toString
+    LmScore.writeLmModel(refA, dir)
+    spark.conf.set("spark.graft.lm.driftAction", "refuse")
+    try {
+      // same law: sampling noise sits far under the tolerance
+      LmScore.appendToLmModel(refB, dir, batchId = 1L)
+      assert(spark.read.parquet(s"$dir/batches").collect()
+        .map(_.getAs[Long]("batch_id")).contains(1L))
+      // disjoint vocabulary: head-TV = 1.0, refused BEFORE any write
+      val ex = intercept[IllegalStateException] {
+        LmScore.appendToLmModel(alien, dir, batchId = 2L)
+      }
+      assert(ex.getMessage.contains("drift gate"))
+      assert(!spark.read.parquet(s"$dir/batches").collect()
+        .map(_.getAs[Long]("batch_id")).contains(2L))
+      // explicit override appends it
+      spark.conf.set("spark.graft.lm.driftAction", "off")
+      LmScore.appendToLmModel(alien, dir, batchId = 2L)
+      assert(spark.read.parquet(s"$dir/batches").collect()
+        .map(_.getAs[Long]("batch_id")).contains(2L))
+      // a model written before the baseline existed gates as off
+      val legacy = java.nio.file.Files
+        .createTempDirectory("graft-lm-legacy").toString
+      LmScore.writeLmModel(refA, legacy)
+      val p = new org.apache.hadoop.fs.Path(s"$legacy/drift_baseline")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      spark.conf.set("spark.graft.lm.driftAction", "refuse")
+      LmScore.appendToLmModel(alien, legacy, batchId = 1L) // must not throw
+      assert(spark.read.parquet(s"$legacy/batches").collect()
+        .map(_.getAs[Long]("batch_id")).contains(1L))
+    } finally spark.conf.unset("spark.graft.lm.driftAction")
+  }
+
   test("LM model crash recovery: uncommitted batch ignored, re-run heals") {
     val refA = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     val refB = Seq((2L, "c d c d e")).toDF("doc_id", "text")
