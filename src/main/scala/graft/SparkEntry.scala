@@ -1663,6 +1663,22 @@ object SparkEntry {
         topK = 10, minCount = 5L)
     }),
 
+    // ------------- drift vs a persisted reference index -------------
+    //
+    // Write the even-id slice's counts table once, then screen the
+    // odd-id slice against it WITHOUT rescanning the reference — must
+    // equal q79's direct two-corpus summary exactly (same oracle SQL
+    // by construction).
+
+    "q83_drift_vs_index" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q83-ref").toString
+      Drift.writeReferenceCounts(docs.filter(col("doc_id") % 2 === 0), idx)
+      Drift.driftSummaryFromCounts(Drift.referenceWordCounts(
+        docs.filter(col("doc_id") % 2 === 1), idx))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -3124,46 +3140,11 @@ object SparkEntry {
         |ORDER BY abs(c_a * tot_b - c_b * tot_a) DESC, word ASC
         |LIMIT 15""".stripMargin,
 
-    "q79_drift_summary" ->
-      """WITH ca AS (
-        |  SELECT w, count(*) AS c_a FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w
-        |    FROM documents WHERE doc_id % 2 = 0)
-        |  WHERE w <> '' GROUP BY w),
-        |cb AS (
-        |  SELECT w, count(*) AS c_b FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w
-        |    FROM documents WHERE doc_id % 2 = 1)
-        |  WHERE w <> '' GROUP BY w),
-        |cnt AS (
-        |  SELECT coalesce(ca.w, cb.w) AS w,
-        |    coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
-        |    coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
-        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
-        |  CAST(sum(c_b) AS BIGINT) AS tot_b, count(*) AS v FROM cnt)
-        |SELECT t.tot_a, t.tot_b,
-        |  CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
-        |  CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
-        |  count(*) AS vocab_union,
-        |  CAST(sum(abs(c_a * tot_b - c_b * tot_a)) AS BIGINT) AS tv_num,
-        |  CAST(sum(abs(c_a * tot_b - c_b * tot_a)) AS DOUBLE)
-        |    / (CAST(2 AS DOUBLE) * CAST(tot_a AS DOUBLE)
-        |       * CAST(tot_b AS DOUBLE)) AS tv,
-        |  CAST(sum(c_a * ((length(bin((c_a + 1) * (tot_b + v))) - 1)
-        |    - (length(bin((c_b + 1) * (tot_a + v))) - 1))) AS BIGINT)
-        |    AS kl_ab_num,
-        |  CAST(sum(c_a * ((length(bin((c_a + 1) * (tot_b + v))) - 1)
-        |    - (length(bin((c_b + 1) * (tot_a + v))) - 1))) AS DOUBLE)
-        |    / CAST(tot_a AS DOUBLE) AS kl_ab_bits,
-        |  CAST(sum(c_b * ((length(bin((c_b + 1) * (tot_a + v))) - 1)
-        |    - (length(bin((c_a + 1) * (tot_b + v))) - 1))) AS BIGINT)
-        |    AS kl_ba_num,
-        |  CAST(sum(c_b * ((length(bin((c_b + 1) * (tot_a + v))) - 1)
-        |    - (length(bin((c_a + 1) * (tot_b + v))) - 1))) AS DOUBLE)
-        |    / CAST(tot_b AS DOUBLE) AS kl_ba_bits
-        |FROM cnt CROSS JOIN t
-        |GROUP BY t.tot_a, t.tot_b, t.v""".stripMargin,
+    "q79_drift_summary" -> driftSummaryOracle,
+
+    // the index path must reproduce the direct two-corpus summary
+    // exactly — same oracle by construction
+    "q83_drift_vs_index" -> driftSummaryOracle,
 
     "q80_length_drift" ->
       """WITH la AS (
@@ -3443,6 +3424,50 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
         |LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  /** q79's drift summary — also q83's: the persisted-reference path
+    * must reproduce the direct two-corpus summary bit-for-bit.
+    */
+  private val driftSummaryOracle: String =
+    """WITH ca AS (
+      |  SELECT w, count(*) AS c_a FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 2 = 0)
+      |  WHERE w <> '' GROUP BY w),
+      |cb AS (
+      |  SELECT w, count(*) AS c_b FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE doc_id % 2 = 1)
+      |  WHERE w <> '' GROUP BY w),
+      |cnt AS (
+      |  SELECT coalesce(ca.w, cb.w) AS w,
+      |    coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
+      |    coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
+      |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+      |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+      |  CAST(sum(c_b) AS BIGINT) AS tot_b, count(*) AS v FROM cnt)
+      |SELECT t.tot_a, t.tot_b,
+      |  CAST(sum(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+      |  CAST(sum(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+      |  count(*) AS vocab_union,
+      |  CAST(sum(abs(c_a * tot_b - c_b * tot_a)) AS BIGINT) AS tv_num,
+      |  CAST(sum(abs(c_a * tot_b - c_b * tot_a)) AS DOUBLE)
+      |    / (CAST(2 AS DOUBLE) * CAST(tot_a AS DOUBLE)
+      |       * CAST(tot_b AS DOUBLE)) AS tv,
+      |  CAST(sum(c_a * ((length(bin((c_a + 1) * (tot_b + v))) - 1)
+      |    - (length(bin((c_b + 1) * (tot_a + v))) - 1))) AS BIGINT)
+      |    AS kl_ab_num,
+      |  CAST(sum(c_a * ((length(bin((c_a + 1) * (tot_b + v))) - 1)
+      |    - (length(bin((c_b + 1) * (tot_a + v))) - 1))) AS DOUBLE)
+      |    / CAST(tot_a AS DOUBLE) AS kl_ab_bits,
+      |  CAST(sum(c_b * ((length(bin((c_b + 1) * (tot_a + v))) - 1)
+      |    - (length(bin((c_a + 1) * (tot_b + v))) - 1))) AS BIGINT)
+      |    AS kl_ba_num,
+      |  CAST(sum(c_b * ((length(bin((c_b + 1) * (tot_a + v))) - 1)
+      |    - (length(bin((c_a + 1) * (tot_b + v))) - 1))) AS DOUBLE)
+      |    / CAST(tot_b AS DOUBLE) AS kl_ba_bits
+      |FROM cnt CROSS JOIN t
+      |GROUP BY t.tot_a, t.tot_b, t.v""".stripMargin
 
   private val decontaminateOracle: String =
     """WITH tok AS (

@@ -63,17 +63,50 @@ object Drift {
     * two-argument [[tokenDrift]]/[[driftSummary]] are one-call
     * conveniences that each build their own counts.
     */
-  def wordCounts(docsA: DataFrame, docsB: DataFrame): DataFrame = {
-    val ca = wordsOf(docsA).groupBy(col("w"))
-      .agg(count(lit(1)).as("c_a"))
-    val cb = wordsOf(docsB).groupBy(col("w"))
-      .agg(count(lit(1)).as("c_b"))
-    // checkpoint: totals + report both read this frame; lazy plans
-    // would re-run both corpus explodes per consumer (q65 lesson)
+  def wordCounts(docsA: DataFrame, docsB: DataFrame): DataFrame =
+    countsJoin(
+      wordsOf(docsA).groupBy(col("w")).agg(count(lit(1)).as("c_a")),
+      wordsOf(docsB).groupBy(col("w")).agg(count(lit(1)).as("c_b")))
+
+  // checkpoint: totals + report both read this frame; lazy plans
+  // would re-run both corpus explodes per consumer (q65 lesson)
+  private def countsJoin(ca: DataFrame, cb: DataFrame): DataFrame =
     ca.join(cb, Seq("w"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
       .localCheckpoint(true)
-  }
+
+  /** Persist a reference word distribution — the vocab-sized counts
+    * table of a baseline corpus — so every later snapshot can be
+    * drift-screened against it WITHOUT rescanning the reference (the
+    * engine's index-once-screen-many pattern applied to drift; the
+    * snapshot side pays one explode, the reference side one parquet
+    * read of a vocab-sized table). A reference is a FIXED baseline by
+    * definition, so the layout is deliberately append-free: moving the
+    * baseline is a semantic decision, made loudly via a fresh
+    * [[writeReferenceCounts]], never an accumulation.
+    */
+  def writeReferenceCounts(docs: DataFrame, dir: String): Unit =
+    wordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$dir/counts")
+
+  /** The persisted reference table, as (w, c) — rename to (t, c_ref)
+    * to feed [[windowedTokenDrift]].
+    */
+  def readReferenceCounts(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    spark.read.parquet(s"$dir/counts")
+
+  /** Counts frame (`w, c_a` = reference, `c_b` = snapshot) of a
+    * snapshot against a persisted reference — feed
+    * [[tokenDriftFromCounts]] / [[driftSummaryFromCounts]]; equal by
+    * construction to `wordCounts(referenceCorpus, snapshot)` with the
+    * reference corpus never rescanned.
+    */
+  def referenceWordCounts(snapshot: DataFrame, dir: String): DataFrame =
+    countsJoin(
+      readReferenceCounts(snapshot.sparkSession, dir)
+        .select(col("w"), col("c").as("c_a")),
+      wordsOf(snapshot).groupBy(col("w")).agg(count(lit(1)).as("c_b")))
 
   private def totalsOf(cnt: DataFrame): DataFrame =
     cnt.agg(

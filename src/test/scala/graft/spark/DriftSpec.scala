@@ -117,6 +117,25 @@ class DriftSpec extends AnyFunSuite {
       Drift.driftSummaryFromCounts(cnt).collect().toSeq)
   }
 
+  test("persisted reference index reproduces the direct drift exactly") {
+    val a = docs(0L -> "x x x x y y", 1L -> "q r s")
+    val b = docs(2L -> "x y y z z z", 3L -> "q q t")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-ref").toString
+    Drift.writeReferenceCounts(a, dir)
+    val cnt = Drift.referenceWordCounts(b, dir)
+    assert(Drift.driftSummaryFromCounts(cnt).collect().toSeq ==
+      Drift.driftSummary(a, b).collect().toSeq)
+    assert(Drift.tokenDriftFromCounts(cnt, 10).collect().toSeq ==
+      Drift.tokenDrift(a, b, 10).collect().toSeq)
+    // the persisted table feeds the windowed screen's ref side too
+    val ref = Drift.readReferenceCounts(spark, dir)
+      .select(col("w").as("t"), col("c").as("c_ref"))
+    assert(ref.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 4L, "y" -> 2L, "q" -> 1L, "r" -> 1L, "s" -> 1L))
+  }
+
   test("pmiPhrases: planted collocation tops the list with exact lift") {
     // "aa bb" always adjacent (4 times); fillers independent
     val d = docs(
