@@ -195,6 +195,54 @@ object Drift {
           .as("kl_ba_bits"))
   }
 
+  /** Per-SOURCE drift between snapshots A and B — which slice moved.
+    * A global TV (q79) says THAT the corpus moved; operators act on
+    * slices, so this localizes it: one row per source with the
+    * source-conditional total-variation distance and the top-moving
+    * word within that source. Columns: `source, tot_a, tot_b,
+    * vocab_union, tv_num` (exact int64), `tv` (one deterministic IEEE
+    * chain; NULL when either side of the source is empty — TV against
+    * an empty distribution is a boundary convention, not a number this
+    * monitor should invent), `top_word, top_delta_num` (ties break on
+    * the word). Shape: one word explode per snapshot, then everything
+    * is (source x vocab)-sized; the count frame is checkpointed once.
+    */
+  def sourceDrift(docsA: DataFrame, docsB: DataFrame): DataFrame = {
+    def cnts(d: DataFrame, as: String) =
+      d.select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as(as))
+    val cnt = cnts(docsA, "c_a")
+      .join(cnts(docsB, "c_b"), Seq("source", "w"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .localCheckpoint(true)
+    val totals = cnt.groupBy(col("source")).agg(
+      sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"))
+    val j = cnt.join(broadcast(totals), Seq("source"))
+      .withColumn("delta_num",
+        col("c_a") * col("tot_b") - col("c_b") * col("tot_a"))
+    val sums = j.groupBy(col("source")).agg(
+      first(col("tot_a")).as("tot_a"), first(col("tot_b")).as("tot_b"),
+      count(lit(1)).as("vocab_union"),
+      sum(abs(col("delta_num"))).as("tv_num"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(abs(col("delta_num")).desc, col("w").asc)
+    val top = j.withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("w").as("top_word"),
+        col("delta_num").as("top_delta_num"))
+    sums.join(top, Seq("source"))
+      .select(col("source"), col("tot_a"), col("tot_b"),
+        col("vocab_union"), col("tv_num"),
+        when(col("tot_a") > 0 && col("tot_b") > 0,
+          col("tv_num").cast("double")
+            / (lit(2.0d) * col("tot_a").cast("double")
+              * col("tot_b").cast("double"))).as("tv"),
+        col("top_word"), col("top_delta_num"))
+      .orderBy(col("source"))
+  }
+
   /** Document-length (n_tok = word count) distribution drift: the exact
     * two-sample KS statistic plus a KLL-sketch estimate of the same
     * number. One row: `n_a, n_b` (doc counts), `ks_num` =

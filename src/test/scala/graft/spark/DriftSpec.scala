@@ -117,6 +117,27 @@ class DriftSpec extends AnyFunSuite {
       Drift.driftSummaryFromCounts(cnt).collect().toSeq)
   }
 
+  test("sourceDrift: per-source TV and top mover, hand-computed") {
+    val a = Seq((0L, "x x y", "s1"), (1L, "p q", "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((2L, "x y y", "s1"), (3L, "p p q q", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rows = Drift.sourceDrift(a, b).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("s1", "s2"))
+    val s1 = rows(0)
+    // s1: x 2->1, y 1->2 at tot 3/3: deltas +3/-3, tv = 6/(2*9) = 1/3,
+    // |delta| ties break on the word -> "x"
+    assert(s1.getAs[Long]("tv_num") == 6L)
+    assert(s1.getAs[Double]("tv") == 6.0 / 18.0)
+    assert(s1.getAs[String]("top_word") == "x")
+    assert(s1.getAs[Long]("top_delta_num") == 3L)
+    val s2 = rows(1)
+    // s2: p 1->2, q 1->2 at tot 2/4: both deltas 1*4-2*2 = 0
+    assert(s2.getAs[Long]("tv_num") == 0L)
+    assert(s2.getAs[Double]("tv") == 0.0)
+    assert(s2.getAs[String]("top_word") == "p")
+  }
+
   test("persisted reference index reproduces the direct drift exactly") {
     val a = docs(0L -> "x x x x y y", 1L -> "q r s")
     val b = docs(2L -> "x y y z z z", 3L -> "q q t")
