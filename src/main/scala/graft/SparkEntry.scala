@@ -1685,6 +1685,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1))
     }),
 
+    // ------------- shard-balance audit -------------
+    //
+    // The q53 sharder's two load-bearing claims — near-equal shard
+    // sizes, every shard a faithful sample of the source mix —
+    // audited with exact integer deviations (absent sources count
+    // their full expected mass).
+
+    "q85_shard_balance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tok", size(F.tokenize(col("text"))))
+      Sampling.shardBalance(docs, numShards = 8, salt = "sh1")
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2267,6 +2280,47 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
          |    AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q85_shard_balance" -> {
+      val cases = (7 to 1 by -1).map(i =>
+        s"WHEN key >= '${Sampling.hexThreshold(i / 8.0)}' THEN $i")
+        .mkString("\n        |    ")
+      s"""WITH k AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|sh1') AS key
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE $cases
+         |    ELSE 0 END AS shard FROM k),
+         |d AS (SELECT sh.shard, d0.source,
+         |  len(list_filter(string_split(d0.text, ' '), x -> x <> ''))
+         |    AS n_tok
+         |  FROM sh JOIN documents d0 USING (doc_id)),
+         |ss AS (SELECT shard, source, count(*) AS c_ss,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_ss
+         |  FROM d GROUP BY shard, source),
+         |psh AS (SELECT shard, CAST(sum(c_ss) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok_ss) AS BIGINT) AS n_tokens
+         |  FROM ss GROUP BY shard),
+         |psr AS (SELECT source, CAST(sum(c_ss) AS BIGINT) AS c_s
+         |  FROM ss GROUP BY source),
+         |t AS (SELECT CAST(sum(c_ss) AS BIGINT) AS T FROM ss),
+         |j AS (SELECT g.shard, g.source, g.n_docs, g.n_tokens,
+         |  abs(coalesce(ss.c_ss, CAST(0 AS BIGINT)) * t.T
+         |    - g.c_s * g.n_docs) AS dev_num, t.T
+         |  FROM (SELECT psh.shard, psh.n_docs, psh.n_tokens,
+         |        psr.source, psr.c_s FROM psh CROSS JOIN psr) g
+         |  LEFT JOIN ss ON g.shard = ss.shard AND g.source = ss.source
+         |  CROSS JOIN t),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY shard
+         |  ORDER BY dev_num DESC, source ASC) AS r FROM j)
+         |SELECT shard, n_docs, n_tokens,
+         |  CAST(n_docs * 8 AS DOUBLE) / CAST(T AS DOUBLE) AS size_ratio,
+         |  dev_num AS mix_dev_num,
+         |  CAST(dev_num AS DOUBLE)
+         |    / (CAST(T AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS mix_dev,
+         |  source AS top_source
+         |FROM rk WHERE r = 1 ORDER BY shard""".stripMargin
     },
 
     "q54_contamination_scores" ->

@@ -116,6 +116,62 @@ object Sampling {
       .drop("__graft_key")
   }
 
+  /** Shard-balance audit over [[shardAssignments]] — the two claims a
+    * training loader depends on, checked with exact integers: shards
+    * are near-equal in size (stragglers = wasted cluster), and every
+    * shard is a faithful sample of the source mix (a shard that
+    * under-represents a source skews every step trained from it). One
+    * row per shard: `n_docs, n_tokens`, `size_ratio` =
+    * n_docs·numShards/T (1.0 = perfectly even; one IEEE div of exact
+    * int64), and the worst mix deviation `mix_dev_num` =
+    * max over sources |c_ss·T − c_s·n_docs| (exact int64 — zero iff
+    * the shard's mix equals the corpus mix exactly), its normalized
+    * `mix_dev` in [0,1], and `top_source` (ties break on the source).
+    * Sources ABSENT from a shard deviate by their full expected mass —
+    * the grid is (shards × sources)-sized, so the total-absence case
+    * is counted, not silently skipped.
+    *
+    * Input needs (`idCol`, `sourceCol`, `ntokCol`). Shape: the
+    * assignment pass (one md5 projection + the per-shard position
+    * window), then everything is (shards × sources)-sized off one
+    * checkpointed count frame.
+    */
+  def shardBalance(docs: DataFrame, numShards: Int,
+                   salt: String = "graft", idCol: String = "doc_id",
+                   sourceCol: String = "source",
+                   ntokCol: String = "n_tok"): DataFrame = {
+    val ss = shardAssignments(docs, numShards, salt, idCol)
+      .groupBy(col("shard"), col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("c_ss"), sum(col(ntokCol)).as("tok_ss"))
+      .localCheckpoint(true)
+    val perShard = ss.groupBy(col("shard")).agg(
+      sum(col("c_ss")).as("n_docs"), sum(col("tok_ss")).as("n_tokens"))
+    val perSource = ss.groupBy(col("source")).agg(
+      sum(col("c_ss")).as("c_s"))
+    val totals = ss.agg(sum(col("c_ss")).as("T"))
+    val j = perShard.crossJoin(broadcast(perSource))
+      .join(ss.select(col("shard"), col("source"), col("c_ss")),
+        Seq("shard", "source"), "left")
+      .na.fill(0L, Seq("c_ss"))
+      .crossJoin(broadcast(totals))
+      .withColumn("dev_num",
+        abs(col("c_ss") * col("T") - col("c_s") * col("n_docs")))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("dev_num").desc, col("source").asc)
+    j.withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") === 1)
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        ((col("n_docs") * lit(numShards)).cast("double")
+          / col("T").cast("double")).as("size_ratio"),
+        col("dev_num").as("mix_dev_num"),
+        (col("dev_num").cast("double")
+          / (col("T").cast("double") * col("n_docs").cast("double")))
+          .as("mix_dev"),
+        col("source").as("top_source"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-group document cap (the RefinedWeb/C4 per-domain cap: no
     * single domain may dominate the corpus): keep at most `k` docs per
     * group, ranked by `orderCol` DESCENDING with ties broken by id

@@ -105,6 +105,43 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq == direct.toSeq)
   }
 
+  test("shardBalance: brute-force reconciliation, single-source dev is 0") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", 10 + i % 5))
+      .toDF("doc_id", "source", "n_tok")
+    val bal = Sampling.shardBalance(docs, 4, "t1").collect()
+    assert(bal.length == 4)
+    assert(bal.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(bal.map(_.getAs[Long]("n_tokens")).sum ==
+      (0 until 200).map(10 + _ % 5).sum.toLong)
+    // brute-force the mix deviation from the raw assignments
+    val asg = Sampling.shardAssignments(docs, 4, "t1").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[String]("source")))
+    val bySh = asg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val bySrc = asg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val T = asg.length.toLong
+    bal.foreach { r =>
+      val sh = r.getAs[Int]("shard")
+      val devs = bySrc.keys.toSeq.sorted.map { s =>
+        val cSs = asg.count(p => p._1 == sh && p._2 == s).toLong
+        s -> math.abs(cSs * T - bySrc(s) * bySh(sh))
+      }
+      val maxDev = devs.map(_._2).max
+      val topSrc = devs.filter(_._2 == maxDev).map(_._1).min
+      assert(r.getAs[Long]("mix_dev_num") == maxDev, s"shard $sh")
+      assert(r.getAs[String]("top_source") == topSrc, s"shard $sh")
+      assert(r.getAs[Double]("size_ratio") ==
+        (bySh(sh) * 4L).toDouble / T.toDouble)
+    }
+    // one source: every shard's mix IS the corpus mix, exactly
+    val one = (0 until 100).map(i => (i.toLong, "x", 7))
+      .toDF("doc_id", "source", "n_tok")
+    Sampling.shardBalance(one, 4, "t1").collect().foreach { r =>
+      assert(r.getAs[Long]("mix_dev_num") == 0L)
+      assert(r.getAs[Double]("mix_dev") == 0.0)
+    }
+  }
+
   test("LM model drift gate: off-distribution batch refused, in-dist passes") {
     val rnd = new scala.util.Random(13)
     def doc(i: Int, pfx: String) = (i.toLong,
