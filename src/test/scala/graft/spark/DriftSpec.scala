@@ -117,6 +117,48 @@ class DriftSpec extends AnyFunSuite {
       Drift.driftSummaryFromCounts(cnt).collect().toSeq)
   }
 
+  test("randomized: drift theorems hold across random corpora") {
+    // theorems, not tolerances: a single counterexample is a bug
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def corpus(off: Int) = docs((0 until 3 + rnd.nextInt(4)).map { i =>
+        (off + i).toLong ->
+          Seq.fill(5 + rnd.nextInt(40))(s"w${rnd.nextInt(12)}")
+            .mkString(" ")
+      }: _*)
+      val a = corpus(0)
+      val b = corpus(100)
+      val sAB = Drift.driftSummary(a, b).head()
+      val sBA = Drift.driftSummary(b, a).head()
+      // TV is a metric: symmetric, in [0,1]
+      assert(sAB.getAs[Long]("tv_num") == sBA.getAs[Long]("tv_num"))
+      val tv = sAB.getAs[Double]("tv")
+      assert(tv >= 0.0 && tv <= 1.0, s"seed $seed: tv $tv")
+      // bucketed KL reverses direction exactly
+      assert(sAB.getAs[Long]("kl_ab_num") == sBA.getAs[Long]("kl_ba_num"))
+      assert(sAB.getAs[Long]("kl_ba_num") == sBA.getAs[Long]("kl_ab_num"))
+      // the per-word deltas are a decomposition of zero:
+      // sum(c_a*totB - c_b*totA) = totA*totB - totB*totA
+      val full = Drift.tokenDrift(a, b, topK = 1000).collect()
+      assert(full.map(_.getAs[Long]("delta_num")).sum == 0L,
+        s"seed $seed: deltas must sum to zero")
+      // proportional corpora are zero-TV: B = A twice (bucketed KL is
+      // NOT exactly zero here — the +1-smoothed floor-log2 arguments
+      // can straddle a power of two — so only TV is asserted)
+      val aTwice = a.union(a.withColumn("doc_id", col("doc_id") + 1000))
+      val prop = Drift.driftSummary(a, aTwice).head()
+      assert(prop.getAs[Long]("tv_num") == 0L, s"seed $seed")
+      // KS: identity is zero, range is [0,1], the gate is a theorem in
+      // the exact-sketch regime these sizes sit in
+      val ks0 = Drift.lengthDrift(a, a).head()
+      assert(ks0.getAs[Long]("ks_num") == 0L)
+      val ks = Drift.lengthDrift(a, b).head()
+      val ksV = ks.getAs[Double]("ks")
+      assert(ksV >= 0.0 && ksV <= 1.0 && ks.getAs[Boolean]("kll_ks_ok"),
+        s"seed $seed: ks $ksV")
+    }
+  }
+
   test("sourceDrift: per-source TV and top mover, hand-computed") {
     val a = Seq((0L, "x x y", "s1"), (1L, "p q", "s2"))
       .toDF("doc_id", "text", "source")

@@ -147,6 +147,53 @@ class PlanSpec extends AnyFunSuite {
         kept.mkString(","))
   }
 
+  test("drift/balance reports run off checkpointed counts (corpus deletable)") {
+    import spark.implicits._
+    // both families checkpoint their count frames at build; every
+    // report derived from them must never rescan the corpus. Witness
+    // by deletion (the CC-dedup pattern above): any rescan would throw
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-plan-drift-corpus")
+    val corpusDir = root.toString + "/docs"
+    (0L until 40L).map(i =>
+        (i, (1 to 20).map(w => s"c${i % 7}w$w").mkString(" "),
+          s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    val cnt = graft.operators.Drift.wordCounts(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val bal = graft.operators.Sampling.shardBalance(
+      docs.withColumn("n_tok",
+        size(graft.functions.functions.tokenize(col("text")))),
+      numShards = 4, salt = "t1")
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft-plan-drift-ref").toString
+    graft.operators.Drift.writeReferenceCounts(
+      docs.filter(col("doc_id") % 2 === 0), refDir)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root.toFile)
+    val summary = graft.operators.Drift.driftSummaryFromCounts(cnt)
+    assert(summary.collect().length == 1)
+    val report = graft.operators.Drift.tokenDriftFromCounts(cnt, 5)
+    assert(report.collect().length == 5)
+    assert(bal.collect().length == 4)
+    // reference screening reads the index, and the in-memory snapshot
+    val snap = Seq((100L, "c1w1 c1w2 zz", "s0")).toDF("doc_id", "text", "source")
+    val vsRef = graft.operators.Drift.driftSummaryFromCounts(
+      graft.operators.Drift.referenceWordCounts(snap, refDir))
+    assert(vsRef.collect().length == 1)
+    // and none of the report plans dispatch through a UDF
+    Seq(summary, report, bal).foreach { d =>
+      val p = planOf(d)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    }
+  }
+
   test("gopher battery and chunk manifest keep their zero-extra-shuffle claims") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
