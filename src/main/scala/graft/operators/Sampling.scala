@@ -95,9 +95,24 @@ object Sampling {
   def shardAssignments(df: DataFrame, numShards: Int,
                        salt: String = "graft",
                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__graft_key"), col(idCol))
+    withShard(df, numShards, salt, idCol)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .drop("__graft_key")
+  }
+
+  /** The shard projection alone (plus the `__graft_key` it derives
+    * from): zero-shuffle codegen when-chain, shared by
+    * [[shardAssignments]] (which adds the position window — the one
+    * shuffle that op fundamentally needs) and [[shardBalance]] (whose
+    * counts don't need positions, so it must not pay that sort).
+    */
+  private def withShard(df: DataFrame, numShards: Int,
+                        salt: String, idCol: String): DataFrame = {
     require(numShards >= 1 && numShards <= 4096,
       s"numShards must be in [1, 4096], got $numShards")
-    import org.apache.spark.sql.expressions.Window
     val key = sampleKey(col(idCol), salt)
     // descending when-chain: shard = max i with key >= threshold(i/S)
     def ge(i: Int): Column =
@@ -108,12 +123,8 @@ object Sampling {
         .foldLeft(when(ge(numShards - 1), lit(numShards - 1))) {
           (acc, i) => acc.when(ge(i), lit(i))
         }.otherwise(lit(0))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("__graft_key"), col(idCol))
     df.withColumn("__graft_key", key)
       .withColumn("shard", shardCol)
-      .withColumn("pos", row_number().over(w).cast("bigint"))
-      .drop("__graft_key")
   }
 
   /** Shard-balance audit over [[shardAssignments]] — the two claims a
@@ -131,16 +142,17 @@ object Sampling {
     * the grid is (shards × sources)-sized, so the total-absence case
     * is counted, not silently skipped.
     *
-    * Input needs (`idCol`, `sourceCol`, `ntokCol`). Shape: the
-    * assignment pass (one md5 projection + the per-shard position
-    * window), then everything is (shards × sources)-sized off one
-    * checkpointed count frame.
+    * Input needs (`idCol`, `sourceCol`, `ntokCol`). Shape: the shard
+    * column alone (zero-shuffle codegen projection — NOT the full
+    * [[shardAssignments]], whose per-shard position sort the audit
+    * never reads), one count aggregation, then everything is
+    * (shards × sources)-sized off one checkpointed frame.
     */
   def shardBalance(docs: DataFrame, numShards: Int,
                    salt: String = "graft", idCol: String = "doc_id",
                    sourceCol: String = "source",
                    ntokCol: String = "n_tok"): DataFrame = {
-    val ss = shardAssignments(docs, numShards, salt, idCol)
+    val ss = withShard(docs, numShards, salt, idCol)
       .groupBy(col("shard"), col(sourceCol).as("source"))
       .agg(count(lit(1)).as("c_ss"), sum(col(ntokCol)).as("tok_ss"))
       .localCheckpoint(true)
