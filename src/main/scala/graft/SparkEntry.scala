@@ -1698,6 +1698,12 @@ object SparkEntry {
       Sampling.shardBalance(docs, numShards = 8, salt = "sh1")
     }),
 
+    // ------------- tokenizer-fit report -------------
+
+    "q86_tokenizer_fit" -> ((s, dir) => {
+      TextAnalysis.tokenizerFit(tbl(s, dir, "documents"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2384,6 +2390,28 @@ object SparkEntry {
         |    END, 4) AS chars_per_seg_token
         |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q86_tokenizer_fit" ->
+      """WITH d AS (SELECT source, coalesce(text, '') AS text
+        |  FROM documents),
+        |m AS (SELECT source,
+        |  CAST(len(text) AS BIGINT) AS nc,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS seg
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(ws) AS BIGINT) AS n_words,
+        |  CAST(sum(seg) AS BIGINT) AS n_seg_tokens,
+        |  CASE WHEN sum(ws) > 0 THEN
+        |    CAST(sum(seg) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
+        |  END AS fertility,
+        |  CASE WHEN sum(seg) > 0 THEN
+        |    CAST(sum(nc) AS DOUBLE) / CAST(sum(seg) AS DOUBLE)
+        |  END AS chars_per_token
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // the w CTE coalesces text to '' so null-text docs get the
     // kernel's null-as-empty battery semantics, not NULL signals

@@ -1000,6 +1000,39 @@ object TextAnalysis {
         when(seg > 0, round(col("n_chars").cast("double") / seg, 4)))
   }
 
+  /** Tokenizer-fit report per source: fertility (segmentation tokens
+    * per whitespace word) and compression (chars per token) — the two
+    * numbers a tokenizer/budget plan needs per corpus slice (a source
+    * whose fertility is 3x the others pays 3x the context window for
+    * the same text; code and non-Latin sources routinely do). Uses the
+    * q47-pinned segmentation kernel (`seg_token_count`, == the
+    * documented regex in both engines), aggregated per source; the
+    * ratios are one IEEE division of exact int64 sums each, NULL for a
+    * degenerate (wordless/tokenless) source. Zero shuffle beyond the
+    * one sources-sized aggregation.
+    */
+  def tokenizerFit(docs: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source"): DataFrame = {
+    val E = graft.functions.expressions
+    docs.select(col(sourceCol).as("source"),
+        length(coalesce(col(textCol), lit(""))).as("nc"),
+        size(filter(split(coalesce(col(textCol), lit("")), " "),
+          w => length(w) > 0)).as("ws"),
+        E.seg_token_count(col(textCol)).as("seg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("ws")).as("n_words"),
+        sum(col("seg")).as("n_seg_tokens"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_seg_tokens"),
+        when(col("n_words") > 0, col("n_seg_tokens").cast("double")
+          / col("n_words").cast("double")).as("fertility"),
+        when(col("n_seg_tokens") > 0, col("n_chars").cast("double")
+          / col("n_seg_tokens").cast("double")).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** Within-document repetition signals (the Gopher/CCNet-style
     * duplicate n-gram fractions used to drop boilerplate and spam):
     * dup_Ngram_frac = 1 - distinct-n-grams / total-n-grams. All pure

@@ -159,6 +159,26 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizerFit: hand-computed fertility and compression") {
+    val d = Seq(
+      (0L, "ab cd. ef", "s1"),   // seg: ab, cd, '.', ef = 4; ws = 3
+      (1L, "gh ij", "s1"),        // seg 2, ws 2
+      (2L, null.asInstanceOf[String], "s2")) // degenerate source
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.tokenizerFit(d).collect()
+    assert(r.map(_.getAs[String]("source")).toSeq == Seq("s1", "s2"))
+    val s1 = r(0)
+    assert(s1.getAs[Long]("n_words") == 5L)
+    assert(s1.getAs[Long]("n_seg_tokens") == 6L)
+    assert(s1.getAs[Long]("n_chars") == 14L)
+    assert(s1.getAs[Double]("fertility") == 6.0 / 5.0)
+    assert(s1.getAs[Double]("chars_per_token") == 14.0 / 6.0)
+    val s2 = r(1)
+    assert(s2.getAs[Long]("n_seg_tokens") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("fertility")))
+    assert(s2.isNullAt(s2.fieldIndex("chars_per_token")))
+  }
+
   test("sourceDrift: per-source TV and top mover, hand-computed") {
     val a = Seq((0L, "x x y", "s1"), (1L, "p q", "s2"))
       .toDF("doc_id", "text", "source")
