@@ -37,6 +37,22 @@ class PlanSpec extends AnyFunSuite {
       s"unused columns must be pruned:\n$plan")
   }
 
+  test("tokenizer-fit prunes the documents scan to text+source") {
+    // (the checkpointing reports — drift, keyness — materialize their
+    // counts at build, so their FINAL plans cannot witness the scan;
+    // tokenizer-fit is the un-checkpointed report, and its scan must
+    // not drag doc_id/lang/n_chars along — at 100 TB that is 2-3x the
+    // bytes for nothing)
+    val plan = planOf(graft.operators.TextAnalysis.tokenizerFit(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")))
+    // (the report's own output aliases include an n_chars SUM, so the
+    // witness is the scan's ReadSchema, not a plan-wide grep)
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"scan must read only text+source:\n$plan")
+    assert(!plan.contains("lang"),
+      s"unused columns must be pruned:\n$plan")
+  }
+
   test("sketch build is partial->exchange->final ObjectHashAggregate") {
     val df = TokenDocs.fromDocumentsPath(spark, "/root/testdata/sf0.001")
       .groupBy(col("source"))
