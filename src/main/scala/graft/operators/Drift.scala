@@ -85,16 +85,50 @@ object Drift {
     * baseline is a semantic decision, made loudly via a fresh
     * [[writeReferenceCounts]], never an accumulation.
     */
-  def writeReferenceCounts(docs: DataFrame, dir: String): Unit =
+  def writeReferenceCounts(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    healReference(spark, dir)
+    // staged swap (the overlap-index batches.next rule): a direct
+    // overwrite DELETES the live baseline before the new one is
+    // durable, so a crash mid-write would leave no baseline at all —
+    // stage the full table first, then delete-rename
     wordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$dir/counts")
+      .write.mode("overwrite").parquet(s"$dir/counts.next")
+    val f = fsOf(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/counts.next")
+    if (f.exists(cur))
+      require(f.delete(cur, true), s"reference swap: delete failed in $dir")
+    require(f.rename(next, cur), s"reference swap: rename failed in $dir")
+  }
 
   /** The persisted reference table, as (w, c) — rename to (t, c_ref)
-    * to feed [[windowedTokenDrift]].
+    * to feed [[windowedTokenDrift]]. Heals a crashed
+    * [[writeReferenceCounts]] swap first (roll a completed swap
+    * forward; drop a half-staged rebuild, keeping the old baseline).
     */
   def readReferenceCounts(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): DataFrame =
+                          dir: String): DataFrame = {
+    healReference(spark, dir)
     spark.read.parquet(s"$dir/counts")
+  }
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def healReference(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit = {
+    val f = fsOf(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/counts.next")
+    if (f.exists(next)) {
+      if (!f.exists(cur))
+        require(f.rename(next, cur), s"reference heal: rename failed in $dir")
+      else require(f.delete(next, true),
+        s"reference heal: delete failed in $dir")
+    }
+  }
 
   /** Counts frame (`w, c_a` = reference, `c_b` = snapshot) of a
     * snapshot against a persisted reference — feed

@@ -159,6 +159,35 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("reference index crash recovery: swap heals forward and backward") {
+    val a = docs(0L -> "x x y")
+    val b = docs(1L -> "z z z")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-heal").toString
+    Drift.writeReferenceCounts(a, dir)
+    def counts(): Map[String, Long] =
+      Drift.readReferenceCounts(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() == Map("x" -> 2L, "y" -> 1L))
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/counts")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/counts.next")
+    val f = cur.getFileSystem(conf)
+    // crash DURING staging: half-staged rebuild beside a live baseline
+    // -> the stage is garbage, the old baseline survives
+    Seq(("z", 9L)).toDF("w", "c").write.parquet(next.toString)
+    assert(counts() == Map("x" -> 2L, "y" -> 1L))
+    assert(!f.exists(next))
+    // crash BETWEEN delete and rename: only the staged table exists
+    // -> the swap passed the point of no return, roll it forward
+    Seq(("z", 3L)).toDF("w", "c").write.parquet(next.toString)
+    f.delete(cur, true)
+    assert(counts() == Map("z" -> 3L))
+    // a re-run write lands cleanly on the healed state
+    Drift.writeReferenceCounts(b, dir)
+    assert(counts() == Map("z" -> 3L))
+  }
+
   test("tokenizerFit: hand-computed fertility and compression") {
     val d = Seq(
       (0L, "ab cd. ef", "s1"),   // seg: ab, cd, '.', ef = 4; ws = 3
