@@ -1704,6 +1704,23 @@ object SparkEntry {
       TextAnalysis.tokenizerFit(tbl(s, dir, "documents"))
     }),
 
+    // ------------- multi-eval-set decontamination -------------
+    //
+    // The q35 eval corpus split into two named sets, screened in ONE
+    // train pass; per-set flags must equal the per-set single-set runs
+    // (the oracle recomputes both sets exactly).
+
+    "q87_decontaminate_multi" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val evalSets = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("set_id",
+          when((col("doc_id") / 11).cast("long") % 2 === 0, "set_a")
+            .otherwise("set_b"))
+      val trainDocs = docs.filter(col("doc_id") % 11 =!= 0)
+      Decontaminate.contaminatedMulti(trainDocs, evalSets, n = 3)
+        .orderBy(col("doc_id"), col("set_id"))
+    }),
+
     // ------------- HLL over event users -------------
 
     "q20_events_user_hll" -> ((s, dir) => {
@@ -2390,6 +2407,26 @@ object SparkEntry {
         |    END, 4) AS chars_per_seg_token
         |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q87_decontaminate_multi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+        |  FROM idx),
+        |ev AS (SELECT DISTINCT
+        |    CASE WHEN CAST(doc_id / 11 AS BIGINT) % 2 = 0
+        |      THEN 'set_a' ELSE 'set_b' END AS set_id, ng
+        |  FROM ng WHERE doc_id % 11 = 0),
+        |tr AS (SELECT doc_id, ng FROM ng WHERE doc_id % 11 <> 0)
+        |SELECT tr.doc_id, ev.set_id, count(*) AS n_overlap
+        |FROM tr JOIN ev USING (ng)
+        |GROUP BY tr.doc_id, ev.set_id
+        |HAVING count(*) >= 1
+        |ORDER BY doc_id, set_id""".stripMargin,
 
     "q86_tokenizer_fit" ->
       """WITH d AS (SELECT source, coalesce(text, '') AS text

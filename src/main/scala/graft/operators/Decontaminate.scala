@@ -172,6 +172,44 @@ object Decontaminate {
         coalesce(col("overlap_frac") >= minFrac, lit(false)))
   }
 
+  /** Multi-eval-set decontamination — the production reality: dozens
+    * of benchmarks, each needing its OWN contamination flag, screened
+    * in ONE pass of the training corpus instead of one per set. A
+    * single Bloom over the union of every set's n-grams prunes the
+    * train-side explode in codegen (one corpus scan total); the exact
+    * verify join carries `setCol`, so each surviving candidate lands
+    * on its set. Output: one row per (train doc, eval set) with
+    * `n_overlap >= minOverlap` — equal by construction to running
+    * [[contaminated]] once per set (a train n-gram shared with k sets
+    * contributes to all k rows), at 1/k the corpus cost.
+    *
+    * Scale shape: identical to [[contaminated]] — the union filter is
+    * as selective as the per-set ones are in aggregate, candidates
+    * stay fpr-bounded, and the per-set eval frame (checkpointed once,
+    * feeding both the filter build and the verify) is eval-sized.
+    */
+  def contaminatedMulti(train: DataFrame, evalSets: DataFrame, n: Int = 3,
+                        minOverlap: Int = 1, fpr: Double = 1e-3,
+                        expectedEvalNgrams: Long = 0L,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        setCol: String = "set_id"): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val spark = train.sparkSession
+    val evalNg = evalSets.select(col(setCol).as("set_id"),
+        explode(wordNgrams(col(textCol), n)).as("ng"))
+      .distinct()
+      .localCheckpoint()
+    val unionNg = evalNg.select(col("ng")).distinct()
+    val probe = F.bloomProbeAuto(spark,
+      filterFromNgrams(unionNg, fpr, expectedEvalNgrams))
+    docNgrams(train, n, textCol, idCol)
+      .filter(probe(F.fnv_hash64_native(col("ng"))))
+      .join(evalNg, Seq("ng"))
+      .groupBy(col(idCol), col("set_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Row-local distinct word n-grams of one text — the same
     * tokenization as [[docNgrams]] (split on ' ', empties dropped), for
     * paths where a DataFrame column is unavailable (streaming

@@ -105,6 +105,28 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq == direct.toSeq)
   }
 
+  test("contaminatedMulti equals per-set single-set runs, one pass") {
+    import graft.operators.Decontaminate
+    val rnd = new scala.util.Random(17)
+    def doc(i: Int) = (i.toLong,
+      Seq.fill(12 + rnd.nextInt(10))(s"w${rnd.nextInt(30)}").mkString(" "))
+    val train = (0 until 60).map(doc).toDF("doc_id", "text")
+    val evA = (100 until 110).map(doc).toDF("doc_id", "text")
+    val evB = (200 until 210).map(doc).toDF("doc_id", "text")
+    val sets = evA.withColumn("set_id", lit("A"))
+      .unionByName(evB.withColumn("set_id", lit("B")))
+    val multi = Decontaminate.contaminatedMulti(train, sets, n = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("set_id"),
+        r.getAs[Long]("n_overlap"))).toSet
+    def single(ev: org.apache.spark.sql.DataFrame, tag: String) =
+      Decontaminate.contaminated(train, ev, n = 2).collect()
+        .map(r => (r.getAs[Long]("doc_id"), tag,
+          r.getAs[Long]("n_overlap"))).toSet
+    assert(multi == single(evA, "A") ++ single(evB, "B"))
+    assert(multi.nonEmpty, "fixture must produce overlaps")
+  }
+
   test("shardBalance: brute-force reconciliation, single-source dev is 0") {
     val docs = (0 until 200).map(i =>
       (i.toLong, if (i % 3 == 0) "a" else "b", 10 + i % 5))
