@@ -1704,6 +1704,14 @@ object SparkEntry {
       TextAnalysis.tokenizerFit(tbl(s, dir, "documents"))
     }),
 
+    // ------------- shard manifest (per-shard lineage) -------------
+
+    "q88_shard_manifest" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tok", size(F.tokenize(col("text"))))
+      Sampling.shardManifest(docs, numShards = 8, salt = "sh1")
+    }),
+
     // ------------- multi-eval-set decontamination -------------
     //
     // The q35 eval corpus split into two named sets, screened in ONE
@@ -2407,6 +2415,32 @@ object SparkEntry {
         |    END, 4) AS chars_per_seg_token
         |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q88_shard_manifest" -> {
+      val cases = (7 to 1 by -1).map(i =>
+        s"WHEN key >= '${Sampling.hexThreshold(i / 8.0)}' THEN $i")
+        .mkString("\n        |    ")
+      s"""WITH k AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|sh1') AS key
+         |  FROM documents),
+         |s AS (SELECT doc_id, key,
+         |  CASE $cases
+         |    ELSE 0 END AS shard FROM k),
+         |p AS (SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+         |    AS BIGINT) AS pos FROM s),
+         |d AS (SELECT p.shard, p.doc_id, p.pos,
+         |  CAST(len(list_filter(string_split(d0.text, ' '), x -> x <> ''))
+         |    AS BIGINT) AS n_tok,
+         |  CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':'
+         |    || CAST(p.pos AS VARCHAR)), 1, 8) AS BIGINT) AS rh
+         |  FROM p JOIN documents d0 USING (doc_id))
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  (max(pos) = count(*) AND min(pos) = 1) AS pos_contiguous,
+         |  CAST(sum(rh) AS BIGINT) AS checksum
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     "q87_decontaminate_multi" ->
       """WITH tok AS (

@@ -184,6 +184,35 @@ object Sampling {
       .orderBy(col("shard"))
   }
 
+  /** Loader-facing shard manifest with integrity checksums — the
+    * per-shard lineage record a training run stores next to
+    * [[writeShards]] output: `n_docs, n_tokens`, `pos_contiguous`
+    * (positions are exactly 1..n_docs — a dropped or doubled row
+    * breaks it), and `checksum` = the order-free sum of a 32-bit
+    * md5-derived hash of each `(doc_id:pos)` pair, so ANY change to
+    * the shard's membership OR its order moves the number, yet the
+    * sum needs no per-shard collect (commutative — a plain aggregate
+    * at any parallelism; int64-exact to 2^30 rows per shard). A
+    * re-run of the same corpus must reproduce every checksum
+    * bit-for-bit; a loader can re-derive and compare before training.
+    */
+  def shardManifest(docs: DataFrame, numShards: Int,
+                    salt: String = "graft", idCol: String = "doc_id",
+                    ntokCol: String = "n_tok"): DataFrame = {
+    val rowHash = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 8), 16, 10)
+      .cast("bigint")
+    shardAssignments(docs, numShards, salt, idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(ntokCol)).as("n_tokens"),
+        (max(col("pos")) === count(lit(1)) && min(col("pos")) === 1)
+          .as("pos_contiguous"),
+        sum(rowHash).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-group document cap (the RefinedWeb/C4 per-domain cap: no
     * single domain may dominate the corpus): keep at most `k` docs per
     * group, ranked by `orderCol` DESCENDING with ties broken by id

@@ -105,6 +105,29 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq == direct.toSeq)
   }
 
+  test("shardManifest: reproducible checksums, membership-sensitive") {
+    val docs = (0 until 120).map(i => (i.toLong, 5 + i % 7))
+      .toDF("doc_id", "n_tok")
+    val m1 = Sampling.shardManifest(docs, 4, "t2").collect()
+    // bit-for-bit reproducible at any input partitioning
+    val m2 = Sampling.shardManifest(docs.repartition(7), 4, "t2").collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.length == 4)
+    assert(m1.forall(_.getAs[Boolean]("pos_contiguous")))
+    assert(m1.map(_.getAs[Long]("n_docs")).sum == 120L)
+    // dropping one doc moves exactly ITS shard's checksum (positions
+    // in other shards are untouched by construction)
+    val dropped = Sampling
+      .shardManifest(docs.filter(col("doc_id") =!= 57L), 4, "t2")
+      .collect()
+    val ch1 = m1.map(r => r.getAs[Int]("shard") ->
+      r.getAs[Long]("checksum")).toMap
+    val ch2 = dropped.map(r => r.getAs[Int]("shard") ->
+      r.getAs[Long]("checksum")).toMap
+    assert(ch1.keySet == ch2.keySet)
+    assert(ch1.count { case (s, c) => ch2(s) != c } == 1)
+  }
+
   test("contaminatedMulti equals per-set single-set runs, one pass") {
     import graft.operators.Decontaminate
     val rnd = new scala.util.Random(17)
