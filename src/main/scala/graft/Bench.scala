@@ -986,6 +986,70 @@ object Bench {
       a.unpersist(); b.unpersist()
     }
 
+    // ---- b21: multi-eval-set decontamination — ONE pass vs k passes ----
+    // The q87 claim measured: 8 eval sets screened against the same
+    // 200k-doc train side, multi (one union-Bloom pass, set-carrying
+    // verify) vs 8 single-set runs. The flag SETS must be identical,
+    // and every planted (train doc, source set) pair must be flagged —
+    // a speedup that changed the answer would be worthless.
+    var b21MultiTrials = List.empty[Double]
+    var b21SinglesTrials = List.empty[Double]
+    locally {
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val sets = toText(TokenDocGen.generateDf(spark, 20000, 23L, cpus))
+        .withColumn("set_id",
+          concat(lit("set"), (col("doc_id") % 8).cast("string")))
+        .persist()
+      val planted = sets.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text"),
+          col("set_id").as("src_set"))
+        .persist()
+      val train = toText(TokenDocGen.generateDf(spark, 200000, 24L, cpus))
+        .union(planted.select(col("doc_id"), col("text")))
+        .persist()
+      sets.count(); train.count()
+      val plantedPairs = planted
+        .select(col("doc_id"), col("src_set")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      import graft.operators.Decontaminate
+      def multiJob(): Set[(Long, String)] =
+        Decontaminate.contaminatedMulti(train, sets, n = 8)
+          .select(col("doc_id"), col("set_id")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      val setIds = (0 until 8).map(i => s"set$i")
+      def singlesJob(): Set[(Long, String)] = setIds.flatMap { sid =>
+        Decontaminate
+          .contaminated(train, sets.filter(col("set_id") === sid), n = 8)
+          .select(col("doc_id")).collect()
+          .map(r => (r.getLong(0), sid))
+      }.toSet
+      multiJob() // warm-up (both paths share the train scan)
+      val muT = scala.collection.mutable.ArrayBuffer[Double]()
+      val siT = scala.collection.mutable.ArrayBuffer[Double]()
+      var multi = Set.empty[(Long, String)]
+      var singles = Set.empty[(Long, String)]
+      (1 to 2).foreach { _ =>
+        val (m, t1) = time(multiJob())
+        val (s1, t2) = time(singlesJob())
+        multi = m; singles = s1
+        muT += t1; siT += t2
+      }
+      require(multi == singles,
+        s"b21: multi and per-set flags disagree (${multi.size} vs " +
+          s"${singles.size})")
+      require(plantedPairs.subsetOf(multi),
+        s"b21: ${plantedPairs.size} planted (doc, set) pairs must all " +
+          s"be flagged; missing ${(plantedPairs -- multi).size}")
+      b21MultiTrials = muT.toList
+      b21SinglesTrials = siT.toList
+      results += "b21_decon_multi_8sets" -> muT.min
+      results += "b21_decon_singles_8sets" -> siT.min
+      sets.unpersist(); planted.unpersist(); train.unpersist()
+    }
+
     // ---- IVF recall/nprobe curve (index-quality regression guard) ----
     // q25/q32 gate a single recall point; the curve makes index-quality
     // regressions visible across rounds the way perf ones are.
@@ -1083,6 +1147,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_sketch_trials":${b19SketchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_exact_trials":${b19ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_max_err_frac":$b19MaxErrFrac%.6f,"b20_summary_trials":${b20SummaryTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_token_trials":${b20TokenTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_length_trials":${b20LengthTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_tv":$b20Tv%.6f,"b20_ks":$b20Ks%.6f,"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_sketch_trials":${b19SketchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_exact_trials":${b19ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_max_err_frac":$b19MaxErrFrac%.6f,"b20_summary_trials":${b20SummaryTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_token_trials":${b20TokenTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_length_trials":${b20LengthTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_tv":$b20Tv%.6f,"b20_ks":$b20Ks%.6f,"b21_multi_trials":${b21MultiTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b21_singles_trials":${b21SinglesTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }
