@@ -210,6 +210,32 @@ object Decontaminate {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** One Bloom filter per eval set — the broadcastable state behind
+    * [[graft.streaming.StreamingSketches.streamingDecontaminateMultiBc]]
+    * (the streaming twin of [[contaminatedMulti]]). Each set's filter
+    * is sized to its own n-gram count at `fpr`. Driver memory: k
+    * filters of eval-set size — the same footprint the single-set
+    * screen pays, k times, for k screens it replaces.
+    */
+  def evalFiltersPerSet(evalSets: DataFrame, n: Int = 3,
+                        fpr: Double = 1e-3,
+                        textCol: String = "text",
+                        setCol: String = "set_id")
+      : Map[String, graft.core.BlockedBloomFilter] = {
+    val evalNg = evalSets.select(col(setCol).as("set_id"),
+        explode(wordNgrams(col(textCol), n)).as("ng"))
+      .distinct()
+      .localCheckpoint()
+    val caps = evalNg.groupBy(col("set_id")).count().collect()
+      .map(r => r.getString(0) -> math.max(r.getLong(1), 1000L))
+    caps.map { case (sid, cap) =>
+      sid -> BloomIO.load(evalNg.filter(col("set_id") === sid)
+        .agg(F.bloom_agg_hash(F.fnv_hash64_native(col("ng")), cap, fpr)
+          .as("sk"))
+        .head().getAs[Array[Byte]]("sk"))
+    }.toMap
+  }
+
   /** Row-local distinct word n-grams of one text — the same
     * tokenization as [[docNgrams]] (split on ' ', empties dropped), for
     * paths where a DataFrame column is unavailable (streaming

@@ -354,6 +354,46 @@ object StreamingSketches {
         < minOverlap)
   }
 
+  /** Streaming MULTI-eval-set contamination flags — the streaming twin
+    * of [[graft.operators.Decontaminate.contaminatedMulti]]: for each
+    * stream row, emit one `(id, set_id, n_overlap)` per eval set whose
+    * filter the row's n-grams hit at least `minOverlap` times.
+    * Stateless (flatMap against broadcast per-set filters from
+    * [[graft.operators.Decontaminate.evalFiltersPerSet]]), any output
+    * mode; each row's n-grams are hashed ONCE and probed against all k
+    * filters. Bloom-only, so false negatives are impossible and false
+    * flags occur at each filter's configured fpr (size the filters at
+    * 1e-6 to make the flags exact in practice — the q35 rule).
+    * Broadcast LIFETIME is caller-owned: destroy() after the query
+    * terminates.
+    */
+  def streamingDecontaminateMultiBc[T](
+      ds: Dataset[T], idFn: T => Long, textFn: T => String,
+      bc: org.apache.spark.broadcast.Broadcast[
+        Map[String, BlockedBloomFilter]],
+      n: Int = 3, minOverlap: Int = 1): Dataset[(Long, String, Int)] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { t =>
+      val hashes = graft.operators.Decontaminate
+        .ngramsOf(textFn(t), n)
+        .map(graft.core.Hashing.fnv1a64).toArray
+      if (hashes.isEmpty) Iterator.empty
+      else {
+        val id = idFn(t)
+        bc.value.iterator.flatMap { case (sid, f) =>
+          var c = 0
+          var i = 0
+          while (i < hashes.length) {
+            if (f.has(hashes(i))) c += 1
+            i += 1
+          }
+          if (c >= minOverlap) Iterator.single((id, sid, c))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Streaming LM-quality screen: keep stream rows whose CCNet-style
     * bucketed-bits score under a persisted bigram model
     * ([[graft.operators.LmScore.writeLmModel]]) is at most

@@ -290,6 +290,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Seq("d2", "d6"), s"kept: $kept")
   }
 
+  test("streaming multi-set flags == batch contaminatedMulti (cross-batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sets = Seq(
+      (100L, "alpha beta gamma delta", "A"),
+      (200L, "omega psi chi phi", "B"),
+      (201L, "psi chi rho", "B"))
+      .toDF("doc_id", "text", "set_id")
+    val filters = graft.operators.Decontaminate
+      .evalFiltersPerSet(sets, n = 2, fpr = 1e-6)
+    assert(filters.keySet == Set("A", "B"))
+    val bc = spark.sparkContext.broadcast(filters)
+    val rows = Seq(
+      (1L, "xx alpha beta yy"),        // hits A once
+      (2L, "omega psi chi zz"),        // hits B twice
+      (3L, "beta gamma delta psi chi"),// hits A twice AND B once
+      (4L, "nothing shared here"),
+      (5L, null.asInstanceOf[String]))
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingSketches.streamingDecontaminateMultiBc[(Long, String)](
+      stream.toDS(), _._1, _._2, bc, n = 2)
+    val q = out.writeStream.format("memory").queryName("multi_decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(2)); q.processAllAvailable()
+      stream.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM multi_decon").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // the batch operator (exact verify) is the contract
+    val expected = graft.operators.Decontaminate
+      .contaminatedMulti(rows.toDF("doc_id", "text"), sets, n = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("set_id"),
+        r.getAs[Long]("n_overlap").toInt)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.contains((3L, "A", 2)) && got.contains((3L, "B", 1)))
+    bc.destroy()
+  }
+
   test("streaming decontamination drops rows overlapping the eval set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
