@@ -1685,6 +1685,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1))
     }),
 
+    // length KS off the same persisted reference (stored value table +
+    // build-time KLL blob) — must equal q80's direct statistic exactly
+    "q89_length_drift_vs_index" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q89-ref").toString
+      Drift.writeReferenceCounts(docs.filter(col("doc_id") % 2 === 0), idx)
+      Drift.lengthDriftVsReference(docs.filter(col("doc_id") % 2 === 1), idx)
+    }),
+
     // ------------- shard-balance audit -------------
     //
     // The q53 sharder's two load-bearing claims — near-equal shard
@@ -3346,36 +3356,11 @@ object SparkEntry {
         |FROM sums s JOIN top t2 ON s.source = t2.source
         |ORDER BY s.source""".stripMargin,
 
-    "q80_length_drift" ->
-      """WITH la AS (
-        |  SELECT len(list_filter(string_split(coalesce(text, ''), ' '),
-        |    x -> x <> '')) AS v
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |lb AS (
-        |  SELECT len(list_filter(string_split(coalesce(text, ''), ' '),
-        |    x -> x <> '')) AS v
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |va AS (SELECT v, count(*) AS cnt_a FROM la GROUP BY v),
-        |vb AS (SELECT v, count(*) AS cnt_b FROM lb GROUP BY v),
-        |cnt AS (
-        |  SELECT coalesce(va.v, vb.v) AS v,
-        |    coalesce(cnt_a, CAST(0 AS BIGINT)) AS cnt_a,
-        |    coalesce(cnt_b, CAST(0 AS BIGINT)) AS cnt_b
-        |  FROM va FULL OUTER JOIN vb ON va.v = vb.v),
-        |cum AS (SELECT v,
-        |  sum(cnt_a) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
-        |  sum(cnt_b) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
-        |  FROM cnt),
-        |t AS (SELECT (SELECT count(*) FROM la) AS n_a,
-        |  (SELECT count(*) FROM lb) AS n_b)
-        |SELECT n_a, n_b,
-        |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
-        |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks,
-        |  true AS kll_ks_ok
-        |FROM cum CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+    "q80_length_drift" -> lengthDriftOracle,
+
+    // the index path must reproduce the direct KS exactly — same
+    // oracle by construction
+    "q89_length_drift_vs_index" -> lengthDriftOracle,
 
     "q81_pmi_phrases" ->
       """WITH wl AS (
@@ -3624,6 +3609,40 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
         |LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  /** q80's length-KS drift — also q89's: the persisted-reference path
+    * must reproduce the direct statistic bit-for-bit.
+    */
+  private val lengthDriftOracle: String =
+    """WITH la AS (
+      |  SELECT len(list_filter(string_split(coalesce(text, ''), ' '),
+      |    x -> x <> '')) AS v
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |lb AS (
+      |  SELECT len(list_filter(string_split(coalesce(text, ''), ' '),
+      |    x -> x <> '')) AS v
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |va AS (SELECT v, count(*) AS cnt_a FROM la GROUP BY v),
+      |vb AS (SELECT v, count(*) AS cnt_b FROM lb GROUP BY v),
+      |cnt AS (
+      |  SELECT coalesce(va.v, vb.v) AS v,
+      |    coalesce(cnt_a, CAST(0 AS BIGINT)) AS cnt_a,
+      |    coalesce(cnt_b, CAST(0 AS BIGINT)) AS cnt_b
+      |  FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+      |cum AS (SELECT v,
+      |  sum(cnt_a) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |  sum(cnt_b) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      |  FROM cnt),
+      |t AS (SELECT (SELECT count(*) FROM la) AS n_a,
+      |  (SELECT count(*) FROM lb) AS n_b)
+      |SELECT n_a, n_b,
+      |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+      |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks,
+      |  true AS kll_ks_ok
+      |FROM cum CROSS JOIN t GROUP BY n_a, n_b""".stripMargin
 
   /** q79's drift summary — also q83's: the persisted-reference path
     * must reproduce the direct two-corpus summary bit-for-bit.

@@ -75,43 +75,70 @@ object Drift {
       .na.fill(0L, Seq("c_a", "c_b"))
       .localCheckpoint(true)
 
-  /** Persist a reference word distribution — the vocab-sized counts
-    * table of a baseline corpus — so every later snapshot can be
-    * drift-screened against it WITHOUT rescanning the reference (the
-    * engine's index-once-screen-many pattern applied to drift; the
-    * snapshot side pays one explode, the reference side one parquet
-    * read of a vocab-sized table). A reference is a FIXED baseline by
-    * definition, so the layout is deliberately append-free: moving the
-    * baseline is a semantic decision, made loudly via a fresh
-    * [[writeReferenceCounts]], never an accumulation.
+  /** Persist a reference distribution snapshot — the vocab-sized word
+    * counts, the document-length value table, and the build-time KLL
+    * length sketch of a baseline corpus — so every later snapshot can
+    * be drift-screened against it (token TV/KL via
+    * [[referenceWordCounts]], length KS via
+    * [[lengthDriftVsReference]]) WITHOUT rescanning the reference: the
+    * engine's index-once-screen-many pattern applied to drift. A
+    * reference is a FIXED baseline by definition, so the layout is
+    * deliberately append-free: moving the baseline is a semantic
+    * decision, made loudly via a fresh write, never an accumulation.
+    *
+    * Layout: versioned dirs `v=<N>/{counts, lengths, length_sketch}`
+    * committed by ONE `_current` pointer swap (the batches.next rule),
+    * so the three tables become visible together or not at all; a
+    * crash at any point leaves either the old baseline or the new one,
+    * never a mix, and superseded/orphaned versions are GC'd by the
+    * next successful write.
     */
-  def writeReferenceCounts(docs: DataFrame, dir: String): Unit = {
+  def writeReferenceCounts(docs: DataFrame, dir: String,
+                           kllK: Int = 200): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
     healReference(spark, dir)
-    // staged swap (the overlap-index batches.next rule): a direct
-    // overwrite DELETES the live baseline before the new one is
-    // durable, so a crash mid-write would leave no baseline at all —
-    // stage the full table first, then delete-rename
+    val newVer = currentVersion(spark, dir).getOrElse(0L) + 1
+    // stage EVERYTHING under the new version dir, then commit with ONE
+    // pointer swap (the batches.next rule): the three tables become
+    // visible together or not at all — a two-table delete-rename dance
+    // would have a crash window exposing a MIXED baseline (new lengths
+    // beside old words), which no heal could tell from a valid one
     wordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$dir/counts.next")
+      .write.mode("overwrite").parquet(s"$dir/v=$newVer/counts")
+    val lens = docs
+      .select(size(graft.functions.functions.tokenize(col("text")))
+        .as("n_tok"))
+      .localCheckpoint(true)
+    lens.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/v=$newVer/lengths")
+    val blob = lens
+      .agg(graft.functions.functions
+        .kll_agg(col("n_tok").cast("double"), kllK))
+      .head().getAs[Array[Byte]](0)
+    Seq((lens.count(), blob)).toDF("n_docs", "kll")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/v=$newVer/length_sketch")
+    // commit: pointer swap, then GC superseded versions
+    Seq(newVer).toDF("version").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_current.next")
     val f = fsOf(spark, dir)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/counts")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/counts.next")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/_current")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/_current.next")
     if (f.exists(cur))
       require(f.delete(cur, true), s"reference swap: delete failed in $dir")
     require(f.rename(next, cur), s"reference swap: rename failed in $dir")
+    gcReferenceVersions(spark, dir, newVer)
   }
 
-  /** The persisted reference table, as (w, c) — rename to (t, c_ref)
-    * to feed [[windowedTokenDrift]]. Heals a crashed
-    * [[writeReferenceCounts]] swap first (roll a completed swap
-    * forward; drop a half-staged rebuild, keeping the old baseline).
+  /** The persisted reference word table, as (w, c) — rename to
+    * (t, c_ref) to feed [[windowedTokenDrift]]. Heals a crashed
+    * [[writeReferenceCounts]] swap first (roll a completed pointer
+    * swap forward; drop a half-staged one, keeping the old baseline).
     */
   def readReferenceCounts(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): DataFrame = {
-    healReference(spark, dir)
-    spark.read.parquet(s"$dir/counts")
-  }
+                          dir: String): DataFrame =
+    spark.read.parquet(s"${liveReferenceDir(spark, dir)}/counts")
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -120,14 +147,45 @@ object Drift {
   private def healReference(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Unit = {
     val f = fsOf(spark, dir)
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/counts")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/counts.next")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/_current")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/_current.next")
     if (f.exists(next)) {
       if (!f.exists(cur))
         require(f.rename(next, cur), s"reference heal: rename failed in $dir")
       else require(f.delete(next, true),
         s"reference heal: delete failed in $dir")
     }
+  }
+
+  private def currentVersion(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Option[Long] = {
+    val f = fsOf(spark, dir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_current"))) None
+    else Some(spark.read.parquet(s"$dir/_current")
+      .head().getAs[Long]("version"))
+  }
+
+  private def liveReferenceDir(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    healReference(spark, dir)
+    val ver = currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed reference at $dir"))
+    s"$dir/v=$ver"
+  }
+
+  /** Drop version dirs superseded by `keep` (crash leftovers included:
+    * a staged-but-never-committed version is invisible to readers and
+    * reclaimed by the next successful write's GC).
+    */
+  private def gcReferenceVersions(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Long): Unit = {
+    val f = fsOf(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    f.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("v="))
+      .filterNot(_.getPath.getName == s"v=$keep")
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   /** Counts frame (`w, c_a` = reference, `c_b` = snapshot) of a
@@ -307,30 +365,64 @@ object Drift {
         .as("n_tok"))
     val la = lens(docsA).localCheckpoint(true)
     val lb = lens(docsB).localCheckpoint(true)
-    val va = la.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_a"))
-    val vb = lb.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_b"))
+    val skA = la.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
+      .head().getAs[Array[Byte]](0)
+    val skB = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
+      .head().getAs[Array[Byte]](0)
+    ksFromSides(
+      la.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_a")),
+      la.count(), graft.core.KllSketch.deserialize(skA),
+      lb.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_b")),
+      lb.count(), graft.core.KllSketch.deserialize(skB), gate)
+  }
+
+  /** [[lengthDrift]] with the A side read from a persisted reference
+    * ([[writeReferenceCounts]] stores the length value-table AND the
+    * build-time KLL blob, so neither side of the statistic rescans the
+    * reference corpus). Output identical by construction to
+    * `lengthDrift(referenceCorpus, snapshot)`.
+    */
+  def lengthDriftVsReference(snapshot: DataFrame, dir: String,
+                             kllK: Int = 200,
+                             gate: Double = 0.08): DataFrame = {
+    val spark = snapshot.sparkSession
+    val F = graft.functions.functions
+    val live = liveReferenceDir(spark, dir)
+    val va = spark.read.parquet(s"$live/lengths")
+      .select(col("n_tok"), col("cnt").as("cnt_a"))
+    val meta = spark.read.parquet(s"$live/length_sketch").head()
+    val nA = meta.getAs[Long]("n_docs")
+    val a = graft.core.KllSketch.deserialize(meta.getAs[Array[Byte]]("kll"))
+    val lb = snapshot
+      .select(size(F.tokenize(col("text"))).as("n_tok"))
+      .localCheckpoint(true)
+    val skB = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
+      .head().getAs[Array[Byte]](0)
+    ksFromSides(va, nA, a,
+      lb.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_b")),
+      lb.count(), graft.core.KllSketch.deserialize(skB), gate)
+  }
+
+  /** The KS machinery shared by [[lengthDrift]] and
+    * [[lengthDriftVsReference]]: exact numerator over the joined
+    * value tables (cross-multiplied cumulative counts, int64), sketch
+    * estimate on the two KLL quantile grids.
+    */
+  private def ksFromSides(va: DataFrame, nA: Long, a: graft.core.KllSketch,
+                          vb: DataFrame, nB: Long, b: graft.core.KllSketch,
+                          gate: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_tok"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = va.join(vb, Seq("n_tok"), "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
       .select(col("n_tok"),
         sum(col("cnt_a")).over(w).as("cum_a"),
         sum(col("cnt_b")).over(w).as("cum_b"))
-    // totals come off the checkpointed length frames (cheap counts, no
-    // corpus rescan); cross-multiplying by them inside the max keeps
-    // the whole KS numerator in int64
-    val nA = la.count()
-    val nB = lb.count()
     val ksRow = cum
       .agg(max(abs(col("cum_a") * lit(nB) - col("cum_b") * lit(nA)))
         .as("ks_num"))
-    val skA = la.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
-      .head().getAs[Array[Byte]](0)
-    val skB = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
-      .head().getAs[Array[Byte]](0)
-    val a = graft.core.KllSketch.deserialize(skA)
-    val b = graft.core.KllSketch.deserialize(skB)
     // evaluate |F_A - F_B| on both sketches' quantile grids (the KS sup
     // is attained at a support point of one of the samples; 401 grid
     // points per side covers every retained-item step at k=200)

@@ -159,7 +159,7 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
-  test("reference index crash recovery: swap heals forward and backward") {
+  test("reference index crash recovery: pointer swap heals both ways") {
     val a = docs(0L -> "x x y")
     val b = docs(1L -> "z z z")
     val dir = java.nio.file.Files
@@ -170,22 +170,30 @@ class DriftSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts() == Map("x" -> 2L, "y" -> 1L))
     val conf = spark.sessionState.newHadoopConf()
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/counts")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/counts.next")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/_current")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/_current.next")
     val f = cur.getFileSystem(conf)
-    // crash DURING staging: half-staged rebuild beside a live baseline
-    // -> the stage is garbage, the old baseline survives
-    Seq(("z", 9L)).toDF("w", "c").write.parquet(next.toString)
+    // crash AFTER staging a rebuild, BEFORE the pointer swap started:
+    // the staged version and pointer are garbage, old baseline survives
+    Seq(("z", 9L)).toDF("w", "c").write.parquet(s"$dir/v=99/counts")
+    Seq(99L).toDF("version").write.parquet(next.toString)
     assert(counts() == Map("x" -> 2L, "y" -> 1L))
     assert(!f.exists(next))
-    // crash BETWEEN delete and rename: only the staged table exists
-    // -> the swap passed the point of no return, roll it forward
-    Seq(("z", 3L)).toDF("w", "c").write.parquet(next.toString)
+    // crash BETWEEN delete(_current) and the rename: only the staged
+    // pointer exists -> the swap passed the point of no return, roll
+    // it forward (the staged version dir is complete by write order)
+    Seq(99L).toDF("version").coalesce(1)
+      .write.mode("overwrite").parquet(next.toString)
     f.delete(cur, true)
-    assert(counts() == Map("z" -> 3L))
-    // a re-run write lands cleanly on the healed state
+    assert(counts() == Map("z" -> 9L))
+    // a re-run write lands cleanly on the healed state and GCs every
+    // superseded version dir (the crash leftovers included)
     Drift.writeReferenceCounts(b, dir)
     assert(counts() == Map("z" -> 3L))
+    val vDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(vDirs == Set("v=100"), s"GC must keep only the live version: $vDirs")
   }
 
   test("tokenizerFit: hand-computed fertility and compression") {
@@ -240,6 +248,9 @@ class DriftSpec extends AnyFunSuite {
       Drift.driftSummary(a, b).collect().toSeq)
     assert(Drift.tokenDriftFromCounts(cnt, 10).collect().toSeq ==
       Drift.tokenDrift(a, b, 10).collect().toSeq)
+    // length KS off the stored value table + build-time KLL blob
+    assert(Drift.lengthDriftVsReference(b, dir).collect().toSeq ==
+      Drift.lengthDrift(a, b).collect().toSeq)
     // the persisted table feeds the windowed screen's ref side too
     val ref = Drift.readReferenceCounts(spark, dir)
       .select(col("w").as("t"), col("c").as("c_ref"))
