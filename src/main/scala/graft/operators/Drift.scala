@@ -287,6 +287,29 @@ object Drift {
           .as("kl_ba_bits"))
   }
 
+  /** Full-precision twin of [[driftSummaryFromCounts]]'s KL columns:
+    * add-one-smoothed KL divergence in NATS (`kl_ab_nats`,
+    * `kl_ba_nats`), for in-engine thresholds and dashboards where
+    * cross-engine bit-equality is not required — float log sums are
+    * order-dependent, so this column can never sit on the oracle
+    * surface (the LmScore scoreDocs/scoreDocsPrecise split). The
+    * bucketed panel's floor-log2 term error is in (-1, 1) bits, so
+    * `kl_*_bits` and `kl_*_nats / ln 2` agree within 1 bit — pinned in
+    * sbt.
+    */
+  def klPrecise(cnt: DataFrame): DataFrame = {
+    val totals = totalsOf(cnt)
+    def lg(c: Column, tot: Column): Column =
+      log((c + 1).cast("double") * (tot + col("v_union")).cast("double"))
+    val marg = lg(col("c_a"), col("tot_b")) - lg(col("c_b"), col("tot_a"))
+    cnt.crossJoin(broadcast(totals))
+      .agg(
+        (sum(col("c_a").cast("double") * marg)
+          / first(col("tot_a")).cast("double")).as("kl_ab_nats"),
+        (sum(col("c_b").cast("double") * negate(marg))
+          / first(col("tot_b")).cast("double")).as("kl_ba_nats"))
+  }
+
   /** Per-SOURCE drift between snapshots A and B — which slice moved.
     * A global TV (q79) says THAT the corpus moved; operators act on
     * slices, so this localizes it: one row per source with the

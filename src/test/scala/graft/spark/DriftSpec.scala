@@ -75,6 +75,35 @@ class DriftSpec extends AnyFunSuite {
     assert(s.getAs[Long]("kl_ba_num") == 5L)
   }
 
+  test("klPrecise: matches driver-side recomputation; buckets within 1 bit") {
+    val a = docs(0L -> "x x x x y y", 1L -> "q r s t t")
+    val b = docs(2L -> "x y y z z z", 3L -> "q q t u")
+    val cnt = Drift.wordCounts(a, b)
+    val rows = cnt.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totA = rows.map(_._2).sum
+    val totB = rows.map(_._3).sum
+    val v = rows.length.toLong
+    def kl(side: ((String, Long, Long)) => Long, tot: Long,
+           oSide: ((String, Long, Long)) => Long, oTot: Long): Double =
+      rows.map { r =>
+        side(r) * (math.log((side(r) + 1).toDouble * (oTot + v)) -
+          math.log((oSide(r) + 1).toDouble * (tot + v)))
+      }.sum / tot
+    val p = Drift.klPrecise(cnt).head()
+    val expAb = kl(_._2, totA, _._3, totB)
+    val expBa = kl(_._3, totB, _._2, totA)
+    assert(math.abs(p.getAs[Double]("kl_ab_nats") - expAb) < 1e-9)
+    assert(math.abs(p.getAs[Double]("kl_ba_nats") - expBa) < 1e-9)
+    // bucketed bits vs precise: within 1 bit (per-term floor-log2
+    // error in (-1,1), weights sum to <= 1)
+    val s = Drift.driftSummaryFromCounts(cnt).head()
+    assert(math.abs(s.getAs[Double]("kl_ab_bits") -
+      expAb / math.log(2)) < 1.0)
+    assert(math.abs(s.getAs[Double]("kl_ba_bits") -
+      expBa / math.log(2)) < 1.0)
+  }
+
   test("lengthDrift: zero KS on same lengths, 1.0 on disjoint, gate holds") {
     val a = docs(0L -> "a b c", 1L -> "d e")        // lengths 3, 2
     val b = docs(2L -> "f g h", 3L -> "i j")        // lengths 3, 2
