@@ -1722,6 +1722,24 @@ object SparkEntry {
       Sampling.shardManifest(docs, numShards = 8, salt = "sh1")
     }),
 
+    // ------------- markup-to-text extraction -------------
+    //
+    // Markup planted via IDENTICAL concat in both engines (the q60
+    // device); the whole strip chain replays verbatim in DuckDB.
+
+    "q90_strip_markup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<html><body class=\"m\">"), col("text"),
+            lit("<script>var a = 1 &amp;&amp; 2;</script> trailing " +
+              "&amp; &lt;raw&gt;</body></html>")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("plain &quot;quoted&quot; &nbsp; "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripMarkup(planted).orderBy(col("doc_id"))
+    }),
+
     // ------------- multi-eval-set decontamination -------------
     //
     // The q35 eval corpus split into two named sets, screened in ONE
@@ -2451,6 +2469,44 @@ object SparkEntry {
          |  CAST(sum(rh) AS BIGINT) AS checksum
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin
     },
+
+    "q90_strip_markup" ->
+      """WITH p AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 5 = 0 THEN '<html><body class="m">' || text ||
+        |      '<script>var a = 1 &amp;&amp; 2;</script> trailing ' ||
+        |      '&amp; &lt;raw&gt;</body></html>'
+        |    WHEN doc_id % 7 = 0 THEN 'plain &quot;quoted&quot; &nbsp; '
+        |      || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |c0 AS (SELECT doc_id, text,
+        |  CAST(len(regexp_extract_all(text, '</?[A-Za-z][^>]*>'))
+        |    AS BIGINT) AS n_tags FROM p),
+        |c1 AS (SELECT doc_id, n_tags, regexp_replace(text,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM c0),
+        |c2 AS (SELECT doc_id, n_tags, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, n_tags, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, n_tags, regexp_replace(t,
+        |  '</?[A-Za-z][^>]*>', ' ', 'g') AS t FROM c3),
+        |c5 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '&lt;', '<', 'g') AS t FROM c4),
+        |c6 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '&gt;', '>', 'g') AS t FROM c5),
+        |c7 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '&quot;', '"', 'g') AS t FROM c6),
+        |c8 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '&#39;', '''', 'g') AS t FROM c7),
+        |c9 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c8),
+        |c10 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '&amp;', '&', 'g') AS t FROM c9),
+        |c11 AS (SELECT doc_id, n_tags,
+        |  regexp_replace(t, '\s+', ' ', 'g') AS t FROM c10)
+        |SELECT doc_id, n_tags, n_tags > 0 AS had_markup,
+        |  trim(t) AS text_clean
+        |FROM c11 ORDER BY doc_id""".stripMargin,
 
     "q87_decontaminate_multi" ->
       """WITH tok AS (

@@ -1000,6 +1000,46 @@ object TextAnalysis {
         when(seg > 0, round(col("n_chars").cast("double") / seg, 4)))
   }
 
+  /** Markup-stripping steps, applied in order (order is part of the
+    * contract): script/style elements go WITH their content, then
+    * comments, then remaining tags become spaces, then the six
+    * standard entities unescape (`&amp;` LAST so it cannot re-form
+    * other entities), then whitespace runs collapse. Escaped markup
+    * (`&lt;tag&gt;`) is content, not structure — tags are stripped
+    * BEFORE entities unescape, so it survives into the text.
+    */
+  val markupSteps: Seq[(String, String)] = Seq(
+    ("(?is)<script[^>]*>.*?</script>", " "),
+    ("(?is)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("</?[A-Za-z][^>]*>", " "),
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+    ("\\s+", " "))
+
+  /** Markup-to-text extraction — the step-zero transform of a web
+    * curation pipeline, as a sequential builtin-regex chain (the
+    * Redact.scrubPii portability discipline: whole-stage codegen, zero
+    * shuffle, streaming-safe, patterns in the java.util.regex ∩ RE2
+    * subset so the DuckDB oracle replays them verbatim with the 'g'
+    * flag). NOT a browser-grade parser — no external parser exists in
+    * this environment and the regex chain covers the shapes that
+    * survive into a text corpus; pathological nesting falls through as
+    * text, never as a crash. Output: `n_tags` (counted on the RAW
+    * text), `had_markup`, and the cleaned, whitespace-collapsed
+    * `text_clean`.
+    */
+  def stripMarkup(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val nTags = regexp_count(raw, lit("</?[A-Za-z][^>]*>")).cast("long")
+    val cleaned = markupSteps.foldLeft(raw: Column) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    docs.select(col(idCol), nTags.as("n_tags"),
+      (nTags > 0).as("had_markup"), trim(cleaned).as("text_clean"))
+  }
+
   /** Tokenizer-fit report per source: fertility (segmentation tokens
     * per whitespace word) and compression (chars per token) — the two
     * numbers a tokenizer/budget plan needs per corpus slice (a source

@@ -875,6 +875,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stripMarkup: script content, tags, entities, whitespace, nulls") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "<html><body class=\"x\">Hello <b>world</b><script>var a=1 " +
+        "&amp;&amp; 2;</script><!-- c --> &lt;tag&gt; &amp; " +
+        "&quot;q&quot; &#39;s&#39; &nbsp;end</body></html>"),
+      (1L, "no markup here"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.stripMarkup(d).orderBy(col("doc_id")).collect()
+    val h = r(0)
+    // 8 real tags; the comment is not a tag; entities are not tags
+    assert(h.getAs[Long]("n_tags") == 8L)
+    assert(h.getAs[Boolean]("had_markup"))
+    // script content gone; escaped markup survives as text; entities
+    // unescaped after tag removal; whitespace collapsed
+    assert(h.getAs[String]("text_clean") ==
+      "Hello world <tag> & \"q\" 's' end")
+    assert(r(1).getAs[Long]("n_tags") == 0L)
+    assert(!r(1).getAs[Boolean]("had_markup"))
+    assert(r(1).getAs[String]("text_clean") == "no markup here")
+    assert(r(2).getAs[String]("text_clean") == "")
+  }
+
   test("gopher quality battery: each rule trips on its crafted doc") {
     val good = "the of and " + (1 to 60).map(i => s"word$i").mkString(" ")
     val docs = Seq(
