@@ -1740,6 +1740,24 @@ object SparkEntry {
       TextAnalysis.stripMarkup(planted).orderBy(col("doc_id"))
     }),
 
+    // strip -> dedup composition: markup VARIANTS of the same content
+    // (the re-crawl-with-new-template case URL dedup misses and raw
+    // exact dedup misses) collapse once extraction runs first
+
+    "q91_dedup_post_strip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("<div class=\"wrap\">"), col("text"),
+            lit("</div>")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(variants)
+      val clean = TextAnalysis.stripMarkup(corpus)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      Dedup.exactGroups(clean).filter(col("dup_cnt") >= 2)
+        .orderBy(col("keep_id"))
+    }),
+
     // ------------- multi-eval-set decontamination -------------
     //
     // The q35 eval corpus split into two named sets, screened in ONE
@@ -2507,6 +2525,40 @@ object SparkEntry {
         |SELECT doc_id, n_tags, n_tags > 0 AS had_markup,
         |  trim(t) AS text_clean
         |FROM c11 ORDER BY doc_id""".stripMargin,
+
+    "q91_dedup_post_strip" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '<div class="wrap">' || text || '</div>'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |c1 AS (SELECT doc_id, regexp_replace(text,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM u),
+        |c2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(t,
+        |  '</?[A-Za-z][^>]*>', ' ', 'g') AS t FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  regexp_replace(t, '&lt;', '<', 'g') AS t FROM c4),
+        |c6 AS (SELECT doc_id,
+        |  regexp_replace(t, '&gt;', '>', 'g') AS t FROM c5),
+        |c7 AS (SELECT doc_id,
+        |  regexp_replace(t, '&quot;', '"', 'g') AS t FROM c6),
+        |c8 AS (SELECT doc_id,
+        |  regexp_replace(t, '&#39;', '''', 'g') AS t FROM c7),
+        |c9 AS (SELECT doc_id,
+        |  regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c8),
+        |c10 AS (SELECT doc_id,
+        |  regexp_replace(t, '&amp;', '&', 'g') AS t FROM c9),
+        |c11 AS (SELECT doc_id,
+        |  regexp_replace(t, '\s+', ' ', 'g') AS t FROM c10)
+        |SELECT md5(trim(t)) AS content_md5,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS dup_cnt
+        |FROM c11 GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin,
 
     "q87_decontaminate_multi" ->
       """WITH tok AS (
