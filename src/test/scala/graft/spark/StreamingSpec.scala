@@ -330,6 +330,59 @@ class StreamingSpec extends AnyFunSuite {
     bc.destroy()
   }
 
+  test("stripMarkup runs unchanged on a stream (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.stripMarkup(
+      stream.toDS().toDF("doc_id", "text"))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("strip_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((1L, "<b>hi</b> there"), (2L, "plain")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT * FROM strip_stream ORDER BY doc_id")
+      .collect()
+    assert(rows(0).getAs[String]("text_clean") == "hi there")
+    assert(rows(0).getAs[Long]("n_tags") == 2L)
+    assert(rows(1).getAs[String]("text_clean") == "plain")
+  }
+
+  test("windowed drift reader flags the approximate regime per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val stream = MemoryStream[(java.sql.Timestamp, String, Array[Int], Int)]
+    // freqK = 8 << the 60-token window vocab: the sketch leaves its
+    // exact regime and the reader must SAY so
+    val windows = StreamingSketches.windowedSourceSketches(
+      stream.toDS().toDF("ts", "source", "tokens", "n_tok"),
+      "ts", "10 minutes", "5 minutes", capacity = 1000, fpr = 0.01,
+      freqK = 8)
+    val q = windows.writeStream.format("memory").queryName("win_approx")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((ts(1), "s0", (1 to 60).toArray, 60)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(29), "s0", Array(500), 1)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(31), "s0", Array(600), 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.sql(
+      "SELECT * FROM win_approx WHERE win_start = '2026-01-01 10:00:00'")
+    val ref = (1 to 30).map(t => (t, 1L)).toDF("t", "c_ref")
+    val r = graft.operators.Drift.windowedTokenDrift(sink, ref).collect()
+    assert(r.length == 1)
+    assert(!r.head.getAs[Boolean]("exact"),
+      "vocab 60 > freqK 8 must flag the approximate regime")
+    // estimates still land in range; the top mover is still reported
+    val tv = r.head.getAs[Double]("tv")
+    assert(tv >= 0.0 && tv <= 1.0 && r.head.getAs[String]("top_token") != null)
+  }
+
   test("streaming decontamination drops rows overlapping the eval set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
