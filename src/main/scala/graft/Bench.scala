@@ -743,6 +743,54 @@ object Bench {
       docs.unpersist()
     }
 
+    // ---- b22: markup-to-text extraction throughput ----
+    // The 11-step regex chain over 200k docs, markup planted on 1/10.
+    // Acceptance is the INVERSE property, checked untimed after the
+    // trials: stripping the planted wrapper returns exactly the
+    // original text, and unmarked docs pass through byte-identical —
+    // all 200k docs must round-trip.
+    var b22Trials = List.empty[Double]
+    locally {
+      import graft.operators.TextAnalysis
+      def toText(df: DataFrame): DataFrame = df.select(
+        regexp_extract(col("doc_id"), "(\\d+)$", 1).cast("long").as("doc_id"),
+        concat_ws(" ", transform(col("tokens"), t => t.cast("string")))
+          .as("text"))
+      val base = toText(TokenDocGen.generateDf(spark, 200000, 57L, cpus))
+        .persist()
+      val docs = base.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("<html><head><style>p{x}</style></head>" +
+              "<body class=\"c\">"),
+            col("text"),
+            lit("<script>var z=1;</script><!-- t --></body></html>")))
+          .otherwise(col("text")).as("text"))
+        .persist()
+      base.count(); docs.count()
+      def stripJob(): Long =
+        TextAnalysis.stripMarkup(docs)
+          .agg(sum(when(col("had_markup"), 1L).otherwise(0L)))
+          .head().getLong(0)
+      stripJob() // warm-up
+      val sTrials = scala.collection.mutable.ArrayBuffer[Double]()
+      var flagged = 0L
+      (1 to 3).foreach { _ =>
+        val (nf, t1) = time(stripJob())
+        flagged = nf; sTrials += t1
+      }
+      require(flagged == 20000L,
+        s"b22: all planted markup docs must flag, got $flagged")
+      val roundTrip = TextAnalysis.stripMarkup(docs)
+        .join(base.withColumnRenamed("text", "orig"), Seq("doc_id"))
+        .agg(sum(when(col("text_clean") === col("orig"), 1L)
+          .otherwise(0L))).head().getLong(0)
+      require(roundTrip == 200000L,
+        s"b22: every doc must round-trip exactly, got $roundTrip")
+      b22Trials = sTrials.toList
+      results += "b22_strip_markup_200k" -> sTrials.min
+      base.unpersist(); docs.unpersist()
+    }
+
     // ---- b17: cross-source overlap — theta sketch vs exact self-join ----
     // The query HLL cannot answer (set intersection). Production path:
     // one gram explode + per-source theta aggregation + pairwise
@@ -1147,6 +1195,6 @@ object Bench {
     val scaleLowKey = scaleKey(scaleLow)
     val scaleHighKey = scaleKey(scaleHigh)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_sketch_trials":${b19SketchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_exact_trials":${b19ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_max_err_frac":$b19MaxErrFrac%.6f,"b20_summary_trials":${b20SummaryTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_token_trials":${b20TokenTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_length_trials":${b20LengthTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_tv":$b20Tv%.6f,"b20_ks":$b20Ks%.6f,"b21_multi_trials":${b21MultiTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b21_singles_trials":${b21SinglesTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","build_tokens":$tokFull,"tokens_per_sec_$cpus%d":$thrFull%.0f,"tokens_per_sec_${cpus}%d_fused":${tokFull / fusedSec}%.0f,"tokens_per_sec_$scaleLowKey%s":$thrLow%.0f,"tokens_per_sec_$scaleHighKey%s":$thrHigh%.0f,"scaling_pair":"$scaleLow->$scaleHigh","scaling_efficiency_raw":$eff%.3f,"clock_low_mops":${clkLow / 1e6}%.1f,"clock_high_mops":${clkHigh / 1e6}%.1f,"scaling_efficiency":${eff * clkLow / clkHigh}%.3f,"scaling_efficiency_median":$medianEff%.3f,"scaling_pairs_norm_eff":${allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_shuffle_trials":${b9ShuffleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b9_rtfilter_trials":${b9RtTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_inc_trials":${b10IncTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b10_batch_trials":${b10BatchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b11_trials":${b11Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_tokens_trials":${b7OursTokensTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_ours_exploded_trials":${b7OursExplodedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b7_builtin_trials":${b7BuiltinTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b5_trials":${b5Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_half_trials":${b12HalfTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_full_trials":${b12FullTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b12_spans_half":$b12SpansHalf,"b12_spans_full":$b12SpansFull,"b13_dir_trials":${b13DirTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_tbl_trials":${b13TblTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b13_hits":$b13Hits,"b14_direct_trials":${b14DirectTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_model_trials":${b14ModelTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b14_kept":$b14Kept,"b15_audit_trials":${b15AuditTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_pipeline_trials":${b15PipeTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b15_kept":$b15Kept,"b16_blocklist_trials":${b16BlkTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_redact_trials":${b16RedTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b16_pii_docs":$b16PiiDocs,"b17_theta_trials":${b17ThetaTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_exact_trials":${b17ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b17_pairs":$b17Pairs,"b18_tuple_trials":${b18TupleTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b18_exact_trials":${b18ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_sketch_trials":${b19SketchTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_exact_trials":${b19ExactTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b19_max_err_frac":$b19MaxErrFrac%.6f,"b20_summary_trials":${b20SummaryTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_token_trials":${b20TokenTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_length_trials":${b20LengthTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b20_tv":$b20Tv%.6f,"b20_ks":$b20Ks%.6f,"b21_multi_trials":${b21MultiTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b21_singles_trials":${b21SinglesTrials.map(e => f"$e%.3f").mkString("[", ",", "]")},"b22_trials":${b22Trials.map(e => f"$e%.3f").mkString("[", ",", "]")},"ivf_recall_curve":${ivfRecallCurve.map { case (np, r) => f""""nprobe_$np%d":$r%.3f""" }.mkString("{", ",", "}")},"hll_speedup_row_for_row":$hllSpeedupRowForRow%.2f,"hll_speedup_arrays_vs_exploded":$hllSpeedupArraysVsExploded%.2f,"dedup_pairs":$nDupPairs,"fpr_configured":0.001,"fpr_observed":$observedFpr%.6f}""")
   }
 }
