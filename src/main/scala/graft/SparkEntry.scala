@@ -1685,6 +1685,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1))
     }),
 
+    // embedding-distribution drift: fixed-point integer sums make the
+    // cosine/L1 columns exact IEEE chains both engines reproduce
+
+    "q92_embedding_drift" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Drift.embeddingDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
+
     // length KS off the same persisted reference (stored value table +
     // build-time KLL blob) — must equal q80's direct statistic exactly
     "q89_length_drift_vs_index" -> ((s, dir) => {
@@ -2525,6 +2534,47 @@ object SparkEntry {
         |SELECT doc_id, n_tags, n_tags > 0 AS had_markup,
         |  trim(t) AS text_clean
         |FROM c11 ORDER BY doc_id""".stripMargin,
+
+    "q92_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |  CAST(round(CAST(e[i] AS DOUBLE) * 1024) AS BIGINT) AS f
+        |  FROM ex),
+        |sa AS (SELECT dim, CAST(sum(f) AS BIGINT) AS s_a FROM v
+        |  WHERE vec_id % 2 = 0 GROUP BY dim),
+        |sb AS (SELECT dim, CAST(sum(f) AS BIGINT) AS s_b FROM v
+        |  WHERE vec_id % 2 = 1 GROUP BY dim),
+        |j AS (SELECT coalesce(sa.dim, sb.dim) AS dim,
+        |  coalesce(s_a, CAST(0 AS BIGINT)) AS s_a,
+        |  coalesce(s_b, CAST(0 AS BIGINT)) AS s_b
+        |  FROM sa FULL OUTER JOIN sb ON sa.dim = sb.dim),
+        |t AS (SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_a,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_b),
+        |ag AS (SELECT
+        |  CAST(sum(s_a * s_b) AS BIGINT) AS dot,
+        |  CAST(sum(s_a * s_a) AS BIGINT) AS n2a,
+        |  CAST(sum(s_b * s_b) AS BIGINT) AS n2b,
+        |  CAST(sum(abs(s_a * n_b - s_b * n_a)) AS BIGINT) AS l1_num
+        |  FROM j CROSS JOIN t),
+        |top AS (SELECT dim AS top_dim,
+        |  s_a * n_b - s_b * n_a AS top_delta_num
+        |  FROM (SELECT j.dim, j.s_a, j.s_b, t.n_a, t.n_b,
+        |    row_number() OVER (ORDER BY
+        |      abs(j.s_a * t.n_b - j.s_b * t.n_a) DESC, j.dim DESC) AS rk
+        |    FROM j CROSS JOIN t) WHERE rk = 1)
+        |SELECT t.n_a, t.n_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))
+        |    * sqrt(CAST(n2b AS DOUBLE))) AS cos_means,
+        |  l1_num,
+        |  CAST(l1_num AS DOUBLE) / (CAST(t.n_a AS DOUBLE)
+        |    * CAST(t.n_b AS DOUBLE) * CAST(1024 AS DOUBLE))
+        |    AS l1_mean_delta,
+        |  top_dim, top_delta_num
+        |FROM ag CROSS JOIN t CROSS JOIN top""".stripMargin,
 
     "q91_dedup_post_strip" ->
       """WITH u AS (

@@ -461,6 +461,60 @@ object Drift {
         .as("kll_ks_ok"))
   }
 
+  /** EMBEDDING-distribution drift between two snapshots — the monitor
+    * for the failure mode the IVF append gate catches at the index:
+    * the corpus's embedding distribution moving (new encoder version,
+    * new modality mix) breaks ANN recall and semantic-dedup thresholds
+    * silently. One row: `n_a, n_b`, `cos_means` = cosine between the
+    * two mean vectors (computed on the SUM vectors — the 1/n factors
+    * cancel in the ratio), `l1_num`/`l1_mean_delta` = summed per-dim
+    * cross-multiplied mean delta, `top_dim`/`top_delta_num` = the
+    * dimension that moved most (ties take the larger dim; the SQL
+    * twin mirrors it).
+    *
+    * Exactness device: each component is quantized to 2^10 fixed
+    * point (round-half-away-from-zero — the semantics Spark and
+    * DuckDB share), so every sum/dot/norm is EXACT int64 arithmetic,
+    * and the two doubles are deterministic IEEE chains over exact
+    * operands (sqrt is correctly rounded, so it is as portable as
+    * division). int64 bounds: |s_d| ≤ n·2^10·max|v|, dot ≤
+    * dims·max|s|² — safe beyond 10^7 vectors/side at |v| ≤ 4;
+    * pre-slice beyond that. Shape: one posexplode per side →
+    * dims-sized frames; the checkpoint is 64 rows.
+    */
+  def embeddingDrift(embA: DataFrame, embB: DataFrame,
+                     embCol: String = "embedding"): DataFrame = {
+    def sums(df: DataFrame, as: String) =
+      df.select(posexplode(col(embCol)).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(sum(round(col("v").cast("double") * 1024).cast("bigint"))
+          .as(as))
+    val j = sums(embA, "s_a").join(sums(embB, "s_b"), Seq("dim"),
+        "full_outer")
+      .na.fill(0L, Seq("s_a", "s_b"))
+      .localCheckpoint(true)
+    val nA = embA.count()
+    val nB = embB.count()
+    val delta = col("s_a") * lit(nB) - col("s_b") * lit(nA)
+    j.agg(
+        sum(col("s_a") * col("s_b")).as("dot"),
+        sum(col("s_a") * col("s_a")).as("n2a"),
+        sum(col("s_b") * col("s_b")).as("n2b"),
+        sum(abs(delta)).as("l1_num"),
+        max(struct(abs(delta).as("d"), col("dim").as("dim"),
+          delta.as("raw"))).as("__top"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        (col("dot").cast("double")
+          / (sqrt(col("n2a").cast("double"))
+            * sqrt(col("n2b").cast("double")))).as("cos_means"),
+        col("l1_num"),
+        (col("l1_num").cast("double")
+          / (lit(nA).cast("double") * lit(nB).cast("double")
+            * lit(1024.0d))).as("l1_mean_delta"),
+        col("__top.dim").as("top_dim"),
+        col("__top.raw").as("top_delta_num"))
+  }
+
   /** Streaming twin of the token-drift monitor: per-window drift vs a
     * REFERENCE token distribution, computed off the windowed sketch
     * panel's Misra-Gries column

@@ -225,6 +225,23 @@ class DriftSpec extends AnyFunSuite {
     assert(vDirs == Set("v=100"), s"GC must keep only the live version: $vDirs")
   }
 
+  test("embeddingDrift: orthogonal snapshots, identity, exact integers") {
+    val a = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Drift.embeddingDrift(a, b).head()
+    assert(r.getAs[Double]("cos_means") == 0.0)
+    assert(r.getAs[Long]("l1_num") == 2048L)
+    assert(r.getAs[Double]("l1_mean_delta") == 2.0)
+    // |delta| ties at 1024 on both dims; the larger dim wins
+    assert(r.getAs[Int]("top_dim") == 1)
+    assert(r.getAs[Long]("top_delta_num") == -1024L)
+    val same = Drift.embeddingDrift(a, a).head()
+    assert(same.getAs[Long]("l1_num") == 0L)
+    // sqrt(x)*sqrt(x) may differ from x in the last ulp — cosine of
+    // identical sides is 1 only to that precision
+    assert(math.abs(same.getAs[Double]("cos_means") - 1.0) < 1e-12)
+  }
+
   test("tokenizerFit: hand-computed fertility and compression") {
     val d = Seq(
       (0L, "ab cd. ef", "s1"),   // seg: ab, cd, '.', ef = 4; ws = 3
