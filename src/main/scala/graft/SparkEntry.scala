@@ -1694,6 +1694,16 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1))
     }),
 
+    "q93_embedding_drift_vs_index" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q93-ref").toString
+      Drift.writeEmbeddingReference(
+        emb.filter(col("vec_id") % 2 === 0), idx)
+      Drift.embeddingDriftVsReference(
+        emb.filter(col("vec_id") % 2 === 1), idx)
+    }),
+
     // length KS off the same persisted reference (stored value table +
     // build-time KLL blob) — must equal q80's direct statistic exactly
     "q89_length_drift_vs_index" -> ((s, dir) => {
@@ -2535,46 +2545,12 @@ object SparkEntry {
         |  trim(t) AS text_clean
         |FROM c11 ORDER BY doc_id""".stripMargin,
 
-    "q92_embedding_drift" ->
-      """WITH ex AS (
-        |  SELECT vec_id, embedding AS e,
-        |    unnest(range(1, len(embedding) + 1)) AS i
-        |  FROM embeddings),
-        |v AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
-        |  CAST(round(CAST(e[i] AS DOUBLE) * 1024) AS BIGINT) AS f
-        |  FROM ex),
-        |sa AS (SELECT dim, CAST(sum(f) AS BIGINT) AS s_a FROM v
-        |  WHERE vec_id % 2 = 0 GROUP BY dim),
-        |sb AS (SELECT dim, CAST(sum(f) AS BIGINT) AS s_b FROM v
-        |  WHERE vec_id % 2 = 1 GROUP BY dim),
-        |j AS (SELECT coalesce(sa.dim, sb.dim) AS dim,
-        |  coalesce(s_a, CAST(0 AS BIGINT)) AS s_a,
-        |  coalesce(s_b, CAST(0 AS BIGINT)) AS s_b
-        |  FROM sa FULL OUTER JOIN sb ON sa.dim = sb.dim),
-        |t AS (SELECT
-        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_a,
-        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_b),
-        |ag AS (SELECT
-        |  CAST(sum(s_a * s_b) AS BIGINT) AS dot,
-        |  CAST(sum(s_a * s_a) AS BIGINT) AS n2a,
-        |  CAST(sum(s_b * s_b) AS BIGINT) AS n2b,
-        |  CAST(sum(abs(s_a * n_b - s_b * n_a)) AS BIGINT) AS l1_num
-        |  FROM j CROSS JOIN t),
-        |top AS (SELECT dim AS top_dim,
-        |  s_a * n_b - s_b * n_a AS top_delta_num
-        |  FROM (SELECT j.dim, j.s_a, j.s_b, t.n_a, t.n_b,
-        |    row_number() OVER (ORDER BY
-        |      abs(j.s_a * t.n_b - j.s_b * t.n_a) DESC, j.dim DESC) AS rk
-        |    FROM j CROSS JOIN t) WHERE rk = 1)
-        |SELECT t.n_a, t.n_b,
-        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))
-        |    * sqrt(CAST(n2b AS DOUBLE))) AS cos_means,
-        |  l1_num,
-        |  CAST(l1_num AS DOUBLE) / (CAST(t.n_a AS DOUBLE)
-        |    * CAST(t.n_b AS DOUBLE) * CAST(1024 AS DOUBLE))
-        |    AS l1_mean_delta,
-        |  top_dim, top_delta_num
-        |FROM ag CROSS JOIN t CROSS JOIN top""".stripMargin,
+    "q92_embedding_drift" -> embeddingDriftOracle,
+
+    // the index path must reproduce the direct statistic exactly —
+    // same oracle by construction
+    "q93_embedding_drift_vs_index" -> embeddingDriftOracle,
+
 
     "q91_dedup_post_strip" ->
       """WITH u AS (
@@ -3767,6 +3743,50 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
         |LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  /** q92's embedding drift — also q93's: the persisted-reference
+    * path must reproduce the direct statistic bit-for-bit.
+    */
+  private val embeddingDriftOracle: String =
+      """WITH ex AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |  CAST(round(CAST(e[i] AS DOUBLE) * 1024) AS BIGINT) AS f
+        |  FROM ex),
+        |sa AS (SELECT dim, CAST(sum(f) AS BIGINT) AS s_a FROM v
+        |  WHERE vec_id % 2 = 0 GROUP BY dim),
+        |sb AS (SELECT dim, CAST(sum(f) AS BIGINT) AS s_b FROM v
+        |  WHERE vec_id % 2 = 1 GROUP BY dim),
+        |j AS (SELECT coalesce(sa.dim, sb.dim) AS dim,
+        |  coalesce(s_a, CAST(0 AS BIGINT)) AS s_a,
+        |  coalesce(s_b, CAST(0 AS BIGINT)) AS s_b
+        |  FROM sa FULL OUTER JOIN sb ON sa.dim = sb.dim),
+        |t AS (SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_a,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_b),
+        |ag AS (SELECT
+        |  CAST(sum(s_a * s_b) AS BIGINT) AS dot,
+        |  CAST(sum(s_a * s_a) AS BIGINT) AS n2a,
+        |  CAST(sum(s_b * s_b) AS BIGINT) AS n2b,
+        |  CAST(sum(abs(s_a * n_b - s_b * n_a)) AS BIGINT) AS l1_num
+        |  FROM j CROSS JOIN t),
+        |top AS (SELECT dim AS top_dim,
+        |  s_a * n_b - s_b * n_a AS top_delta_num
+        |  FROM (SELECT j.dim, j.s_a, j.s_b, t.n_a, t.n_b,
+        |    row_number() OVER (ORDER BY
+        |      abs(j.s_a * t.n_b - j.s_b * t.n_a) DESC, j.dim DESC) AS rk
+        |    FROM j CROSS JOIN t) WHERE rk = 1)
+        |SELECT t.n_a, t.n_b,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))
+        |    * sqrt(CAST(n2b AS DOUBLE))) AS cos_means,
+        |  l1_num,
+        |  CAST(l1_num AS DOUBLE) / (CAST(t.n_a AS DOUBLE)
+        |    * CAST(t.n_b AS DOUBLE) * CAST(1024 AS DOUBLE))
+        |    AS l1_mean_delta,
+        |  top_dim, top_delta_num
+        |FROM ag CROSS JOIN t CROSS JOIN top""".stripMargin
 
   /** q80's length-KS drift — also q89's: the persisted-reference path
     * must reproduce the direct statistic bit-for-bit.

@@ -493,8 +493,14 @@ object Drift {
         "full_outer")
       .na.fill(0L, Seq("s_a", "s_b"))
       .localCheckpoint(true)
-    val nA = embA.count()
-    val nB = embB.count()
+    embeddingDriftFromSums(j, embA.count(), embB.count())
+  }
+
+  /** The statistic over a joined (dim, s_a, s_b) sum frame — shared by
+    * [[embeddingDrift]] and [[embeddingDriftVsReference]].
+    */
+  private def embeddingDriftFromSums(j: DataFrame, nA: Long,
+                                     nB: Long): DataFrame = {
     val delta = col("s_a") * lit(nB) - col("s_b") * lit(nA)
     j.agg(
         sum(col("s_a") * col("s_b")).as("dot"),
@@ -513,6 +519,67 @@ object Drift {
             * lit(1024.0d))).as("l1_mean_delta"),
         col("__top.dim").as("top_dim"),
         col("__top.raw").as("top_delta_num"))
+  }
+
+  /** Persist the embedding baseline — the dims-sized fixed-point sum
+    * vector plus the vector count — so later snapshots screen with
+    * [[embeddingDriftVsReference]] without rescanning the reference
+    * (the reference-counts pattern for the embedding table; same
+    * staged-swap commit: the table lands at `sums.next` and one
+    * delete-rename makes it live, readers heal a crashed swap).
+    */
+  def writeEmbeddingReference(emb: DataFrame, dir: String,
+                              embCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    healEmbeddingReference(spark, dir)
+    val n = emb.count()
+    emb.select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1024).cast("bigint"))
+        .as("s"))
+      .withColumn("n_vecs", lit(n))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/sums.next")
+    val f = fsOf(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/sums")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/sums.next")
+    if (f.exists(cur))
+      require(f.delete(cur, true), s"emb reference swap: delete failed in $dir")
+    require(f.rename(next, cur), s"emb reference swap: rename failed in $dir")
+  }
+
+  private def healEmbeddingReference(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val f = fsOf(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/sums")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/sums.next")
+    if (f.exists(next)) {
+      if (!f.exists(cur))
+        require(f.rename(next, cur), s"emb reference heal: rename failed in $dir")
+      else require(f.delete(next, true),
+        s"emb reference heal: delete failed in $dir")
+    }
+  }
+
+  /** [[embeddingDrift]] with the A side read from a persisted
+    * [[writeEmbeddingReference]] — identical output by construction.
+    */
+  def embeddingDriftVsReference(snapshot: DataFrame, dir: String,
+                                embCol: String = "embedding"): DataFrame = {
+    val spark = snapshot.sparkSession
+    healEmbeddingReference(spark, dir)
+    val ref = spark.read.parquet(s"$dir/sums").localCheckpoint(true)
+    val nA = ref.head().getAs[Long]("n_vecs")
+    val sb = snapshot
+      .select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1024).cast("bigint"))
+        .as("s_b"))
+    val j = ref.select(col("dim"), col("s").as("s_a"))
+      .join(sb, Seq("dim"), "full_outer")
+      .na.fill(0L, Seq("s_a", "s_b"))
+      .localCheckpoint(true)
+    embeddingDriftFromSums(j, nA, snapshot.count())
   }
 
   /** Streaming twin of the token-drift monitor: per-window drift vs a

@@ -242,6 +242,25 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(same.getAs[Double]("cos_means") - 1.0) < 1e-12)
   }
 
+  test("embedding reference index reproduces direct drift; swap heals") {
+    val a = Seq((0L, Array(1.0f, 0.5f)), (2L, Array(0.5f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emb-ref").toString
+    Drift.writeEmbeddingReference(a, dir)
+    assert(Drift.embeddingDriftVsReference(b, dir).collect().toSeq ==
+      Drift.embeddingDrift(a, b).collect().toSeq)
+    // a half-staged rebuild beside the live table is dropped on read
+    val conf = spark.sessionState.newHadoopConf()
+    val next = new org.apache.hadoop.fs.Path(s"$dir/sums.next")
+    Seq((0, 9999L, 1L)).toDF("dim", "s", "n_vecs")
+      .write.parquet(next.toString)
+    assert(Drift.embeddingDriftVsReference(b, dir).collect().toSeq ==
+      Drift.embeddingDrift(a, b).collect().toSeq)
+    assert(!next.getFileSystem(conf).exists(next))
+  }
+
   test("tokenizerFit: hand-computed fertility and compression") {
     val d = Seq(
       (0L, "ab cd. ef", "s1"),   // seg: ab, cd, '.', ef = 4; ws = 3
