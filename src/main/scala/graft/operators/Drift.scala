@@ -582,6 +582,56 @@ object Drift {
     embeddingDriftFromSums(j, nA, snapshot.count())
   }
 
+  /** Streaming twin of [[embeddingDrift]]: per-window drift vs the
+    * persisted [[writeEmbeddingReference]] baseline, computed off the
+    * windowed sum rows emitted by
+    * [[graft.streaming.StreamingSketches.windowedEmbeddingSums]] —
+    * the windowedTokenDrift pattern: the stream keeps only dims-sized
+    * sums per open window, finalized windows land in a sink, and this
+    * batch READER turns each into the exact q92 statistic against the
+    * baseline (reference side = A, window = B; all int64 arithmetic,
+    * so the numbers equal a direct `embeddingDrift(referenceCorpus,
+    * windowSlice)` bit-for-bit).
+    */
+  def windowedEmbeddingDrift(windowed: DataFrame,
+                             dir: String): DataFrame = {
+    val spark = windowed.sparkSession
+    healEmbeddingReference(spark, dir)
+    val ref = spark.read.parquet(s"$dir/sums")
+      .select(col("dim"), col("s").as("s_a"), col("n_vecs").as("n_a"))
+      .localCheckpoint(true)
+    val keys = Seq("win_start", "win_end")
+    val w = windowed.select(keys.map(col) ++
+        Seq(col("dim"), col("s").as("s_b"), col("n_vecs").as("n_b")): _*)
+      .localCheckpoint(true) // windows×dims; independent lineage (sink views)
+    val winMeta = w.groupBy(keys.map(col): _*)
+      .agg(max(col("n_b")).as("n_b")) // constant per window
+    val j = winMeta.crossJoin(broadcast(ref))
+      .join(w.select(keys.map(col) ++ Seq(col("dim"), col("s_b")): _*),
+        keys :+ "dim", "left")
+      .na.fill(0L, Seq("s_b"))
+    val delta = col("s_a") * col("n_b") - col("s_b") * col("n_a")
+    j.groupBy(keys.map(col): _*)
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("s_a") * col("s_b")).as("dot"),
+        sum(col("s_a") * col("s_a")).as("n2a"),
+        sum(col("s_b") * col("s_b")).as("n2b"),
+        sum(abs(delta)).as("l1_num"),
+        max(struct(abs(delta).as("d"), col("dim").as("dim"),
+          delta.as("raw"))).as("__top"))
+      .select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+        (col("dot").cast("double")
+          / (sqrt(col("n2a").cast("double"))
+            * sqrt(col("n2b").cast("double")))).as("cos_means"),
+        col("l1_num"),
+        (col("l1_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")
+            * lit(1024.0d))).as("l1_mean_delta"),
+        col("__top.dim").as("top_dim"),
+        col("__top.raw").as("top_delta_num")): _*)
+      .orderBy(col("win_start"))
+  }
+
   /** Streaming twin of the token-drift monitor: per-window drift vs a
     * REFERENCE token distribution, computed off the windowed sketch
     * panel's Misra-Gries column

@@ -354,6 +354,35 @@ object StreamingSketches {
         < minOverlap)
   }
 
+  /** Watermarked per-window EMBEDDING sums — the streaming state
+    * behind [[graft.operators.Drift.windowedEmbeddingDrift]]: each
+    * finalized window emits its dims-sized fixed-point sum vector
+    * (2^10 quantization, the q92 device) plus the vector count, as
+    * (win_start, win_end, dim, s, n_vecs) rows. A plain watermarked
+    * windowed aggregation — dims × open-windows rows of state, Append
+    * emits once; no custom state store. The drift-vs-baseline math
+    * runs in a batch READER over the sink (the windowedTokenDrift
+    * pattern), so the stream itself never joins anything.
+    */
+  def windowedEmbeddingSums(vecs: org.apache.spark.sql.DataFrame,
+                            eventTimeCol: String,
+                            windowDuration: String,
+                            watermarkDelay: String,
+                            embCol: String = "embedding"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    vecs.withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol),
+        posexplode(col(embCol)).as(Seq("dim", "v")))
+      .groupBy(window(col(eventTimeCol), windowDuration), col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1024).cast("bigint"))
+        .as("s"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("dim"), col("s"),
+        col("n_vecs"))
+  }
+
   /** Streaming MULTI-eval-set contamination flags — the streaming twin
     * of [[graft.operators.Decontaminate.contaminatedMulti]]: for each
     * stream row, emit one `(id, set_id, n_overlap)` per eval set whose

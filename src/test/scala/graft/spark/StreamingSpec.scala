@@ -383,6 +383,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(tv >= 0.0 && tv <= 1.0 && r.head.getAs[String]("top_token") != null)
   }
 
+  test("windowed embedding drift == direct drift per finalized window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val refCorpus = Seq((0L, Array(1.0f, 0.25f)), (1L, Array(0.5f, 1.0f)),
+      (2L, Array(0.75f, 0.5f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emb-win-ref").toString
+    graft.operators.Drift.writeEmbeddingReference(refCorpus, dir)
+    // window A vectors arrive across two micro-batches
+    val winVecs = Seq(
+      (ts(1), Array(0.1f, 0.9f)), (ts(4), Array(0.3f, 0.7f)),
+      (ts(7), Array(0.2f, 0.8f)))
+    val stream = MemoryStream[(java.sql.Timestamp, Array[Float])]
+    val sums = StreamingSketches.windowedEmbeddingSums(
+      stream.toDS().toDF("ts", "embedding"),
+      "ts", "10 minutes", "5 minutes")
+    val q = sums.writeStream.format("memory").queryName("emb_win_sums")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(winVecs.take(2)); q.processAllAvailable()
+      stream.addData(winVecs.drop(2) :+
+        ((ts(29), Array(0.0f, 0.0f)))); q.processAllAvailable()
+      stream.addData(Seq((ts(31), Array(0.0f, 0.0f))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.sql(
+      "SELECT * FROM emb_win_sums WHERE win_start = '2026-01-01 10:00:00'")
+    val got = graft.operators.Drift.windowedEmbeddingDrift(sink, dir)
+      .collect()
+    assert(got.length == 1)
+    val g = got.head
+    // the direct statistic over the same slice, bit-for-bit
+    val direct = graft.operators.Drift.embeddingDrift(refCorpus,
+      winVecs.zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+        .toDF("vec_id", "embedding")).head()
+    assert(g.getAs[Long]("n_a") == direct.getAs[Long]("n_a"))
+    assert(g.getAs[Long]("n_b") == direct.getAs[Long]("n_b"))
+    assert(g.getAs[Double]("cos_means") == direct.getAs[Double]("cos_means"))
+    assert(g.getAs[Long]("l1_num") == direct.getAs[Long]("l1_num"))
+    assert(g.getAs[Double]("l1_mean_delta") ==
+      direct.getAs[Double]("l1_mean_delta"))
+    assert(g.getAs[Int]("top_dim") == direct.getAs[Int]("top_dim"))
+    assert(g.getAs[Long]("top_delta_num") ==
+      direct.getAs[Long]("top_delta_num"))
+  }
+
   test("streaming decontamination drops rows overlapping the eval set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
