@@ -632,6 +632,61 @@ object Drift {
       .orderBy(col("win_start"))
   }
 
+  /** Streaming twin of [[lengthDriftVsReference]]: EXACT per-window
+    * two-sample KS against the persisted baseline, computed off the
+    * windowed value-count rows from
+    * [[graft.streaming.StreamingSketches.windowedLengthCounts]]. The
+    * window side carries exact counts (its value table IS the state),
+    * so unlike the batch operator there is no estimate and no gate —
+    * every column is exact integer arithmetic plus the one KS
+    * division. One row per finalized window:
+    * `win_start, win_end, n_a, n_b, ks_num, ks` (reference = A).
+    */
+  def windowedLengthDrift(windowed: DataFrame, dir: String): DataFrame = {
+    val spark = windowed.sparkSession
+    val live = liveReferenceDir(spark, dir)
+    val va = spark.read.parquet(s"$live/lengths")
+      .select(col("n_tok"), col("cnt").as("cnt_a"))
+      .localCheckpoint(true)
+    val nA = spark.read.parquet(s"$live/length_sketch")
+      .head().getAs[Long]("n_docs")
+    val keys = Seq("win_start", "win_end")
+    val w = windowed.select(keys.map(col) ++
+        Seq(col("n_tok"), col("cnt").as("cnt_b")): _*)
+      .localCheckpoint(true) // windows×values; independent lineage
+    val winMeta = w.groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt_b")).as("n_b"))
+    // per-window value grid = union of the reference's values and the
+    // window's (both sides' cumulative counts must step at every value)
+    val grid = winMeta.crossJoin(broadcast(va.select(col("n_tok"))))
+      .select(keys.map(col) :+ col("n_tok"): _*)
+      .unionByName(w.select(keys.map(col) :+ col("n_tok"): _*))
+      .distinct()
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("n_tok"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .join(broadcast(va), Seq("n_tok"), "left")
+      .join(w, keys :+ "n_tok", "left")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .select(keys.map(col) ++ Seq(col("n_tok"),
+        sum(col("cnt_a")).over(cumW).as("cum_a"),
+        sum(col("cnt_b")).over(cumW).as("cum_b")): _*)
+      .join(winMeta, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(first(col("n_b")).as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * lit(nA)))
+          .as("ks_num"))
+      .select(keys.map(col) ++ Seq(lit(nA).as("n_a"), col("n_b"),
+        col("ks_num"),
+        (col("ks_num").cast("double")
+          / (lit(nA).cast("double") * col("n_b").cast("double")))
+          .as("ks")): _*)
+      .orderBy(col("win_start"))
+  }
+
   /** Streaming twin of the token-drift monitor: per-window drift vs a
     * REFERENCE token distribution, computed off the windowed sketch
     * panel's Misra-Gries column

@@ -383,6 +383,32 @@ object StreamingSketches {
         col("n_vecs"))
   }
 
+  /** Watermarked per-window document-LENGTH value counts — the
+    * streaming state behind
+    * [[graft.operators.Drift.windowedLengthDrift]]: each finalized
+    * window emits (win_start, win_end, n_tok, cnt) rows. State per
+    * open window is the distinct-length value table (bounded by max
+    * document length, not rows), so the downstream reader can compute
+    * the EXACT per-window KS statistic against a persisted baseline —
+    * no sketch needed on the window side.
+    */
+  def windowedLengthCounts(docs: org.apache.spark.sql.DataFrame,
+                           eventTimeCol: String,
+                           windowDuration: String,
+                           watermarkDelay: String,
+                           textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol),
+        size(graft.functions.functions.tokenize(col(textCol)))
+          .as("n_tok"))
+      .groupBy(window(col(eventTimeCol), windowDuration), col("n_tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_tok"), col("cnt"))
+  }
+
   /** Streaming MULTI-eval-set contamination flags — the streaming twin
     * of [[graft.operators.Decontaminate.contaminatedMulti]]: for each
     * stream row, emit one `(id, set_id, n_overlap)` per eval set whose

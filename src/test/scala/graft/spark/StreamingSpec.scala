@@ -430,6 +430,43 @@ class StreamingSpec extends AnyFunSuite {
       direct.getAs[Long]("top_delta_num"))
   }
 
+  test("windowed length drift == reference KS per finalized window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val refCorpus = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-len-win-ref").toString
+    graft.operators.Drift.writeReferenceCounts(refCorpus, dir)
+    val winDocs = Seq((ts(1), "x y"), (ts(4), "p q r s"), (ts(7), "m n o"))
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = StreamingSketches.windowedLengthCounts(
+      stream.toDS().toDF("ts", "text"),
+      "ts", "10 minutes", "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("len_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(winDocs.take(2)); q.processAllAvailable()
+      stream.addData(winDocs.drop(2) :+ ((ts(29), "z")))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(31), "z"))); q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.sql(
+      "SELECT * FROM len_win WHERE win_start = '2026-01-01 10:00:00'")
+    val got = graft.operators.Drift.windowedLengthDrift(sink, dir)
+      .collect()
+    assert(got.length == 1)
+    val g = got.head
+    val direct = graft.operators.Drift.lengthDriftVsReference(
+      winDocs.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), dir).head()
+    assert(g.getAs[Long]("n_a") == direct.getAs[Long]("n_a"))
+    assert(g.getAs[Long]("n_b") == direct.getAs[Long]("n_b"))
+    assert(g.getAs[Long]("ks_num") == direct.getAs[Long]("ks_num"))
+    assert(g.getAs[Double]("ks") == direct.getAs[Double]("ks"))
+  }
+
   test("streaming decontamination drops rows overlapping the eval set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
