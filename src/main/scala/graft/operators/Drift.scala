@@ -713,6 +713,16 @@ object Drift {
     * corpus explode — don't pay that per consumer, the q65 lesson).
     * Each finalized window must appear once (Append-mode sink rows).
     */
+  /** [[windowedTokenDrift]] against a persisted
+    * [[writeReferenceCounts]] baseline — reads the live word table and
+    * feeds it through as the reference side.
+    */
+  def windowedTokenDriftVsReference(windowed: DataFrame,
+                                    dir: String): DataFrame =
+    windowedTokenDrift(windowed,
+      readReferenceCounts(windowed.sparkSession, dir)
+        .select(col("w").as("t"), col("c").as("c_ref")))
+
   def windowedTokenDrift(windowed: DataFrame, ref: DataFrame): DataFrame = {
     val F = graft.functions.functions
     val keys = Seq("win_start", "win_end", "source")

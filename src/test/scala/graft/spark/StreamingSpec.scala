@@ -629,6 +629,15 @@ class StreamingSpec extends AnyFunSuite {
     // token string, whose max among {1..20, 61..80} is "9"
     assert(r.getAs[String]("top_token") == "9")
     assert(r.getAs[Long]("top_delta_num") == 60L)
+    // the persisted-reference overload yields the same rows: a corpus
+    // whose word counts equal the inline ref (each of 11..70 once)
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft-win-tok-ref").toString
+    graft.operators.Drift.writeReferenceCounts(
+      Seq((0L, (11 to 70).mkString(" "))).toDF("doc_id", "text"), refDir)
+    val viaIndex = graft.operators.Drift
+      .windowedTokenDriftVsReference(sink, refDir).collect()
+    assert(viaIndex.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 
   test("gopher battery runs unchanged on a stream (stateless projection)") {
