@@ -3776,7 +3776,7 @@ object SparkEntry {
         |  s_a * n_b - s_b * n_a AS top_delta_num
         |  FROM (SELECT j.dim, j.s_a, j.s_b, t.n_a, t.n_b,
         |    row_number() OVER (ORDER BY
-        |      abs(j.s_a * t.n_b - j.s_b * t.n_a) DESC, j.dim DESC) AS rk
+        |      abs(j.s_a * t.n_b - j.s_b * t.n_a) DESC, j.dim ASC) AS rk
         |    FROM j CROSS JOIN t) WHERE rk = 1)
         |SELECT t.n_a, t.n_b,
         |  CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))

@@ -469,8 +469,8 @@ object Drift {
     * two mean vectors (computed on the SUM vectors — the 1/n factors
     * cancel in the ratio), `l1_num`/`l1_mean_delta` = summed per-dim
     * cross-multiplied mean delta, `top_dim`/`top_delta_num` = the
-    * dimension that moved most (ties take the larger dim; the SQL
-    * twin mirrors it).
+    * dimension that moved most (ties take the SMALLER dim — the
+    * engine-wide tie convention; the SQL twin mirrors it).
     *
     * Exactness device: each component is quantized to 2^10 fixed
     * point (round-half-away-from-zero — the semantics Spark and
@@ -507,7 +507,7 @@ object Drift {
         sum(col("s_a") * col("s_a")).as("n2a"),
         sum(col("s_b") * col("s_b")).as("n2b"),
         sum(abs(delta)).as("l1_num"),
-        max(struct(abs(delta).as("d"), col("dim").as("dim"),
+        max(struct(abs(delta).as("d"), negate(col("dim")).as("ndim"),
           delta.as("raw"))).as("__top"))
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
         (col("dot").cast("double")
@@ -517,7 +517,7 @@ object Drift {
         (col("l1_num").cast("double")
           / (lit(nA).cast("double") * lit(nB).cast("double")
             * lit(1024.0d))).as("l1_mean_delta"),
-        col("__top.dim").as("top_dim"),
+        negate(col("__top.ndim")).as("top_dim"),
         col("__top.raw").as("top_delta_num"))
   }
 
@@ -617,7 +617,7 @@ object Drift {
         sum(col("s_a") * col("s_a")).as("n2a"),
         sum(col("s_b") * col("s_b")).as("n2b"),
         sum(abs(delta)).as("l1_num"),
-        max(struct(abs(delta).as("d"), col("dim").as("dim"),
+        max(struct(abs(delta).as("d"), negate(col("dim")).as("ndim"),
           delta.as("raw"))).as("__top"))
       .select(keys.map(col) ++ Seq(col("n_a"), col("n_b"),
         (col("dot").cast("double")
@@ -627,7 +627,7 @@ object Drift {
         (col("l1_num").cast("double")
           / (col("n_a").cast("double") * col("n_b").cast("double")
             * lit(1024.0d))).as("l1_mean_delta"),
-        col("__top.dim").as("top_dim"),
+        negate(col("__top.ndim")).as("top_dim"),
         col("__top.raw").as("top_delta_num")): _*)
       .orderBy(col("win_start"))
   }

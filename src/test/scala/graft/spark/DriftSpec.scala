@@ -232,9 +232,10 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getAs[Double]("cos_means") == 0.0)
     assert(r.getAs[Long]("l1_num") == 2048L)
     assert(r.getAs[Double]("l1_mean_delta") == 2.0)
-    // |delta| ties at 1024 on both dims; the larger dim wins
-    assert(r.getAs[Int]("top_dim") == 1)
-    assert(r.getAs[Long]("top_delta_num") == -1024L)
+    // |delta| ties at 1024 on both dims; the SMALLER dim wins (the
+    // engine-wide tie convention)
+    assert(r.getAs[Int]("top_dim") == 0)
+    assert(r.getAs[Long]("top_delta_num") == 1024L)
     val same = Drift.embeddingDrift(a, a).head()
     assert(same.getAs[Long]("l1_num") == 0L)
     // sqrt(x)*sqrt(x) may differ from x in the last ulp — cosine of
