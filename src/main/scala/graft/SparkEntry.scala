@@ -1685,6 +1685,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1))
     }),
 
+    // per-source drift off the same persisted reference — must equal
+    // q84's direct matrix exactly (same oracle by construction)
+    "q94_source_drift_vs_index" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q94-ref").toString
+      Drift.writeReferenceCounts(docs.filter(col("doc_id") % 2 === 0), idx)
+      Drift.sourceDriftVsReference(
+        docs.filter(col("doc_id") % 2 === 1), idx)
+    }),
+
     // embedding-distribution drift: fixed-point integer sums make the
     // cosine/L1 columns exact IEEE chains both engines reproduce
 
@@ -3449,46 +3460,11 @@ object SparkEntry {
     // exactly — same oracle by construction
     "q83_drift_vs_index" -> driftSummaryOracle,
 
-    "q84_source_drift" ->
-      """WITH ca AS (
-        |  SELECT source, w, count(*) AS c_a FROM (
-        |    SELECT source, unnest(string_split(text, ' ')) AS w
-        |    FROM documents WHERE doc_id % 2 = 0)
-        |  WHERE w <> '' GROUP BY source, w),
-        |cb AS (
-        |  SELECT source, w, count(*) AS c_b FROM (
-        |    SELECT source, unnest(string_split(text, ' ')) AS w
-        |    FROM documents WHERE doc_id % 2 = 1)
-        |  WHERE w <> '' GROUP BY source, w),
-        |cnt AS (
-        |  SELECT coalesce(ca.source, cb.source) AS source,
-        |    coalesce(ca.w, cb.w) AS w,
-        |    coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
-        |    coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
-        |  FROM ca FULL OUTER JOIN cb
-        |    ON ca.source = cb.source AND ca.w = cb.w),
-        |t AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS tot_a,
-        |  CAST(sum(c_b) AS BIGINT) AS tot_b FROM cnt GROUP BY source),
-        |j AS (SELECT cnt.source, w, c_a, c_b, tot_a, tot_b,
-        |  c_a * tot_b - c_b * tot_a AS delta_num
-        |  FROM cnt JOIN t ON cnt.source = t.source),
-        |sums AS (SELECT source, tot_a, tot_b, count(*) AS vocab_union,
-        |  CAST(sum(abs(delta_num)) AS BIGINT) AS tv_num
-        |  FROM j GROUP BY source, tot_a, tot_b),
-        |top AS (SELECT source, w AS top_word,
-        |  delta_num AS top_delta_num FROM (
-        |    SELECT source, w, delta_num, row_number() OVER (
-        |      PARTITION BY source
-        |      ORDER BY abs(delta_num) DESC, w ASC) AS rk FROM j)
-        |  WHERE rk = 1)
-        |SELECT s.source, s.tot_a, s.tot_b, s.vocab_union, s.tv_num,
-        |  CASE WHEN s.tot_a > 0 AND s.tot_b > 0 THEN
-        |    CAST(s.tv_num AS DOUBLE) / (CAST(2 AS DOUBLE)
-        |      * CAST(s.tot_a AS DOUBLE) * CAST(s.tot_b AS DOUBLE))
-        |  END AS tv,
-        |  t2.top_word, t2.top_delta_num
-        |FROM sums s JOIN top t2 ON s.source = t2.source
-        |ORDER BY s.source""".stripMargin,
+    "q84_source_drift" -> sourceDriftOracle,
+
+    // the index path must reproduce the direct per-source matrix
+    // exactly — same oracle by construction
+    "q94_source_drift_vs_index" -> sourceDriftOracle,
 
     "q80_length_drift" -> lengthDriftOracle,
 
@@ -3787,6 +3763,50 @@ object SparkEntry {
         |    AS l1_mean_delta,
         |  top_dim, top_delta_num
         |FROM ag CROSS JOIN t CROSS JOIN top""".stripMargin
+
+  /** q84's per-source drift — also q94's: the persisted-reference
+    * path must reproduce the direct matrix bit-for-bit.
+    */
+  private val sourceDriftOracle: String =
+      """WITH ca AS (
+        |  SELECT source, w, count(*) AS c_a FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE w <> '' GROUP BY source, w),
+        |cb AS (
+        |  SELECT source, w, count(*) AS c_b FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE w <> '' GROUP BY source, w),
+        |cnt AS (
+        |  SELECT coalesce(ca.source, cb.source) AS source,
+        |    coalesce(ca.w, cb.w) AS w,
+        |    coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
+        |    coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
+        |  FROM ca FULL OUTER JOIN cb
+        |    ON ca.source = cb.source AND ca.w = cb.w),
+        |t AS (SELECT source, CAST(sum(c_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(c_b) AS BIGINT) AS tot_b FROM cnt GROUP BY source),
+        |j AS (SELECT cnt.source, w, c_a, c_b, tot_a, tot_b,
+        |  c_a * tot_b - c_b * tot_a AS delta_num
+        |  FROM cnt JOIN t ON cnt.source = t.source),
+        |sums AS (SELECT source, tot_a, tot_b, count(*) AS vocab_union,
+        |  CAST(sum(abs(delta_num)) AS BIGINT) AS tv_num
+        |  FROM j GROUP BY source, tot_a, tot_b),
+        |top AS (SELECT source, w AS top_word,
+        |  delta_num AS top_delta_num FROM (
+        |    SELECT source, w, delta_num, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY abs(delta_num) DESC, w ASC) AS rk FROM j)
+        |  WHERE rk = 1)
+        |SELECT s.source, s.tot_a, s.tot_b, s.vocab_union, s.tv_num,
+        |  CASE WHEN s.tot_a > 0 AND s.tot_b > 0 THEN
+        |    CAST(s.tv_num AS DOUBLE) / (CAST(2 AS DOUBLE)
+        |      * CAST(s.tot_a AS DOUBLE) * CAST(s.tot_b AS DOUBLE))
+        |  END AS tv,
+        |  t2.top_word, t2.top_delta_num
+        |FROM sums s JOIN top t2 ON s.source = t2.source
+        |ORDER BY s.source""".stripMargin
 
   /** q80's length-KS drift — also q89's: the persisted-reference path
     * must reproduce the direct statistic bit-for-bit.

@@ -104,8 +104,24 @@ object Drift {
     // visible together or not at all — a two-table delete-rename dance
     // would have a crash window exposing a MIXED baseline (new lengths
     // beside old words), which no heal could tell from a valid one
-    wordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(s"$dir/v=$newVer/counts")
+    // when the corpus carries a source column, persist the
+    // (source × vocab) counts too and DERIVE the global table from
+    // them — one corpus explode feeds both, and sourceDriftVsReference
+    // becomes answerable off the index
+    if (docs.columns.contains("source")) {
+      val sw = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      sw.write.mode("overwrite")
+        .parquet(s"$dir/v=$newVer/source_counts")
+      sw.groupBy(col("w")).agg(sum(col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$dir/v=$newVer/counts")
+    } else {
+      wordsOf(docs).groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$dir/v=$newVer/counts")
+    }
     val lens = docs
       .select(size(graft.functions.functions.tokenize(col("text")))
         .as("n_tok"))
@@ -327,10 +343,34 @@ object Drift {
       d.select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as(as))
-    val cnt = cnts(docsA, "c_a")
+    sourceDriftFromCounts(cnts(docsA, "c_a")
       .join(cnts(docsB, "c_b"), Seq("source", "w"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+  }
+
+  /** [[sourceDrift]] with the A side read from a persisted reference —
+    * requires the baseline to have been written from a corpus WITH a
+    * source column ([[writeReferenceCounts]] then stores the
+    * (source × vocab) table); identical output by construction to
+    * `sourceDrift(referenceCorpus, snapshot)`.
+    */
+  def sourceDriftVsReference(snapshot: DataFrame,
+                             dir: String): DataFrame = {
+    val spark = snapshot.sparkSession
+    val ca = spark.read
+      .parquet(s"${liveReferenceDir(spark, dir)}/source_counts")
+      .select(col("source"), col("w"), col("c").as("c_a"))
+    val cb = snapshot
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_b"))
+    sourceDriftFromCounts(ca.join(cb, Seq("source", "w"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .localCheckpoint(true))
+  }
+
+  private def sourceDriftFromCounts(cnt: DataFrame): DataFrame = {
     val totals = cnt.groupBy(col("source")).agg(
       sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"))
     val j = cnt.join(broadcast(totals), Seq("source"))

@@ -282,6 +282,23 @@ class DriftSpec extends AnyFunSuite {
     assert(s2.isNullAt(s2.fieldIndex("chars_per_token")))
   }
 
+  test("sourceDrift off the reference index equals the direct matrix") {
+    val a = Seq((0L, "x x y", "s1"), (1L, "p q", "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((2L, "x y y", "s1"), (3L, "p p q q", "s2"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-src-ref").toString
+    Drift.writeReferenceCounts(a, dir)
+    assert(Drift.sourceDriftVsReference(b, dir).collect().toSeq ==
+      Drift.sourceDrift(a, b).collect().toSeq)
+    // the derived GLOBAL table equals the direct word counts, so the
+    // token screens keep working off the same baseline
+    assert(Drift.readReferenceCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 2L, "y" -> 1L, "p" -> 1L, "q" -> 1L))
+  }
+
   test("sourceDrift: per-source TV and top mover, hand-computed") {
     val a = Seq((0L, "x x y", "s1"), (1L, "p q", "s2"))
       .toDF("doc_id", "text", "source")
