@@ -5,29 +5,32 @@ import org.apache.spark.sql.functions._
 
 /** Corpus drift monitors — compare two snapshots of the training corpus
   * (crawl N vs crawl N+1, or any two id/source slices) BEFORE a model is
-  * trained on the newer one. Three views:
+  * trained on the newer one. Four modalities, each in three forms:
   *
-  *  - [[tokenDrift]]: which words moved — per-word counts in both
-  *    snapshots ranked by the integer mass delta |c_a*totB - c_b*totA|
-  *    (the word's contribution to total-variation distance, cross-
-  *    multiplied so it stays exact in int64).
-  *  - [[driftSummary]]: one-row distance panel — total-variation
-  *    distance from the same integer numerator, and add-one-smoothed
-  *    KL divergence in power-of-two-BUCKETED bits (the LmScore.scala
-  *    device: floor(log2) via binary-string length is pure integer
-  *    arithmetic, so the sum is exact and engine-independent; see
-  *    LmScore's scaladoc for why bucketing is the price of an exact
-  *    cross-engine oracle).
-  *  - [[lengthDrift]]: did the document-LENGTH distribution move —
-  *    exact two-sample Kolmogorov-Smirnov statistic over n_tok
-  *    (cross-multiplied cumulative counts, exact in int64), beside a
-  *    KLL-sketch estimate of the same statistic with a wide gate
-  *    (`kll_ks_ok`, the q46 `hll_ok` pattern: the SQL oracle pins it
-  *    true; tight error assertions live in sbt where a red run means a
-  *    bug, not tail luck). At 10^12 rows the exact path's value table
-  *    is still small (distinct n_tok values, not rows) but costs a full
-  *    corpus groupBy per snapshot; the KLL path rides whatever
-  *    aggregation already scans the corpus and ships two ~KB sketches.
+  *  - TOKEN distribution: [[tokenDrift]] (per-word report ranked by the
+  *    integer mass delta |c_a*totB - c_b*totA| — the word's
+  *    contribution to total-variation distance, cross-multiplied so it
+  *    stays exact in int64), [[driftSummary]] (one-row panel: TV from
+  *    the same integer numerator + add-one-smoothed KL in
+  *    power-of-two-BUCKETED bits, the LmScore floor-log2 device;
+  *    [[klPrecise]] is the nats twin for in-engine thresholds), and
+  *    [[sourceDrift]] (the per-source matrix — which slice moved).
+  *  - LENGTH distribution: [[lengthDrift]] — exact two-sample
+  *    Kolmogorov-Smirnov over n_tok (cross-multiplied cumulative
+  *    counts, int64) beside a KLL-sketch estimate with a wide gate
+  *    (`kll_ks_ok`, the q46 `hll_ok` pattern). At 10^12 rows the exact
+  *    path's value table is still small (distinct lengths, not rows).
+  *  - EMBEDDING distribution: [[embeddingDrift]] — cosine between
+  *    snapshot mean vectors + per-dim L1 + top mover, on 2^10
+  *    fixed-point integer sums.
+  *
+  * Each modality also runs OFF A PERSISTED BASELINE
+  * ([[writeReferenceCounts]] / [[writeEmbeddingReference]] +
+  * the `*VsReference` variants — index once, screen every snapshot,
+  * never rescan the reference) and ON A STREAM (the `windowed*`
+  * readers over finalized-window state emitted by
+  * `streaming.StreamingSketches`: [[windowedTokenDrift]],
+  * [[windowedLengthDrift]], [[windowedEmbeddingDrift]]).
   *
   * Float discipline (the q66 rule): every double column is ONE IEEE
   * division (or product chain) of exactly-representable integer
