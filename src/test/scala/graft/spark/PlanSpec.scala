@@ -203,6 +203,11 @@ class PlanSpec extends AnyFunSuite {
     val vsRef = graft.operators.Drift.driftSummaryFromCounts(
       graft.operators.Drift.referenceWordCounts(snap, refDir))
     assert(vsRef.collect().length == 1)
+    // every other vs-reference path must also survive the deletion
+    assert(graft.operators.Drift
+      .sourceDriftVsReference(snap, refDir).collect().nonEmpty)
+    assert(graft.operators.Drift
+      .lengthDriftVsReference(snap, refDir).collect().length == 1)
     // and none of the report plans dispatch through a UDF
     Seq(summary, report, bal).foreach { d =>
       val p = planOf(d)
