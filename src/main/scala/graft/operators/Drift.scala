@@ -647,8 +647,16 @@ object Drift {
     val w = windowed.select(keys.map(col) ++
         Seq(col("dim"), col("s").as("s_b"), col("n_vecs").as("n_b")): _*)
       .localCheckpoint(true) // windows×dims; independent lineage (sink views)
+    // per-dim counts must agree within a window — ragged vectors would
+    // otherwise mis-normalize SILENTLY; the check rides the existing
+    // aggregation (raise_error column, no extra pass)
     val winMeta = w.groupBy(keys.map(col): _*)
-      .agg(max(col("n_b")).as("n_b")) // constant per window
+      .agg(max(col("n_b")).as("n_b"), min(col("n_b")).as("__min"))
+      .select(keys.map(col) :+
+        when(col("__min") =!= col("n_b"), raise_error(concat(
+          lit("windowedEmbeddingDrift: ragged vectors in window "),
+          col("win_start").cast("string"))))
+          .otherwise(col("n_b")).as("n_b"): _*)
     val j = winMeta.crossJoin(broadcast(ref))
       .join(w.select(keys.map(col) ++ Seq(col("dim"), col("s_b")): _*),
         keys :+ "dim", "left")

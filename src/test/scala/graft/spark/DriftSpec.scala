@@ -262,6 +262,25 @@ class DriftSpec extends AnyFunSuite {
     assert(!next.getFileSystem(conf).exists(next))
   }
 
+  test("windowedEmbeddingDrift refuses ragged per-dim counts") {
+    val a = Seq((0L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emb-ragged").toString
+    Drift.writeEmbeddingReference(a, dir)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+    val bad = Seq((ts0, ts1, 0, 100L, 3L), (ts0, ts1, 1, 100L, 2L))
+      .toDF("win_start", "win_end", "dim", "s", "n_vecs")
+    val ex = intercept[Exception] {
+      Drift.windowedEmbeddingDrift(bad, dir).collect()
+    }
+    assert(ex.getMessage != null)
+    // uniform counts pass through unchanged
+    val ok = Seq((ts0, ts1, 0, 100L, 3L), (ts0, ts1, 1, 100L, 3L))
+      .toDF("win_start", "win_end", "dim", "s", "n_vecs")
+    assert(Drift.windowedEmbeddingDrift(ok, dir).collect().length == 1)
+  }
+
   test("tokenizerFit: hand-computed fertility and compression") {
     val d = Seq(
       (0L, "ab cd. ef", "s1"),   // seg: ab, cd, '.', ef = 4; ws = 3
