@@ -157,7 +157,12 @@ object Drift {
     */
   def readReferenceCounts(spark: org.apache.spark.sql.SparkSession,
                           dir: String): DataFrame =
+    // eagerly pinned (vocab-sized): the next writeReferenceCounts GCs
+    // every superseded v= dir, so a lazy frame held across a baseline
+    // rewrite would FileNotFound mid-evaluation — the internal
+    // *VsReference paths checkpoint for the same reason (ADVICE r05 #3)
     spark.read.parquet(s"${liveReferenceDir(spark, dir)}/counts")
+      .localCheckpoint(true)
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -419,6 +424,13 @@ object Drift {
     * the distinct-length table — bounded by max document length, not
     * corpus size. The KLL side is two tiny aggregates; the two sketch
     * blobs are the only driver collect.
+    *
+    * AT SCALE: this signature's exact path re-scans BOTH corpora per
+    * call. For a 100-TB reference side, persist the baseline once with
+    * [[writeReferenceCounts]] and call [[lengthDriftVsReference]] —
+    * identical output, reference never rescanned — and lean on the KLL
+    * estimate (`kll_ks_ok` gates it against exact here) where the
+    * value table itself is the cost.
     */
   def lengthDrift(docsA: DataFrame, docsB: DataFrame,
                   kllK: Int = 200, gate: Double = 0.08): DataFrame = {
@@ -431,15 +443,20 @@ object Drift {
         .as("n_tok"))
     val la = lens(docsA).localCheckpoint(true)
     val lb = lens(docsB).localCheckpoint(true)
-    val skA = la.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
-      .head().getAs[Array[Byte]](0)
-    val skB = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
-      .head().getAs[Array[Byte]](0)
+    // sketch and doc count in ONE aggregation per side (each was its
+    // own job over the checkpointed lengths before)
+    def skAndN(l: DataFrame): (Array[Byte], Long) = {
+      val r = l.agg(F.kll_agg(col("n_tok").cast("double"), kllK),
+        count(lit(1))).head()
+      (r.getAs[Array[Byte]](0), r.getLong(1))
+    }
+    val (skA, nA) = skAndN(la)
+    val (skB, nB) = skAndN(lb)
     ksFromSides(
       la.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_a")),
-      la.count(), graft.core.KllSketch.deserialize(skA),
+      nA, graft.core.KllSketch.deserialize(skA),
       lb.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_b")),
-      lb.count(), graft.core.KllSketch.deserialize(skB), gate)
+      nB, graft.core.KllSketch.deserialize(skB), gate)
   }
 
   /** [[lengthDrift]] with the A side read from a persisted reference
@@ -657,10 +674,29 @@ object Drift {
           lit("windowedEmbeddingDrift: ragged vectors in window "),
           col("win_start").cast("string"))))
           .otherwise(col("n_b")).as("n_b"): _*)
-    val j = winMeta.crossJoin(broadcast(ref))
+    // per-window dim grid = REFERENCE dims ∪ WINDOW dims (the
+    // windowedTokenDrift onRef/offRef device). The old grid was
+    // reference-only, so a window dim absent from the baseline — the
+    // encoder-upgrade scenario this monitor exists to catch — was
+    // silently dropped from dot/norm/l1/top-mover, breaking the
+    // documented bit-for-bit parity with embeddingDrift's full_outer
+    // grid exactly there (ADVICE r05 #1).
+    val gridCols = keys.map(col) ++
+      Seq(col("dim"), col("s_a"), col("n_a"), col("s_b"), col("n_b"))
+    val refNa = ref.agg(max(col("n_a")).as("n_a"))
+    val onRef = winMeta.crossJoin(broadcast(ref))
       .join(w.select(keys.map(col) ++ Seq(col("dim"), col("s_b")): _*),
         keys :+ "dim", "left")
       .na.fill(0L, Seq("s_b"))
+      .select(gridCols: _*)
+    val offRef = w
+      .select(keys.map(col) ++ Seq(col("dim"), col("s_b")): _*)
+      .join(broadcast(ref.select(col("dim"))), Seq("dim"), "left_anti")
+      .join(winMeta, keys)
+      .crossJoin(broadcast(refNa))
+      .withColumn("s_a", lit(0L))
+      .select(gridCols: _*)
+    val j = onRef.unionByName(offRef)
     val delta = col("s_a") * col("n_b") - col("s_b") * col("n_a")
     j.groupBy(keys.map(col): _*)
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
@@ -817,7 +853,12 @@ object Drift {
       .agg(first(col("n_tokens")).as("n_tokens"),
         first(col("ref_total")).as("ref_total"),
         sum(abs(col("delta_num"))).as("tv_num"),
-        max(struct(abs(col("delta_num")).as("d"), col("t").as("t"),
+        // top mover with SMALLER-token tie-break (min over (-|delta|,
+        // t)), matching the engine-wide convention of tokenDrift/
+        // sourceDrift (word asc) and the embedding paths (negated dim)
+        // — the old max over (|delta|, t) broke ties toward the
+        // LARGEST token (ADVICE r05 #2)
+        min(struct(negate(abs(col("delta_num"))).as("nd"), col("t").as("t"),
           col("delta_num").as("raw"))).as("__top"),
         first(col("exact")).as("exact"))
       .select(keys.map(col) ++ Seq(col("n_tokens"), col("ref_total"),

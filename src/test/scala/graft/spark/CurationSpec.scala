@@ -307,6 +307,23 @@ class CurationSpec extends AnyFunSuite {
     assert(wordDirs == Seq("batch_id=2"), s"words dirs: $wordDirs")
   }
 
+  test("loadLmModelLocal refuses an over-limit model loudly (driver guard)") {
+    val ref = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmg").toString
+    LmScore.writeLmModel(ref, dir)
+    // 6 unigrams + 8 bigrams > 3: must refuse loudly, naming the conf
+    // and pointing at the relational path (never a silent driver OOM)
+    spark.conf.set("spark.graft.lm.maxLocalModelEntries", "3")
+    try {
+      val e = intercept[IllegalArgumentException](
+        LmScore.loadLmModelLocal(spark, dir))
+      assert(e.getMessage.contains("scoreDocsVsModel"), e.getMessage)
+      assert(e.getMessage.contains("maxLocalModelEntries"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.lm.maxLocalModelEntries")
+    // within the limit the load works as before
+    assert(LmScore.loadLmModelLocal(spark, dir).order == 2)
+  }
+
   test("compactLmModel: one folded batch, same answers, appends keep working") {
     val rnd = new scala.util.Random(13)
     def doc(i: Int) = (i.toLong,

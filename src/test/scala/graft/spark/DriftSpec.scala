@@ -281,6 +281,33 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.windowedEmbeddingDrift(ok, dir).collect().length == 1)
   }
 
+  test("windowedEmbeddingDrift keeps window dims absent from the reference") {
+    // the encoder-upgrade scenario (ADVICE r05 #1): the window carries a
+    // dim the persisted baseline has never seen; the statistic must
+    // equal the batch embeddingDrift (full_outer dim grid) bit-for-bit,
+    // not silently drop the new dim
+    val a = Seq((0L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.5f, 1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-emb-newdim").toString
+    Drift.writeEmbeddingReference(a, dir)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+    // window sums exactly as windowedEmbeddingSums would emit them for b
+    val w = Seq((ts0, ts1, 0, 512L, 1L), (ts0, ts1, 1, 1024L, 1L),
+        (ts0, ts1, 2, 2048L, 1L))
+      .toDF("win_start", "win_end", "dim", "s", "n_vecs")
+    val got = Drift.windowedEmbeddingDrift(w, dir).head()
+    val want = Drift.embeddingDrift(a, b).head()
+    for (c <- Seq("n_a", "n_b", "l1_num"))
+      assert(got.getAs[Long](c) == want.getAs[Long](c), c)
+    for (c <- Seq("cos_means", "l1_mean_delta"))
+      assert(got.getAs[Double](c) == want.getAs[Double](c), c)
+    assert(got.getAs[Int]("top_dim") == want.getAs[Int]("top_dim"))
+    assert(got.getAs[Long]("top_delta_num") ==
+      want.getAs[Long]("top_delta_num"))
+  }
+
   test("tokenizerFit: hand-computed fertility and compression") {
     val d = Seq(
       (0L, "ab cd. ef", "s1"),   // seg: ab, cd, '.', ef = 4; ws = 3

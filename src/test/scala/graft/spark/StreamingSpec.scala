@@ -625,9 +625,10 @@ class StreamingSpec extends AnyFunSuite {
     // (win-only or count-1-vs-ref), 0 for 21..60 -> tv_num = 40*60
     assert(r.getAs[Long]("tv_num") == 2400L)
     assert(r.getAs[Double]("tv") == 2400.0 / 14400.0)
-    // every mover ties at |delta| = 60; the tie breaks on the rendered
-    // token string, whose max among {1..20, 61..80} is "9"
-    assert(r.getAs[String]("top_token") == "9")
+    // every mover ties at |delta| = 60; ties break toward the SMALLEST
+    // rendered token string (the engine-wide smaller-wins convention,
+    // ADVICE r05 #2), whose min among {1..20, 61..80} is "1"
+    assert(r.getAs[String]("top_token") == "1")
     assert(r.getAs[Long]("top_delta_num") == 60L)
     // the persisted-reference overload yields the same rows: a corpus
     // whose word counts equal the inline ref (each of 11..70 once)
