@@ -621,6 +621,43 @@ object expressions {
       copy(child = c)
   }
 
+  /** |A ∩ B| of two sorted-ascending distinct arrays (both array<int>
+    * or both array<long>) — the allocation-free merge-walk verify
+    * kernel behind exact-Jaccard candidate verification
+    * (kernels.sortedIntersectSize*). Inputs MUST be sorted
+    * (array_sort(array_distinct(..)) — Dedup.tokenSets' contract);
+    * the element width is resolved at PLAN time from the child types,
+    * so a mistyped column fails analysis instead of reading at the
+    * wrong stride.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "sorted_intersect_size"
+    override def dataType: DataType = IntegerType
+    private lazy val isLong: Boolean = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => false
+      case (l, r) => throw new IllegalArgumentException(
+        s"sorted_intersect_size needs two array<int> or two array<long> " +
+          s"children, got $l and $r")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (isLong) kernels.sortedIntersectSizeLong(aa, bb)
+      else kernels.sortedIntersectSizeInt(aa, bb)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val m = if (isLong) "sortedIntersectSizeLong" else "sortedIntersectSizeInt"
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.kernels.$m($a, $b)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedIntersectSize =
+      copy(left = l, right = r)
+  }
+
   /** Hamming distance of two 64-bit fingerprints. */
   case class Hamming64(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -872,6 +909,15 @@ object expressions {
 
   def minhash_signature_hashes(c: Column, numPerms: Int): Column =
     catalyst.aggColExpr(MinhashSignatureHashes(longArr(c), numPerms))
+
+  /** No cast wrapper on purpose: the expression type-checks its
+    * children at plan time (two array<int> or two array<long>), and the
+    * callers (Dedup verify paths) already hold exactly those types — a
+    * silent widening cast would copy every array per row.
+    */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    catalyst.aggColExpr(SortedIntersectSize(catalyst.expr(a),
+      catalyst.expr(b)))
 
   def hamming64(a: Column, b: Column): Column =
     catalyst.aggColExpr(Hamming64(

@@ -466,6 +466,49 @@ object kernels {
     })
   }
 
+  /** |A ∩ B| of two SORTED-ascending distinct int arrays by one merge
+    * walk — the exact-Jaccard verify kernel. `size(array_intersect)`
+    * builds a hash set PER CALL; on the LSH verify path that call runs
+    * once per candidate pair (millions per corpus), so the
+    * allocation-free walk is the per-task-work fix the optimization
+    * guide's §1.2 step 2 prescribes. Callers must pass arrays produced
+    * by `array_sort(array_distinct(...))` (Dedup.tokenSets) — the walk
+    * silently undercounts on unsorted input, which is why the only
+    * producers are the operators that also sort.
+    */
+  def sortedIntersectSizeInt(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Long-array twin of [[sortedIntersectSizeInt]] (shingle toksets). */
+  def sortedIntersectSizeLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def langId(text: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.operators.TextAnalysis.detectLang(text.toString))

@@ -36,7 +36,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Rows to drop under exact dedup (everything but the kept id per group). */
+  /** Rows to drop under exact dedup (everything but the kept id per
+    * group). NOTE (r06, measured): filtering the groups side to
+    * dup_cnt > 1 before the join looks like a free shrink (row set is
+    * unchanged), but the then-tiny side gets BROADCAST, which destroys
+    * the ReusedExchange that lets both join sides share ONE evaluation
+    * of `docs` — a net loss whenever `docs` is a derived frame (the
+    * audit's quality survivors regressed ~20%). Kept symmetric on
+    * purpose.
+    */
   def exactDropIds(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), md5(col(textCol)).as("content_md5"))
@@ -75,6 +83,7 @@ object Dedup {
     */
   def urlDropIds(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "doc_id"): DataFrame =
+    // symmetric join sides on purpose — see the [[exactDropIds]] note
     docs.select(col(idCol),
         graft.functions.expressions.canonical_url(col(urlCol))
           .as("canonical_url"))
@@ -85,14 +94,36 @@ object Dedup {
   /** Distinct set per doc (the unit for Jaccard measures): unigram token
     * ids at ngram=1, rolling-hashed n-gram shingles otherwise (shingles
     * make Jaccard order-sensitive — the standard text-dedup unit).
+    *
+    * SORTED ascending (array_sort after array_distinct) — the contract
+    * the sorted_intersect_size verify kernel depends on: one O(|A|+|B|)
+    * allocation-free merge walk per candidate pair instead of
+    * array_intersect's per-call hash set. The sort is one O(k log k)
+    * pass per DOC; the walk runs once per candidate PAIR (quadratic-ish
+    * under aggressive band params), which is why the cost moves here.
+    * Persisted toksets (dedup indexes) inherit the sorted form; element
+    * sets, and therefore every Jaccard value, are unchanged.
     */
   private def tokenSets(tokenDocs: DataFrame, ngram: Int = 1): DataFrame = {
     val elems =
       if (ngram == 1) col("tokens")
       else graft.functions.expressions.token_shingles(col("tokens"), ngram)
-    tokenDocs.select(col("doc_id"), array_distinct(elems).as("tokset"))
+    tokenDocs.select(col("doc_id"),
+        array_sort(array_distinct(elems)).as("tokset"))
       .withColumn("set_size", size(col("tokset")))
   }
+
+  /** Size-compatibility residual for a Jaccard threshold: J(A,B) ≤
+    * min(|A|,|B|)/max(|A|,|B|), so any pair with min < t·max can never
+    * verify — drop it BEFORE the candidate distinct and the tokset
+    * joins. The epsilon errs toward KEEPING boundary pairs (64·0.8
+    * style float artifacts); extra candidates only cost verify work,
+    * never correctness (the prefix_len lesson above).
+    */
+  private def sizeCompatible(sa: Column, sb: Column,
+                             threshold: Double): Column =
+    least(sa, sb).cast("double") >=
+      lit(threshold) * greatest(sa, sb).cast("double") - lit(1e-9)
 
   /** Exact verification of candidate (a, b) pairs against token sets:
     * joins both sides' sets, computes exact Jaccard, keeps >= threshold.
@@ -115,7 +146,17 @@ object Dedup {
       .select(col("a"), col("b"),
         col("sa0.tokset").as("ta"), col("sa0.set_size").as("sa"),
         col("sb0.tokset").as("tb"), col("sb0.set_size").as("sb"))
-      .withColumn("common", size(array_intersect(col("ta"), col("tb"))))
+      // size screen first: candidates whose set sizes already cap
+      // Jaccard under the threshold never pay the merge walk (the LSH
+      // callers pre-filter at the band join too; this covers the
+      // callers whose candidates arrive size-blind, e.g. the
+      // incremental vs-corpus tier)
+      .filter(sizeCompatible(col("sa"), col("sb"), threshold))
+      // exact |A∩B| via the sorted merge walk (tokenSets sorts) — same
+      // count array_intersect produced, no per-pair hash set
+      .withColumn("common",
+        graft.functions.expressions.sorted_intersect_size(
+          col("ta"), col("tb")))
       .withColumn("jaccard",
         col("common") / (col("sa") + col("sb") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -153,12 +194,15 @@ object Dedup {
       .withColumn("prefix_len",
         col("set_size") - ceil(col("set_size") * threshold - 1e-9) + 1)
     val prefix = ranked.filter(col("rn") <= col("prefix_len"))
-      .select(col("doc_id"), col("t"))
+      .select(col("doc_id"), col("set_size"), col("t"))
     // self-join the SAME plan aliased two ways: the shuffle on t is
     // canonically identical on both sides, so ReusedExchange computes
-    // the prefix subtree once (PlanSpec-verified for the minhash twin)
+    // the prefix subtree once (PlanSpec-verified for the minhash twin).
+    // set_size already rides the posting rows, so the size screen runs
+    // in the join residual (the minhashLshPairs device).
     val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id") &&
+          sizeCompatible(col("x.set_size"), col("y.set_size"), threshold))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(cands, sets, threshold)
@@ -171,21 +215,30 @@ object Dedup {
     * rows) recall at j=0.6 is ~0.99. Each doc contributes numBands rows
     * to the bucket join — constant fan-out, unlike the posting-list join.
     */
-  /** Per-doc LSH band keys, exploded: (doc_id, band). The signature is
-    * computed and dropped BEFORE the band shuffle — only (doc_id, band)
-    * rides the exchange.
+  /** Per-doc LSH band keys, exploded: (doc_id, sz, band), where sz =
+    * the doc's distinct-element count (the Jaccard set size). The
+    * signature is computed and dropped BEFORE the band shuffle — only
+    * (doc_id, sz, band) rides the exchange (sz is 8 bytes/row and lets
+    * the self-join run the size-compatibility screen IN the join,
+    * before any candidate row exists). Callers that never read sz
+    * (index writers persisting the (doc_id, band) schema) select it
+    * away and Catalyst prunes the array_distinct underneath.
     */
   private[operators] def bandKeys(tokenDocs: DataFrame, numBands: Int,
                                   rowsPerBand: Int, ngram: Int): DataFrame = {
     val numPerms = numBands * rowsPerBand
+    val elems =
+      if (ngram == 1) col("tokens")
+      else graft.functions.expressions.token_shingles(col("tokens"), ngram)
     val sigExpr =
       if (ngram == 1) F.minhash_signature(numPerms)(col("tokens"))
       else graft.functions.expressions.minhash_signature_hashes(
         graft.functions.expressions.token_shingles(col("tokens"), ngram),
         numPerms)
     tokenDocs.select(col("doc_id"), col("tokens"))
+      .withColumn("sz", size(array_distinct(elems)))
       .withColumn("sig", sigExpr)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sz"),
         explode(F.minhash_bands(numBands, rowsPerBand)(col("sig"))).as("band"))
   }
 
@@ -195,10 +248,17 @@ object Dedup {
     val sigs = bandKeys(tokenDocs, numBands, rowsPerBand, ngram)
     // self-join on band buckets with identical subplans on both sides so
     // the band shuffle (scan + minhash + explode) is computed once and
-    // reused (ReusedExchange)
+    // reused (ReusedExchange). The size screen rides the join as a
+    // non-equi residual: a pair whose set sizes cap Jaccard below the
+    // threshold is dropped INSIDE the join iterator — before the
+    // candidate distinct's shuffle and the verify tokset joins ever see
+    // it. Under band params that put random pairs in collision range
+    // (the quadratic-candidate regime the b10 batch bench exercises)
+    // this screens out most of the candidate volume for free.
     val cands = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          sizeCompatible(col("x.sz"), col("y.sz"), threshold))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(cands, tokenSets(tokenDocs, ngram), threshold)
@@ -329,7 +389,18 @@ object Dedup {
     */
   def dedupDocs(docs: DataFrame, threshold: Double = 0.9,
                 numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    // LAZY localCheckpoint: the exact-tier survivor frame feeds the band
+    // self-join, both verify tokset sides AND the final anti-join — four
+    // plan branches that, uncheckpointed, each re-run the md5 groupBy +
+    // anti-join (and re-tokenize) over the full corpus. Measured on the
+    // b10 batch shape: the branches were ~3x the whole query (32 s vs
+    // ~8 s of actual work). eager=false keeps the operator lazy and
+    // composable — the checkpoint RDD materializes once inside the
+    // FIRST action and every branch reads its blocks; ContextCleaner
+    // reclaims them when the result frame is dropped (the
+    // dedupIncremental discipline, applied to the batch path).
     val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     afterExact.join(
       nearDupDropIds(docTokens(afterExact), threshold, numBands, rowsPerBand),
       Seq("doc_id"), "left_anti")
@@ -342,7 +413,9 @@ object Dedup {
     */
   def dedupDocsCC(docs: DataFrame, threshold: Double = 0.9,
                   numBands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    // lazy checkpoint for the same branch-sharing reason as [[dedupDocs]]
     val afterExact = docs.join(exactDropIds(docs), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     val pairs = minhashLshPairs(docTokens(afterExact), threshold,
         numBands, rowsPerBand)
       .select(col("a"), col("b"))
@@ -522,7 +595,11 @@ object Dedup {
           .write.mode(mode).parquet(s"$dir/digests")
         val toks = docTokens(afterExact)
         tokenSets(toks, ngram).write.mode(mode).parquet(s"$dir/toksets")
+        // persisted schema stays (doc_id, band): sz is a join-time
+        // optimization, selected away here (Catalyst prunes its
+        // array_distinct)
         bandKeys(toks, numBands, rowsPerBand, ngram)
+          .select(col("doc_id"), col("band"))
           .write.mode(mode).parquet(s"$dir/bands")
         afterExact
           .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
@@ -657,7 +734,16 @@ object Dedup {
 
     val newToks = docTokens(newExact)
     val newSets = tokenSets(newToks, ngram)
+    // lazy checkpoint (snapshot-sized: numBands rows/doc): the
+    // vs-corpus join prunes the sz column the within-snapshot join's
+    // size screen reads, so the two band exchanges stopped being
+    // canonically identical and ReusedExchange no longer deduped the
+    // snapshot's tokenize+minhash (measured: b10 incremental 2.0 →
+    // 3.5 s when the r06 size screen first landed). Materializing the
+    // sized band frame once restores the single evaluation for both
+    // consumers.
     val newBands = bandKeys(newToks, numBands, rowsPerBand, ngram)
+      .localCheckpoint(false)
 
     // near-dup tier (a): new docs vs the CORPUS INDEX only — band-key
     // equi-join then exact-Jaccard verify against the stored toksets
@@ -672,7 +758,11 @@ object Dedup {
     // would tokenize and minhash the snapshot a second time
     val candWithin = newBands.as("x")
       .join(newBands.as("y"), col("x.band") === col("y.band") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.doc_id") < col("y.doc_id") &&
+        // size screen in the join (the minhashLshPairs residual); the
+        // vs-corpus tier can't run it here (stored bands carry no sz)
+        // and relies on verifyJaccard2's screen instead
+        sizeCompatible(col("x.sz"), col("y.sz"), threshold))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val pairsWithin = verifyJaccard2(candWithin, newSets, newSets, threshold)
@@ -708,7 +798,8 @@ object Dedup {
           tokenSets(toks, ngram), s"${tablePrefix}_toksets", "doc_id",
           numBuckets)
         graft.sources.BucketedTables.writeBucketed(
-          bandKeys(toks, numBands, rowsPerBand, ngram),
+          bandKeys(toks, numBands, rowsPerBand, ngram)
+            .select(col("doc_id"), col("band")),
           s"${tablePrefix}_bands", "band", numBuckets)
         afterExact
           .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).head()
@@ -938,7 +1029,8 @@ object Dedup {
         graft.functions.expressions.token_shingles(col("tokens"), ngram),
         numBands * rowsPerBand)
     val withSets = toks
-      .select(col("doc_id"), array_distinct(elems).as("tokset"),
+      .select(col("doc_id"),
+        array_sort(array_distinct(elems)).as("tokset"),
         sigExpr.as("sig"))
       .withColumn("set_size", size(col("tokset")))
       .select(col("doc_id"), col("tokset"), col("set_size"),
@@ -946,8 +1038,12 @@ object Dedup {
           .as("band"))
     withSets.join(corpusBands, Seq("band"))
       .join(corpusSets, Seq("corpus_id"))
+      // size screen + sorted merge walk (both sides sorted: the index's
+      // toksets via tokenSets, the query side just above)
+      .filter(sizeCompatible(col("set_size"), col("csz"), threshold))
       .withColumn("common",
-        size(array_intersect(col("tokset"), col("ctokset"))))
+        graft.functions.expressions.sorted_intersect_size(
+          col("tokset"), col("ctokset")))
       .withColumn("jaccard",
         col("common") / (col("set_size") + col("csz") - col("common")))
       .filter(col("jaccard") >= threshold)
