@@ -46,9 +46,13 @@ object SpanDedup {
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val seeds = docs.select(col(idCol).as("__id"),
       posexplode(E.gram_hashes(col(textCol), minLen)).as(Seq("pos", "gh")))
+    // "present in >= 2 distinct docs" ⟺ min(id) != max(id): a plain
+    // min/max aggregate gets full map-side partial aggregation (narrow
+    // (gh, id, id) partials), where countDistinct plans a two-phase
+    // distinct expansion that ships every (gh, id) pair to the shuffle
     val shared = seeds.groupBy(col("gh"))
-      .agg(countDistinct(col("__id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("gh"))
+      .agg(min(col("__id")).as("__mn"), max(col("__id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select(col("gh"))
     val cands = seeds.join(shared, Seq("gh"))
     // exact verify: candidates are matched-seed-sized, so this equi-join
     // against the text reads only the docs that hold a candidate
@@ -62,8 +66,8 @@ object SpanDedup {
     // distinct-doc count over candidates equals the corpus-level one,
     // and the result is exact despite the 64-bit seeds
     val sharedStr = withG.groupBy(col("gk"))
-      .agg(countDistinct(col("__id")).as("nd2"))
-      .filter(col("nd2") >= 2).select(col("gk"))
+      .agg(min(col("__id")).as("__mn2"), max(col("__id")).as("__mx2"))
+      .filter(col("__mn2") =!= col("__mx2")).select(col("gk"))
     withG.join(sharedStr, Seq("gk"))
       .select(col("__id"), col("pos"), col("gk"))
   }
