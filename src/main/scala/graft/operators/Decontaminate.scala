@@ -91,6 +91,55 @@ object Decontaminate {
     BloomIO.load(dump)
   }
 
+  /** Bloom filter over the ROLLING gram hashes of an already-computed
+    * distinct n-gram frame — the hash-seeded screen's build side. Each
+    * stored n-gram string has exactly n tokens, so
+    * `kernels.gramHashes(ng, n)` yields exactly its one rolling hash,
+    * and that value equals the hash the train side computes for the
+    * same window in situ (same per-token fnv + Horner + splitmix
+    * chain). Built from the SAME checkpointed frame the verify joins,
+    * preserving the single-evaluation contract of [[filterFromNgrams]].
+    */
+  private def filterFromNgramsRolling(evalNg: DataFrame, n: Int,
+                                      fpr: Double, expected: Long):
+      graft.core.BlockedBloomFilter = {
+    val cap =
+      if (expected > 0) expected
+      else math.max(evalNg.count(), 1000L)
+    val dump = evalNg
+      .agg(F.bloom_agg_hash(
+        element_at(graft.functions.expressions.gram_hashes(col("ng"), n), 1),
+        cap, fpr).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    BloomIO.load(dump)
+  }
+
+  /** The train-side candidate stream of the hash-seeded screen: ONE
+    * pass exploding `kernels.gramHashes` (allocation-free rolling
+    * 64-bit window hashes) with the Bloom probe applied inside the
+    * same codegen stage, the gram STRING derived (`kernels.gramAt`)
+    * only for the fpr-bounded survivors, deduped to the per-doc
+    * distinct grams [[docNgrams]] emits. The old form built every
+    * gram's string (StringBuilder + LinkedHashSet insert + UTF8String)
+    * across the whole 100-TB side just to hash it; here the text stays
+    * a pointer inside the generate→filter→project codegen stage and is
+    * dropped before the exchange, so only survivors pay string work
+    * (guide §1.2 step 2). Result rows are IDENTICAL: Bloom has no
+    * false negatives, a truly shared gram's hash is always present,
+    * and the exact string verify downstream kills both Bloom FPs and
+    * 64-bit collisions.
+    */
+  private def candidateGrams(train: DataFrame, probe: Column => Column,
+                             n: Int, textCol: String,
+                             idCol: String): DataFrame = {
+    val E = graft.functions.expressions
+    train.select(col(idCol), col(textCol).as("__t"),
+        posexplode(E.gram_hashes(col(textCol), n)).as(Seq("__pos", "__gh")))
+      .filter(probe(col("__gh")))
+      .select(col(idCol), E.gram_at(col("__t"), col("__pos"), n).as("ng"))
+      .distinct()
+  }
+
   /** (doc_id, n_overlap) for every training doc sharing at least
     * `minOverlap` distinct n-grams with the eval corpus.
     */
@@ -102,7 +151,7 @@ object Decontaminate {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     val spark = train.sparkSession
     // ONE evaluation of the eval n-gram set feeds the count, the
-    // filter build, and the verify join (see filterFromNgrams).
+    // filter build, and the verify join (see filterFromNgramsRolling).
     // localCheckpoint, not Dataset.persist: the CacheManager holds
     // persisted plans strongly until an explicit unpersist, which the
     // lazy result cannot issue — a leaked eval-sized cache per call;
@@ -113,14 +162,13 @@ object Decontaminate {
       .select(col("ng")).distinct()
       .localCheckpoint()
     val probe = F.bloomProbeAuto(spark,
-      filterFromNgrams(evalNg, fpr, expectedEvalNgrams))
-    val cands = docNgrams(train, n, textCol, idCol)
-      .filter(probe(F.fnv_hash64_native(col("ng"))))
+      filterFromNgramsRolling(evalNg, n, fpr, expectedEvalNgrams))
     // exact verify on the string: kills Bloom FPs AND hash collisions.
     // Candidate volume is fpr-bounded, so this join's shuffle is tiny;
     // Catalyst/AQE picks broadcast when the eval set fits. The result
     // stays lazy and plan-inspectable.
-    cands.join(evalNg, Seq("ng"), "left_semi")
+    candidateGrams(train, probe, n, textCol, idCol)
+      .join(evalNg, Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
@@ -153,9 +201,8 @@ object Decontaminate {
       .select(col("ng")).distinct()
       .localCheckpoint()
     val probe = F.bloomProbeAuto(spark,
-      filterFromNgrams(evalNg, fpr, expectedEvalNgrams))
-    val hits = docNgrams(train, n, textCol, idCol)
-      .filter(probe(F.fnv_hash64_native(col("ng"))))
+      filterFromNgramsRolling(evalNg, n, fpr, expectedEvalNgrams))
+    val hits = candidateGrams(train, probe, n, textCol, idCol)
       .join(evalNg, Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
@@ -201,9 +248,8 @@ object Decontaminate {
       .localCheckpoint()
     val unionNg = evalNg.select(col("ng")).distinct()
     val probe = F.bloomProbeAuto(spark,
-      filterFromNgrams(unionNg, fpr, expectedEvalNgrams))
-    docNgrams(train, n, textCol, idCol)
-      .filter(probe(F.fnv_hash64_native(col("ng"))))
+      filterFromNgramsRolling(unionNg, n, fpr, expectedEvalNgrams))
+    candidateGrams(train, probe, n, textCol, idCol)
       .join(evalNg, Seq("ng"))
       .groupBy(col(idCol), col("set_id"))
       .agg(count(lit(1)).as("n_overlap"))
