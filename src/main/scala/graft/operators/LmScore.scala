@@ -88,7 +88,14 @@ object LmScore {
                 idCol: String = "doc_id",
                 order: Int = 2): DataFrame = {
     require(order >= 2, s"order must be >= 2, got $order")
-    val ctx = contextCounts(ref, order, textCol)
+    // LAZY localCheckpoint: the context table feeds BOTH the vocab
+    // scalar and the scoring join, and the two references prune to
+    // DIFFERENT column sets (vocab drops c1), so exchange reuse cannot
+    // share them — uncheckpointed, the reference is exploded and
+    // aggregated twice per score (measured on the b14 shape). The
+    // checkpoint materializes once inside the first action; the
+    // operator stays lazy (the dedupDocs discipline).
+    val ctx = contextCounts(ref, order, textCol).localCheckpoint(false)
     // at order 2 the context table IS the word table — don't pay a
     // third reference pass for the vocab scalar
     val vocab = (if (order == 2) ctx else unigramCounts(ref, textCol))
@@ -124,10 +131,15 @@ object LmScore {
       .withColumnRenamed("c2", "c2g")
     val bigB = ngramCounts(badRef, order, textCol)
       .withColumnRenamed("c2", "c2b")
+    // lazily checkpointed for the same vocab-branch sharing as
+    // scoreDocs (each context table feeds its vocab scalar AND its
+    // scoring join)
     val ctxG = contextCounts(goodRef, order, textCol)
       .withColumnRenamed("w", "wg").withColumnRenamed("c1", "c1g")
+      .localCheckpoint(false)
     val ctxB = contextCounts(badRef, order, textCol)
       .withColumnRenamed("w", "wb").withColumnRenamed("c1", "c1b")
+      .localCheckpoint(false)
     // order 2: the context tables already are the word tables (the
     // scoreDocs vocab-reuse rule, once per side)
     val vG = (if (order == 2) ctxG.select(col("wg").as("w"))
@@ -136,15 +148,21 @@ object LmScore {
     val vB = (if (order == 2) ctxB.select(col("wb").as("w"))
               else unigramCounts(badRef, textCol))
       .agg(count(lit(1)).as("__vb"))
+    // the scoreWithCounts join-strategy rule, per side: gram tables
+    // shuffled-hash (model-bounded build), order-2 context tables
+    // broadcast (vocabulary-bounded) — no corpus-side sorts, one
+    // corpus-sized exchange total instead of four
+    def ctxSide(ctx: DataFrame): DataFrame =
+      if (order == 2) broadcast(ctx) else ctx.hint("shuffle_hash")
     val occ = docs
       .select(col(idCol),
         explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
       .crossJoin(vG).crossJoin(vB) // one row each: no shuffle
-      .join(bigG, Seq("ng"), "left")
-      .join(bigB, Seq("ng"), "left")
+      .join(bigG.hint("shuffle_hash"), Seq("ng"), "left")
+      .join(bigB.hint("shuffle_hash"), Seq("ng"), "left")
       .withColumn("__prev", substring_index(col("ng"), " ", order - 1))
-      .join(ctxG, col("__prev") === col("wg"), "left")
-      .join(ctxB, col("__prev") === col("wb"), "left")
+      .join(ctxSide(ctxG), col("__prev") === col("wg"), "left")
+      .join(ctxSide(ctxB), col("__prev") === col("wb"), "left")
       .select(col(idCol),
         ((blog2(coalesce(col("c1g"), lit(0L)) + col("__vg")) -
           blog2(coalesce(col("c2g"), lit(0L)) + lit(1L))) -
@@ -154,7 +172,7 @@ object LmScore {
       count(lit(1)).as("n_grams"),
       sum(col("__mb")).cast("bigint").as("sum_margin_bits"))
     docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("sum_margin_bits"), lit(0L)).as("sum_margin_bits"),
@@ -180,9 +198,23 @@ object LmScore {
       .select(col(idCol),
         explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
       .crossJoin(vocab) // one row: BroadcastNestedLoopJoin, no shuffle
-      .join(big, Seq("ng"), "left")
+      // model-table join strategies, chosen deliberately (guide §3.1 —
+      // aggregated tables have no size estimate, so without the hints
+      // the planner sort-merge-joins BOTH model tables against the
+      // corpus gram stream: two full corpus-side exchanges plus sorts,
+      // measured as the dominant cost of the b14 workload). The gram
+      // table is model-bounded: shuffled-hash builds |big|/partitions
+      // rows per task and skips the corpus-side sort. Strategy hints
+      // change no result rows.
+      .join(big.hint("shuffle_hash"), Seq("ng"), "left")
       .withColumn("__prev", substring_index(col("ng"), " ", order - 1))
-      .join(uni, col("__prev") === uni("w"), "left")
+      // at order 2 the context table is the reference VOCABULARY —
+      // bounded by distinct words, the same artifact loadLmModelLocal
+      // ships whole to every worker — so broadcasting it removes the
+      // second corpus-sized exchange outright (guide §2.4). Higher
+      // orders' context tables grow like gram tables: shuffled-hash.
+      .join(if (order == 2) broadcast(uni) else uni.hint("shuffle_hash"),
+        col("__prev") === uni("w"), "left")
       .select(col(idCol),
         (blog2(coalesce(col("c1"), lit(0L)) + col("__v")) -
           blog2(coalesce(col("c2"), lit(0L)) + lit(1L))).as("__bits"))
@@ -190,7 +222,7 @@ object LmScore {
       count(lit(1)).as("n_bigrams"),
       sum(col("__bits")).cast("bigint").as("sum_bits"))
     docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
@@ -434,9 +466,13 @@ object LmScore {
       .head().getAs[Int]("order")
     val committed = readBatchesLog(spark, dir)._1.toSeq
     require(committed.nonEmpty, s"no committed batches at $dir")
+    // lazily checkpointed: the summed context table feeds both the
+    // vocab scalar and the scoring join (see scoreDocs), and the local
+    // loader reads it twice (count guard + collect)
     val uni = spark.read.parquet(s"$dir/uni")
       .filter(col("batch_id").isin(committed: _*))
       .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+      .localCheckpoint(false)
     val big = spark.read.parquet(s"$dir/big")
       .filter(col("batch_id").isin(committed: _*))
       .groupBy(col("ng")).agg(sum(col("c2")).as("c2"))
@@ -528,7 +564,8 @@ object LmScore {
                        idCol: String = "doc_id",
                        order: Int = 2): DataFrame = {
     require(order >= 2, s"order must be >= 2, got $order")
-    val uni = contextCounts(ref, order, textCol)
+    // shared context-table evaluation, as in scoreDocs
+    val uni = contextCounts(ref, order, textCol).localCheckpoint(false)
     val big = ngramCounts(ref, order, textCol)
     val vocab = (if (order == 2) uni else unigramCounts(ref, textCol))
       .agg(count(lit(1)).as("__v"))
@@ -536,9 +573,11 @@ object LmScore {
       .select(col(idCol),
         explode(E.word_ngrams_all(col(textCol), order)).as("ng"))
       .crossJoin(vocab)
-      .join(big, Seq("ng"), "left")
+      // same deliberate join strategies as scoreWithCounts
+      .join(big.hint("shuffle_hash"), Seq("ng"), "left")
       .withColumn("__prev", substring_index(col("ng"), " ", order - 1))
-      .join(uni, col("__prev") === uni("w"), "left")
+      .join(if (order == 2) broadcast(uni) else uni.hint("shuffle_hash"),
+        col("__prev") === uni("w"), "left")
       .select(col(idCol),
         (log((coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")) -
           log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")))
@@ -546,7 +585,7 @@ object LmScore {
     val perDoc = occ.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
     docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDoc.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_nll"))
