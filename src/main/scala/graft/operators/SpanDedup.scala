@@ -56,11 +56,23 @@ object SpanDedup {
     val cands = seeds.join(shared, Seq("gh"))
     // exact verify: candidates are matched-seed-sized, so this equi-join
     // against the text reads only the docs that hold a candidate
+    // LAZY localCheckpoint: this candidate frame feeds BOTH the
+    // string-level shared aggregation below AND the final membership
+    // join, and the two consumers shuffle it in different shapes (agg
+    // partials vs rows), so exchange reuse cannot share them —
+    // uncheckpointed, the ENTIRE upstream (corpus gram-hash explode,
+    // hash-level shared aggregation, doc join, per-candidate md5) is
+    // evaluated twice per span query (plan-verified: every scan
+    // appeared twice in q48's physical plan). The frame is
+    // candidate-sized (proportional to duplicated mass, not corpus),
+    // so pinning it is cheap; eager=false keeps the operator lazy
+    // (the dedupDocs discipline).
     val withG = cands
       .join(docs.select(col(idCol).as("__id"), col(textCol).as("__text")),
         Seq("__id"))
       .select(col("__id"), col("pos"),
         md5(E.gram_at(col("__text"), col("pos"), minLen)).as("gk"))
+      .localCheckpoint(false)
     // any occurrence of a string shared by >= 2 docs seeds to the same
     // hash, so ALL its occurrences are candidate rows: the string-level
     // distinct-doc count over candidates equals the corpus-level one,
