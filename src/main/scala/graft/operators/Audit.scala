@@ -71,12 +71,20 @@ object Audit {
       .select(id, col("keep").as("gopher_ok"),
         (dup2 <= maxDup2gramFrac).as("repetition_ok"))
       .localCheckpoint()
+    // each tier POPULATION is pinned too (lazy checkpoint): the
+    // survivor frames are re-derived from docs by join replay for every
+    // consumer (exactDropIds alone reads its input on both join sides),
+    // so uncheckpointed each tier re-runs the corpus joins of every
+    // tier above it — the spans/dedup/LM double-evaluation pattern,
+    // here compounding down the funnel
     val qualitySurv = docs.join(
       quality.filter(col("gopher_ok") && col("repetition_ok")).select(id),
       Seq(idCol), "left_semi")
+      .localCheckpoint(false)
     val exactDrops = Dedup.exactDropIds(qualitySurv, textCol, idCol)
       .localCheckpoint()
     val exactSurv = qualitySurv.join(exactDrops, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
     val toks = exactSurv.select(id.as("doc_id"),
       graft.functions.functions.tokenize(col(textCol)).as("tokens"))
     val nearDrops = Dedup.nearDupDropIdsCC(
@@ -85,6 +93,7 @@ object Audit {
       .withColumnRenamed("doc_id", idCol)
       .localCheckpoint()
     val nearSurv = exactSurv.join(nearDrops, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
     val contamIds = Decontaminate.contaminated(nearSurv, evalDocs,
         contamN, minOverlap, textCol = textCol, idCol = idCol)
       .select(id)
