@@ -167,8 +167,11 @@ object Decontaminate {
     // Candidate volume is fpr-bounded, so this join's shuffle is tiny;
     // Catalyst/AQE picks broadcast when the eval set fits. The result
     // stays lazy and plan-inspectable.
+    // shuffle_hash (hinted on the build-legal right side of the semi
+    // join): the fpr-bounded candidate stream vs the eval-sized gram
+    // frame — no sort-merge sorts on either side
     candidateGrams(train, probe, n, textCol, idCol)
-      .join(evalNg, Seq("ng"), "left_semi")
+      .join(evalNg.hint("shuffle_hash"), Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
@@ -203,7 +206,7 @@ object Decontaminate {
     val probe = F.bloomProbeAuto(spark,
       filterFromNgramsRolling(evalNg, n, fpr, expectedEvalNgrams))
     val hits = candidateGrams(train, probe, n, textCol, idCol)
-      .join(evalNg, Seq("ng"), "left_semi")
+      .join(evalNg.hint("shuffle_hash"), Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     train
@@ -246,10 +249,16 @@ object Decontaminate {
         explode(wordNgrams(col(textCol), n)).as("ng"))
       .distinct()
       .localCheckpoint()
-    val unionNg = evalNg.select(col("ng")).distinct()
+    // pinned too: the union frame is referenced twice by the filter
+    // build (cardinality count + dump aggregation), and uncheckpointed
+    // each reference re-runs the ng-level distinct over the eval union
+    val unionNg = evalNg.select(col("ng")).distinct().localCheckpoint()
     val probe = F.bloomProbeAuto(spark,
       filterFromNgramsRolling(unionNg, n, fpr, expectedEvalNgrams))
+    // shuffle_hash: candidates are fpr-bounded (tiny), the eval frame
+    // eval-sized — neither side needs the sort-merge sorts
     candidateGrams(train, probe, n, textCol, idCol)
+      .hint("shuffle_hash")
       .join(evalNg, Seq("ng"))
       .groupBy(col(idCol), col("set_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -435,7 +444,7 @@ object Decontaminate {
     val evalNg = spark.read.parquet(s"$indexDir/ngrams")
     val cands = docNgrams(train, n, textCol, idCol)
       .filter(probe(F.fnv_hash64_native(col("ng"))))
-    cands.join(evalNg, Seq("ng"), "left_semi")
+    cands.join(evalNg.hint("shuffle_hash"), Seq("ng"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
