@@ -441,8 +441,11 @@ object Drift {
     def lens(docs: DataFrame): DataFrame =
       docs.select(size(graft.functions.functions.tokenize(col("text")))
         .as("n_tok"))
-    val la = lens(docsA).localCheckpoint(true)
-    val lb = lens(docsB).localCheckpoint(true)
+    // lazy checkpoints: each side still evaluates once (sketch agg
+    // materializes the blocks, the value-table groupBy reads them) but
+    // without a separate materialization job per side
+    val la = lens(docsA).localCheckpoint(false)
+    val lb = lens(docsB).localCheckpoint(false)
     // sketch and doc count in ONE aggregation per side (each was its
     // own job over the checkpointed lengths before)
     def skAndN(l: DataFrame): (Array[Byte], Long) = {
@@ -478,12 +481,15 @@ object Drift {
     val a = graft.core.KllSketch.deserialize(meta.getAs[Array[Byte]]("kll"))
     val lb = snapshot
       .select(size(F.tokenize(col("text"))).as("n_tok"))
-      .localCheckpoint(true)
-    val skB = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK))
-      .head().getAs[Array[Byte]](0)
+      .localCheckpoint(false)
+    // sketch and doc count in ONE aggregation job (the lengthDrift
+    // skAndN fusion — these were two separate snapshot passes)
+    val bRow = lb.agg(F.kll_agg(col("n_tok").cast("double"), kllK),
+      count(lit(1))).head()
     ksFromSides(va, nA, a,
       lb.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt_b")),
-      lb.count(), graft.core.KllSketch.deserialize(skB), gate)
+      bRow.getLong(1),
+      graft.core.KllSketch.deserialize(bRow.getAs[Array[Byte]](0)), gate)
   }
 
   /** The KS machinery shared by [[lengthDrift]] and
