@@ -129,7 +129,11 @@ object TextAnalysis {
         F.theta_agg_hash(xxhash64(col("g")), thetaK).as("__sk"))
       val xa = dg.select(col("source").as("source_a"), col("g"))
       val xb = dg.select(col("source").as("source_b"), col("g"))
-      val common = xa.join(xb, "g").where(col("source_a") < col("source_b"))
+      // shuffle_hash: both sides are the checkpointed distinct-gram
+      // frame — hash-building one side per partition skips the two
+      // corpus-vocabulary-sized sorts a sort-merge join would pay
+      val common = xa.join(xb.hint("shuffle_hash"), "g")
+        .where(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("exact_common"))
       val pa = perSource.select(col("source").as("source_a"),
@@ -229,7 +233,9 @@ object TextAnalysis {
         col("cnt").as("cnt_a"))
       val xb = pg.select(col("source").as("source_b"), col("g"),
         col("cnt").as("cnt_b"))
-      val com = xa.join(xb, "g").where(col("source_a") < col("source_b"))
+      // shuffle_hash, as in the q65 exact side: no gram-keyed sorts
+      val com = xa.join(xb.hint("shuffle_hash"), "g")
+        .where(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("u_common"),
           sum(col("cnt_a")).as("shared_a"),
