@@ -71,12 +71,16 @@ object Drift {
       wordsOf(docsA).groupBy(col("w")).agg(count(lit(1)).as("c_a")),
       wordsOf(docsB).groupBy(col("w")).agg(count(lit(1)).as("c_b")))
 
-  // checkpoint: totals + report both read this frame; lazy plans
-  // would re-run both corpus explodes per consumer (q65 lesson)
+  // checkpoint: totals + report both read this frame; UNcheckpointed,
+  // lazy plans would re-run both corpus explodes per consumer (q65
+  // lesson). Lazy checkpoint (r06): the totals aggregation materializes
+  // the blocks — same single evaluation, without a dedicated
+  // materialization job first. (The *VsReference readers stay EAGER:
+  // their inputs are GC-racy persisted dirs — ADVICE r05 #3.)
   private def countsJoin(ca: DataFrame, cb: DataFrame): DataFrame =
     ca.join(cb, Seq("w"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
   /** Persist a reference distribution snapshot — the vocab-sized word
     * counts, the document-length value table, and the build-time KLL
@@ -351,10 +355,12 @@ object Drift {
       d.select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as(as))
+    // lazy, as countsJoin: the per-source totals aggregation
+    // materializes the frame for the report join — no dedicated job
     sourceDriftFromCounts(cnts(docsA, "c_a")
       .join(cnts(docsB, "c_b"), Seq("source", "w"), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
-      .localCheckpoint(true))
+      .localCheckpoint(false))
   }
 
   /** [[sourceDrift]] with the A side read from a persisted reference —
